@@ -1,0 +1,53 @@
+"""CrawlConfig — run configuration mirroring the reference Scraper accessors
+(/root/reference/lib/upton.rb:37-39,78-114) plus the engine's distributed knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+
+@dataclass
+class CrawlConfig:
+    # --- reference-visible configuration (upton.rb defaults at :78-114) ---
+    index_url: Optional[str] = None
+    index_selector: str = ""
+    url_array: Optional[Sequence[str]] = None   # explicit instance list (S1)
+    verbose: bool = False
+    debug: bool = True                 # stash instance pages (T1)
+    index_debug: bool = False          # stash index pages
+    sleep_time_between_requests: float = 30.0   # politeness budget (T2)
+    paginated: bool = False
+    pagination_param: str = "page"
+    pagination_max_pages: int = 2
+    pagination_start_index: int = 1
+    pagination_interval: int = 1
+    readable_filenames: bool = False
+    stash_folder: Optional[str] = None  # checkpoint dir (engine: Lance/parquet tables)
+
+    # extraction UDF: "identity" | "css:<sel>" | "list:<sel>" | "table:<sel>"
+    # or a callable (spans, url, instance_index, pagination_index) -> record
+    extractor: object = "identity"
+
+    # instance-pagination successor (P3; default none — upton.rb:127-129)
+    next_instance_page_url: Optional[Callable[[str, int], str]] = None
+
+    # --- engine extensions (absent in the reference; north_rule requirements) ---
+    robots: dict = field(default_factory=dict)   # host -> list of disallowed prefixes
+    respect_robots: bool = False
+    status_overlay: dict = field(default_factory=dict)  # url -> http status (fault injection)
+    max_retries: int = 3               # bounded (reference retries forever, T4)
+    real_sleep: bool = False           # tests/bench count sleeps instead of sleeping
+    max_sleep: float = 0.05            # cap on actual sleep when real_sleep
+
+    # --- distributed shape ---
+    num_seen_shards: int = 8
+    fetch_concurrency: int = 4         # fetch actor pool size
+    fetch_batch_size: int = 256
+    host_sharded_fetch: Optional[bool] = None  # None = auto (politeness>0 or robots)
+
+    def needs_host_affinity(self) -> bool:
+        if self.host_sharded_fetch is not None:
+            return self.host_sharded_fetch
+        return self.real_sleep and self.sleep_time_between_requests > 0
