@@ -1,0 +1,108 @@
+"""End-to-end conformance: the distributed engine must reproduce the
+sequential oracle's observable trace on every scenario — crawl order
+(index list + record order), extracted values, URL-seen set, sleep counts."""
+
+import os
+
+import pytest
+
+from upton_ray.engine import Crawler
+from upton_ray.oracle import UptonOracle
+from upton_ray.scenarios import scenario_configs
+from upton_ray.synth import BASE, HEADLINES
+
+CFGS = scenario_configs()
+
+CONFORMANCE = ["basic", "relative", "list", "table", "paginated",
+               "paginated_error", "paginated_sleeps", "dedup_stash",
+               "nocache_refetch", "instance_error", "continuation"]
+
+
+@pytest.mark.parametrize("name", CONFORMANCE)
+def test_scenario_matches_oracle(name, ray_session, fixture_web):
+    import copy
+
+    cfg = CFGS[name]
+    oracle = UptonOracle(copy.deepcopy(cfg), fixture_web).scrape()
+    res = Crawler(cfg, fixture_web).crawl(trace=True)
+
+    assert res.documents() == oracle.documents, f"{name}: documents differ"
+    if cfg.url_array is None:
+        assert res.index_urls == oracle.index_urls, f"{name}: index order differs"
+    assert res.fetched_urls == oracle.seen, f"{name}: URL-seen set differs"
+    assert res.sleeps == oracle.sleeps, f"{name}: sleep count differs"
+
+
+def test_robots_blocks_without_fetch(ray_session, fixture_web):
+    cfg = CFGS["robots"]
+    res = Crawler(cfg, fixture_web).crawl(trace=True)
+    # sixfacts blocked -> empty record, never fetched, no sleep for it
+    assert res.documents() == [HEADLINES["webinar"], "", HEADLINES["prosecutor"], ""]
+    assert BASE + "sixfacts.html" not in res.fetched_urls
+    m = res.metrics.to_pylist()[0]
+    assert m["robots_blocked"] == 1
+
+
+def test_csv_sink_matches_oracle_rows(ray_session, fixture_web, tmp_path):
+    import csv
+
+    from upton_ray import sinks
+
+    for name in ("basic", "table", "list"):
+        cfg = CFGS[name]
+        oracle = UptonOracle(cfg, fixture_web)
+        expected = oracle.scrape_to_rows()
+        res = Crawler(cfg, fixture_web).crawl(trace=True)
+        f = tmp_path / f"{name}.csv"
+        sinks.write_csv(res.records, str(f))
+        with open(f, newline="") as fh:
+            got = [row for row in csv.reader(fh)]
+        exp = [[str(c) for c in row] for row in expected]
+        assert got == exp, name
+
+
+def test_checkpoint_resume_skips_fetches(ray_session, fixture_web, tmp_path):
+    import copy
+
+    stash = str(tmp_path / "stash")
+    cfg = copy.deepcopy(CFGS["basic"])
+    cfg.stash_folder = stash
+    cfg.index_debug = True
+
+    r1 = Crawler(cfg, fixture_web).crawl(trace=True)
+    assert r1.sleeps == 5
+    assert os.path.exists(os.path.join(stash, "seen.parquet"))
+    assert os.path.exists(os.path.join(stash, "lineage.json"))
+
+    # resume: a fresh crawler over the same stash refetches NOTHING
+    cfg2 = copy.deepcopy(cfg)
+    r2 = Crawler(cfg2, fixture_web).crawl(trace=True)
+    assert r2.documents() == r1.documents()
+    assert r2.sleeps == 0, "resume must hit the stash, not the network"
+    assert r2.fetched_urls == set()
+
+
+def test_lazy_records_dataset(ray_session, fixture_web):
+    """trace=False returns a lazy Dataset; consuming it yields sorted records."""
+    cfg = CFGS["basic"]
+    res = Crawler(cfg, fixture_web).crawl(trace=False)
+    t = res.records_table()
+    assert t.num_rows == 4
+    assert t["record"].to_pylist()[0] == [HEADLINES["webinar"]]
+
+
+def test_seen_set_survives_large_batches(ray_session):
+    """Stash fetch-once across many duplicate URLs and batches."""
+    import numpy as np
+
+    from upton_ray.seen import SeenSet
+
+    s = SeenSet(num_shards=4)
+    urls = [f"http://h{i % 50}.org/p{i % 200}" for i in range(1000)]
+    new1 = s.check_and_add(urls)
+    assert new1.sum() == len(set(urls))
+    new2 = s.check_and_add(urls)
+    assert new2.sum() == 0
+    assert s.size() == len(set(urls))
+    assert s.contains(np.array(["http://h0.org/p0", "http://nope.org/x"],
+                               dtype=object)).tolist() == [True, False]

@@ -1,0 +1,143 @@
+"""Unit tests ported from the reference spec suite:
+spec/unit/resolve_url_spec.rb, spec/unit/pagination_spec.rb,
+plus slug / filename / hashing contracts."""
+
+import numpy as np
+import pytest
+
+from upton_ray import urlops
+from upton_ray.urlops import ArgumentError, next_index_page_url, resolve_url
+
+PAGE = "http://www.propublica.org/"
+
+
+class TestResolveUrl:
+    def test_nil_args_raise(self):
+        with pytest.raises(ArgumentError):
+            resolve_url("x", None)
+        with pytest.raises(ArgumentError):
+            resolve_url(None, "y")
+
+    def test_non_string_args_raise(self):
+        with pytest.raises(ArgumentError):
+            resolve_url("http://1.com", 1)
+        with pytest.raises(ArgumentError):
+            resolve_url({"some": "x"}, PAGE)
+
+    def test_non_absolute_base_raises(self):
+        with pytest.raises(ArgumentError):
+            resolve_url("/path", "/dir")
+
+    def test_invalid_uri_raises(self):
+        with pytest.raises(ArgumentError):
+            resolve_url("http://exa mple.com", PAGE)
+
+    def test_absolute_href_idempotent(self):
+        assert resolve_url("http://propublican.org/", PAGE) == "http://propublican.org/"
+
+    def test_scheme_relative_respects_base_scheme(self):
+        assert resolve_url("//some.org/", "https://secure.org") == "https://some.org/"
+
+    def test_empty_href_returns_base(self):
+        assert resolve_url("", PAGE) == PAGE
+
+    def test_hash_anchor(self):
+        assert resolve_url("#bang", PAGE) == "http://www.propublica.org/#bang"
+
+    def test_query_params(self):
+        assert resolve_url("?q=1", PAGE) == "http://www.propublica.org/?q=1"
+
+    def test_root_level_path(self):
+        assert resolve_url("/pages", PAGE) == "http://www.propublica.org/pages"
+
+    def test_subdir_path(self):
+        assert resolve_url("dir", PAGE) == "http://www.propublica.org/dir"
+
+    def test_subdir_path_no_trailing_slash(self):
+        assert resolve_url("dir", PAGE.rstrip("/")) == "http://www.propublica.org/dir"
+
+    def test_subdir_on_existing_path(self):
+        assert resolve_url("dir", "http://www.propublica.org/main/") == \
+            "http://www.propublica.org/main/dir"
+
+    def test_vectorized_matches_scalar(self):
+        hrefs = np.array(["dir", "", "#bang", "?q=1", "/pages", "//some.org/",
+                          "http://abs.org/x", None, "a/b.html", "../up.html",
+                          "./same.html"], dtype=object)
+        base = "http://www.propublica.org/main/index.html"
+        got = urlops.resolve_urls(hrefs, base)
+        for h, g in zip(hrefs, got):
+            if h is None:
+                assert g is None
+            else:
+                assert g == resolve_url(h, base), h
+
+
+class TestPaginationSuccessor:
+    URL = "http://www.propublica.org/search.php?q=test"
+
+    def test_original_url_when_not_paginated(self):
+        assert next_index_page_url(self.URL, 1, paginated=False) == self.URL
+
+    def test_appends_pagination_param(self):
+        got = next_index_page_url(self.URL, 2, paginated=True,
+                                  pagination_param="current_page",
+                                  pagination_max_pages=10)
+        assert got == self.URL + "&current_page=2"
+
+    def test_overwrites_existing_param_in_place(self):
+        url = "http://x.org/s?p=9&q=z"
+        got = next_index_page_url(url, 3, paginated=True, pagination_param="p",
+                                  pagination_max_pages=10)
+        assert got == "http://x.org/s?p=3&q=z"
+
+    def test_empty_past_max_pages(self):
+        assert next_index_page_url(self.URL, 11, paginated=True,
+                                   pagination_max_pages=10) == ""
+
+    def test_no_query_string(self):
+        got = next_index_page_url("http://x.org/list", 1, paginated=True,
+                                  pagination_param="p", pagination_max_pages=3)
+        assert got == "http://x.org/list?p=1"
+
+
+class TestSlug:
+    def test_basic(self):
+        assert urlops.slug("http://a.com/dir/sixfacts.html") == "sixfacts"
+
+    def test_query_stripped(self):
+        assert urlops.slug("http://a.com/page.html?x=1") == "page"
+
+    def test_trailing_slash_takes_last_segment(self):
+        assert urlops.slug("http://a.com/") == "a.com"
+
+    def test_unescaped_dot_quirk(self):
+        # Ruby /.html.*/ — the dot matches ANY character
+        assert urlops.slug("http://a.com/shtml2.html") == ""
+
+
+class TestFilenamesAndHashes:
+    def test_md5_matches_reference_cache_key(self):
+        import hashlib
+
+        u = "http://www.example.com"
+        assert urlops.md5_hash(u) == hashlib.md5(u.encode()).hexdigest()
+
+    def test_distinct_query_strings_distinct_keys(self):
+        # spec/upton_downloader_spec.rb:48-62
+        assert urlops.md5_hash("http://www.example.com") != \
+            urlops.md5_hash("http://www.example.com?a=1&b=2")
+
+    def test_readable_filename(self):
+        got = urlops.readable_filename("http://www.example.com/a-b_c.html?q=1", "/tmp/upton")
+        assert got.endswith(".html")
+        assert " " not in got and "?" not in got and ":" not in got
+
+    def test_shard_hash_stable_and_in_range(self):
+        urls = np.array([f"http://h{i}.org/p" for i in range(100)], dtype=object)
+        a = urlops.shard_hashes(urls, 8)
+        b = urlops.shard_hashes(urls, 8)
+        assert (a == b).all() and a.min() >= 0 and a.max() < 8
+
+    def test_hosts_of(self):
+        assert urlops.host_of("https://Sub.Example.COM/x?y#z") == "sub.example.com"

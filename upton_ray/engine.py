@@ -1,0 +1,406 @@
+"""Crawler: the Ray-Data round loop (SURVEY.md §3.4).
+
+Round 0 (index): seeds Dataset -> IndexWalker actor pool (per-seed sequential
+pagination chains, P2) -> vectorized link extraction (M1/M2) -> deterministic
+``instance_index`` assignment (the order Upton's sequential loop would have
+produced: seed order, then index-page order, then DOM position).
+
+Round 1 (instances): frontier Dataset -> InstanceWalker actor pool (stash
+gate via the sharded seen-set, politeness, robots, continuation quirk) ->
+ExtractRecords (the user scrape block) -> records sorted by
+(instance_index, pagination_index, row_no) — Upton's exact output order
+(upton.rb:337-345) restored by an explicit sort rather than by sequential
+execution.
+
+Checkpointing: when ``cfg.stash_folder`` is set, fetched pages are written as
+parquet *inside the stream* (write -> read-back), the seen set is dumped at
+the end, and lineage rows gate re-execution — a re-run restores the seen set
+so previously-fetched URLs become cache hits (no network fetch, no sleep):
+exactly the reference's stash-driven resume semantics (downloader.rb:70-98).
+
+Scale notes (10^10-URL design point, tested single-node):
+* the only driver-side materializations are (a) the per-(seed, index-page)
+  link-count table used for the instance_index prefix-sum — one row per INDEX
+  PAGE, ~1/links_per_page of the frontier — and (b) trace-mode conformance
+  collections (tests only);
+* the frontier->fetch stage is an actor pool with batched seen-set RPCs;
+  host-affinity (politeness) uses a host_shard groupby — the one designed
+  shuffle (SURVEY.md §7.3);
+* everything else is streaming ``map_batches`` over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from upton_ray import schema
+from upton_ray.config import CrawlConfig
+from upton_ray.extract import ExtractRecords, extract_links_batch
+from upton_ray.fetch import IndexWalker, InstanceWalker
+from upton_ray.seen import SeenSet
+from upton_ray.urlops import hosts_of, shard_hashes
+
+
+RECORDS_OUT = pa.schema([
+    ("instance_index", pa.int64()), ("pagination_index", pa.int32()),
+    ("row_no", pa.int32()), ("instance_url", pa.string()),
+    ("record", pa.list_(pa.string())), ("doc_kind", pa.string()),
+])
+
+FETCHED_OUT = pa.schema([
+    ("instance_index", pa.int64()), ("pagination_index", pa.int32()),
+    ("instance_url", pa.string()), ("spans", schema.SPANS),
+    ("from_resource", pa.bool_()), ("slept", pa.bool_()),
+    ("status", pa.int32()), ("robots_blocked", pa.bool_()),
+])
+
+
+def collect(ds, fallback_schema: pa.Schema) -> pa.Table:
+    """Materialize a Dataset to one Arrow table; empty datasets yield a typed
+    empty table instead of a schema-less one."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if not tables:
+        return fallback_schema.empty_table()
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+@dataclass
+class CrawlResult:
+    records: object                      # ray.data.Dataset (lazy) or pa.Table (trace)
+    index_urls: Optional[list] = None    # trace: get_index output (order incl. Nones)
+    sleeps: Optional[int] = None         # trace: politeness sleep count
+    fetched_urls: Optional[set] = None   # trace: network-fetched URL set
+    metrics: Optional[pa.Table] = None   # per-shard counters
+    stats: dict = field(default_factory=dict)
+
+    def records_table(self) -> pa.Table:
+        if isinstance(self.records, pa.Table):
+            return self.records
+        t = collect(self.records, RECORDS_OUT)
+        return t.sort_by([("instance_index", "ascending"),
+                          ("pagination_index", "ascending"),
+                          ("row_no", "ascending")])
+
+    def records_rows(self) -> list[dict]:
+        return self.records_table().to_pylist()
+
+    def documents(self) -> list:
+        """Reassemble Upton ``scrape()`` documents from exploded record rows."""
+        docs: list = []
+        cur_key = None
+        for r in self.records_rows():
+            key = (r["instance_index"], r["pagination_index"])
+            if r["doc_kind"] == "none":
+                docs.append(None)
+                cur_key = key
+            elif r["doc_kind"] == "scalar":
+                docs.append(r["record"][0])
+                cur_key = key
+            elif r["doc_kind"] == "list":
+                docs.append(list(r["record"]))
+                cur_key = key
+            else:  # table: one document accumulating its rows
+                if key != cur_key:
+                    docs.append([list(r["record"])])
+                    cur_key = key
+                else:
+                    docs[-1].append(list(r["record"]))
+        return docs
+
+
+class Crawler:
+    """One crawl run. ``web_source`` is a dict web, a synth.ScaleParams
+    generator, or ("parquet", path, num_buckets) — see upton_ray.fetch."""
+
+    def __init__(self, cfg: CrawlConfig, web_source,
+                 seeds: Optional[list[tuple[int, str, str]]] = None):
+        self.cfg = cfg
+        if isinstance(web_source, dict):
+            self.web_ref = ray.put(web_source)   # broadcast once, not per actor
+        else:
+            self.web_ref = web_source
+        if seeds is None and cfg.index_url is not None:
+            seeds = [(0, cfg.index_url, cfg.index_selector)]
+        self.seeds = seeds
+        self.seen: Optional[SeenSet] = None
+        if cfg.debug or cfg.index_debug:
+            self.seen = SeenSet(cfg.num_seen_shards)
+            self._restore_seen()
+
+    # ------------------------------------------------------------ checkpoint
+
+    def _ckpt(self, name: str) -> Optional[str]:
+        if not self.cfg.stash_folder:
+            return None
+        os.makedirs(self.cfg.stash_folder, exist_ok=True)
+        return os.path.join(self.cfg.stash_folder, name)
+
+    def _lineage_done(self, unit: str) -> bool:
+        p = self._ckpt("lineage.json")
+        if not p or not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return unit in json.load(f)
+
+    def _mark_done(self, unit: str, **info) -> None:
+        p = self._ckpt("lineage.json")
+        if not p:
+            return
+        done = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                done = json.load(f)
+        done[unit] = info
+        with open(p, "w") as f:
+            json.dump(done, f)
+
+    def _restore_seen(self) -> None:
+        p = self._ckpt("seen.parquet")
+        if p and os.path.exists(p) and self.seen is not None:
+            t = pq.read_table(p)
+            urls = t.filter(pc.equal(t["bad"], False))["url"].to_pylist()
+            bad = t.filter(pc.equal(t["bad"], True))["url"].to_pylist()
+            self.seen.restore(urls, bad)
+
+    def _dump_seen(self) -> None:
+        p = self._ckpt("seen.parquet")
+        if p and self.seen is not None:
+            urls = self.seen.dump()
+            bad = self.seen.dump_bad()
+            t = pa.table({"url": pa.array(urls + bad, pa.string()),
+                          "bad": pa.array([False] * len(urls) + [True] * len(bad))})
+            pq.write_table(t, p)
+
+    # --------------------------------------------------------------- round 0
+
+    def get_index(self, *, trace: bool = False):
+        """Round 0: seeds -> index pages -> ordered frontier Dataset with
+        columns (url, seed_id, page_no, dom_pos, instance_index).
+        Returns (frontier_ds, trace_info)."""
+        cfg = self.cfg
+        assert self.seeds, "no index seeds configured"
+        ckpt = self._ckpt("frontier.parquet")
+        if ckpt and self._lineage_done("round0") and os.path.exists(ckpt):
+            return ray.data.read_parquet(ckpt), None
+
+        seeds_t = pa.table({
+            "seed_id": pa.array([s[0] for s in self.seeds], pa.int32()),
+            "url": pa.array([s[1] for s in self.seeds], pa.string()),
+            "selector": pa.array([s[2] for s in self.seeds], pa.string()),
+        })
+        n_seeds = len(self.seeds)
+        seeds_ds = ray.data.from_arrow(seeds_t)
+        if n_seeds > 1:
+            seeds_ds = seeds_ds.repartition(min(n_seeds, 64))
+        conc = min(cfg.fetch_concurrency, max(1, n_seeds))
+        pages = seeds_ds.map_batches(
+            IndexWalker,
+            fn_constructor_args=(cfg, self.web_ref, self.seen),
+            batch_size=max(1, n_seeds // max(1, conc * 2)) if n_seeds > 4 else 1,
+            batch_format="pyarrow",
+            concurrency=conc,
+            num_cpus=0.5,
+        )
+        trace_info = None
+        if trace:
+            pages = pages.materialize()
+            pt = pa.concat_tables(ray.get(pages.to_arrow_refs()))
+            trace_info = {
+                "index_sleeps": int(pc.sum(pt["slept"]).as_py() or 0),
+                "index_fetched": set(),
+                "pages": pt,
+            }
+            # network-fetched index URLs: reconstruct from walker provenance
+        links = pages.map_batches(extract_links_batch, batch_format="pyarrow")
+        links = links.materialize()   # round-0 output is ~1/links_per_page of the crawl
+
+        # deterministic instance_index: exclusive prefix-sum of per-(seed, page)
+        # link counts — one row per index page on the driver (small)
+        counts = links.groupby(["seed_id", "page_no"]).count().to_pandas()
+        if len(counts) == 0:
+            offsets = {}
+        else:
+            counts = counts.sort_values(["seed_id", "page_no"]).reset_index(drop=True)
+            offs = counts["count()"].cumsum().shift(fill_value=0).astype("int64")
+            offsets = {(int(s), int(p)): int(o) for s, p, o in
+                       zip(counts["seed_id"], counts["page_no"], offs)}
+
+        def assign(batch: pa.Table) -> pa.Table:
+            s = batch["seed_id"].to_numpy(zero_copy_only=False)
+            p = batch["page_no"].to_numpy(zero_copy_only=False)
+            d = batch["dom_pos"].to_numpy(zero_copy_only=False)
+            base = np.array([offsets[(int(a), int(b))] for a, b in zip(s, p)],
+                            dtype=np.int64)
+            return batch.append_column(
+                "instance_index", pa.array(base + d, pa.int64()))
+
+        frontier = links.map_batches(assign, batch_format="pyarrow")
+        if ckpt:
+            import shutil
+
+            if os.path.exists(ckpt):
+                shutil.rmtree(ckpt)   # stale partial output from a crashed run
+            frontier.write_parquet(ckpt)
+            frontier = ray.data.read_parquet(ckpt)
+            self._mark_done("round0")
+            self._dump_seen()
+        return frontier, trace_info
+
+    # --------------------------------------------------------------- round 1
+
+    def _frontier_from_url_array(self):
+        urls = list(self.cfg.url_array)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "instance_index": pa.array(np.arange(len(urls), dtype=np.int64)),
+        })
+        ds = ray.data.from_arrow(t)
+        if len(urls) > 10_000:
+            ds = ds.repartition(64)
+        return ds
+
+    def fetch_instances(self, frontier):
+        """Frontier Dataset -> fetched instance-page Dataset."""
+        cfg = self.cfg
+        walker_args = (cfg, self.web_ref, self.seen)
+        if cfg.needs_host_affinity():
+            # the designed shuffle: co-locate each host on one worker so the
+            # per-host deadline heap is authoritative cluster-wide
+            def add_shard(batch: pa.Table) -> pa.Table:
+                urls = batch["url"].to_numpy(zero_copy_only=False)
+                hs = hosts_of(urls)
+                return batch.append_column(
+                    "host_shard",
+                    pa.array(shard_hashes(hs, cfg.fetch_concurrency), pa.int32()))
+
+            sharded = frontier.map_batches(add_shard, batch_format="pyarrow")
+            walker = InstanceWalker(*walker_args)
+
+            def walk_group(group: pa.Table) -> pa.Table:
+                return walker(group.drop_columns(["host_shard"]))
+
+            fetched = sharded.groupby("host_shard").map_groups(
+                walk_group, batch_format="pyarrow")
+        else:
+            fetched = frontier.map_batches(
+                InstanceWalker,
+                fn_constructor_args=walker_args,
+                batch_size=cfg.fetch_batch_size,
+                batch_format="pyarrow",
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=0.5,
+            )
+        ckpt = self._ckpt("fetched_round1")
+        if ckpt:
+            import shutil
+
+            if os.path.exists(ckpt):
+                shutil.rmtree(ckpt)   # stale partial output from a crashed run
+            cols = ["instance_index", "pagination_index", "instance_url", "spans",
+                    "from_resource", "slept", "status", "robots_blocked"]
+            fetched.select_columns(cols).write_parquet(ckpt)
+            fetched = ray.data.read_parquet(ckpt)
+            self._mark_done("round1")
+            self._dump_seen()
+        return fetched
+
+    def extract_records(self, fetched):
+        # instance (not class): runs in the task pool — extraction is stateless,
+        # the instance just pre-splits the extractor spec once
+        return fetched.map_batches(
+            ExtractRecords(self.cfg.extractor),
+            batch_format="pyarrow",
+            batch_size=self.cfg.fetch_batch_size,
+        )
+
+    # ------------------------------------------------------------------ runs
+
+    def crawl(self, *, trace: bool = False) -> CrawlResult:
+        cfg = self.cfg
+        index_urls = None
+        if cfg.url_array is not None:
+            frontier = self._frontier_from_url_array()
+            trace_info = None
+        else:
+            frontier, trace_info = self.get_index(trace=trace)
+
+        if trace:
+            frontier_schema = pa.schema([
+                ("seed_id", pa.int32()), ("page_no", pa.int32()),
+                ("dom_pos", pa.int32()), ("url", pa.string()),
+                ("instance_index", pa.int64())])
+            ft = collect(frontier, frontier_schema)
+            if "dom_pos" in ft.column_names:
+                ft = ft.sort_by([("instance_index", "ascending")])
+                index_urls = ft["url"].to_pylist()
+            frontier = ray.data.from_arrow(ft)
+
+        fetched = self.fetch_instances(frontier)
+        if trace:
+            fetched = fetched.materialize()
+            fetched_t = collect(fetched, FETCHED_OUT)
+        records = self.extract_records(fetched)
+        records = records.sort(["instance_index", "pagination_index", "row_no"])
+
+        if not trace:
+            return CrawlResult(records=records)
+
+        rt = collect(records, RECORDS_OUT)
+        rt = rt.sort_by([("instance_index", "ascending"),
+                         ("pagination_index", "ascending"),
+                         ("row_no", "ascending")])
+        sleeps = int(pc.sum(fetched_t["slept"]).as_py() or 0)
+        fetched_urls = set(
+            pc.filter(fetched_t["instance_url"], fetched_t["from_resource"]).to_pylist())
+        if trace_info is not None:
+            sleeps += trace_info["index_sleeps"]
+            pt = trace_info["pages"]
+            # index pages that were network fetches: their resolved URLs are
+            # not carried by the walker output; recompute from the fetch flags
+            fetched_urls |= set(self._index_fetch_urls(pt))
+        metrics = self._metrics(fetched_t)
+        self._dump_seen()
+        return CrawlResult(records=rt, index_urls=index_urls, sleeps=sleeps,
+                           fetched_urls=fetched_urls, metrics=metrics)
+
+    def _index_fetch_urls(self, pages_t: pa.Table) -> list[str]:
+        """Reconstruct the index-page URLs that hit the network (trace only)."""
+        from upton_ray.urlops import next_index_page_url, resolve_url
+
+        cfg = self.cfg
+        out = []
+        sel = {s[0]: s[1] for s in (self.seeds or [])}
+        for row in pages_t.to_pylist():
+            if not row["from_resource"]:
+                continue
+            seed_url = sel[row["seed_id"]]
+            pidx = cfg.pagination_start_index + row["page_no"] * cfg.pagination_interval
+            nxt = next_index_page_url(seed_url, pidx, paginated=cfg.paginated,
+                                      pagination_param=cfg.pagination_param,
+                                      pagination_max_pages=cfg.pagination_max_pages)
+            out.append(resolve_url(nxt, seed_url) if nxt else seed_url)
+        return out
+
+    def _metrics(self, fetched_t: pa.Table) -> pa.Table:
+        n = fetched_t.num_rows
+        return pa.table({
+            "round": pa.array([1], pa.int32()),
+            "partition": pa.array([-1], pa.int32()),
+            "fetched": pa.array([int(pc.sum(fetched_t["from_resource"]).as_py() or 0)], pa.int64()),
+            "cache_hits": pa.array([int(n - (pc.sum(fetched_t["from_resource"]).as_py() or 0))], pa.int64()),
+            "slept": pa.array([int(pc.sum(fetched_t["slept"]).as_py() or 0)], pa.int64()),
+            "errors": pa.array([int(pc.sum(pc.and_(pc.not_equal(fetched_t["status"], 200),
+                                                   pc.not_equal(fetched_t["status"], 0))).as_py() or 0)], pa.int64()),
+            "robots_blocked": pa.array([int(pc.sum(fetched_t["robots_blocked"]).as_py() or 0)], pa.int64()),
+            "deduped": pa.array([0], pa.int64()),
+        })

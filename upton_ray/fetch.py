@@ -1,0 +1,383 @@
+"""Fetch stage: web stores (the in-sandbox "HTTP") and the two fetch walkers.
+
+The reference's downloader (/root/reference/lib/upton/downloader.rb) does one
+HTTP GET per URL with a filesystem stash; errors map to the empty page
+(404/500/503/invalid -> "", timeout -> retry; downloader.rb:50-68).  Here:
+
+* a *web store* stands in for the network: a point lookup of ``doc_id == url``
+  into the span-document corpus (dict / partitioned parquet / pure generator);
+* the *stash* is the sharded :class:`upton_ray.seen.SeenSet` (fetch-once
+  accounting) — since the sandbox web is immutable, a "cache read" is an
+  idempotent re-lookup that must NOT count as a network fetch nor sleep
+  (quirk Q8, upton.rb:219-224);
+* *politeness* is the per-host deadline heap (:mod:`upton_ray.frontier`);
+* *errors* map to empty span lists with the row kept positionally (M7/M8),
+  and the timeout retry is BOUNDED (cfg.max_retries), unlike the reference's
+  infinite ``retry``.
+
+``IndexWalker`` runs the inherently-sequential per-seed pagination chain (P2:
+early-stop on empty page) — parallel across seeds, sequential within one.
+``InstanceWalker`` fetches frontier batches vectorized, including the
+depth-limited instance-continuation quirk (P4/Q5, upton.rb:321-334).
+Both are callable classes for ``map_batches(..., concurrency=N)`` actor pools:
+store/scheduler/robots state is built once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from upton_ray import schema, synth
+from upton_ray.config import CrawlConfig
+from upton_ray.frontier import HostScheduler, RobotsCache
+from upton_ray.urlops import host_of, next_index_page_url, resolve_url
+
+EMPTY_SPANS: list = []
+
+
+# ----------------------------------------------------------------- web stores
+
+
+class DictWebStore:
+    """In-memory corpus ({url: [span]}), broadcast once via ray.put and shared
+    zero-copy-ish by every fetch actor. For fixture webs and small runs."""
+
+    def __init__(self, web: dict[str, list[dict]]):
+        self.web = web
+
+    def lookup_one(self, url: str):
+        return self.web.get(url)
+
+    def lookup_table(self, urls) -> pa.Array:
+        return schema.spans_array([self.web.get(u) or EMPTY_SPANS for u in urls])
+
+
+class GeneratorWebStore:
+    """Pure-function corpus: page spans are regenerated from the URL
+    (synth.gen_page). Storage-free stand-in for network fetch at any scale."""
+
+    def __init__(self, params: synth.ScaleParams):
+        self.params = params
+
+    def lookup_one(self, url: str):
+        return synth.gen_page(self.params, url)
+
+    def lookup_table(self, urls) -> pa.Array:
+        return schema.spans_array(
+            [synth.gen_page(self.params, u) or EMPTY_SPANS for u in urls])
+
+
+class ParquetWebStore:
+    """Point lookups into a parquet/lance corpus of WEB-schema documents.
+
+    Expects the corpus laid out by :func:`upton_ray.sinks.write_web`
+    (hash-bucketed by host, files sorted by doc_id) so a batch lookup only
+    scans the buckets its URLs live in (predicate pushdown on the bucket
+    partition column + doc_id row-group stats).
+    """
+
+    def __init__(self, path: str, num_buckets: int):
+        import pyarrow.dataset as pads
+
+        self.ds = pads.dataset(path, format="parquet", partitioning="hive")
+        self.num_buckets = num_buckets
+
+    def _buckets(self, urls: np.ndarray) -> np.ndarray:
+        from upton_ray.urlops import hosts_of, shard_hashes
+
+        return shard_hashes(hosts_of(urls), self.num_buckets)
+
+    def lookup_table(self, urls) -> pa.Array:
+        import pyarrow.dataset as pads
+
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return schema.spans_array([])
+        buckets = self._buckets(arr)
+        tables = []
+        for b in np.unique(buckets):
+            us = arr[buckets == b].tolist()
+            flt = (pads.field("bucket") == int(b)) & pads.field("doc_id").isin(us)
+            tables.append(self.ds.to_table(filter=flt, columns=["doc_id", "spans"]))
+        found = pa.concat_tables(tables) if tables else schema.WEB.empty_table()
+        # align to input order via sentinel-row take (missing -> empty spans)
+        sentinel = pa.table({"doc_id": pa.array([""], pa.string()),
+                             "spans": schema.spans_array([EMPTY_SPANS])})
+        found = pa.concat_tables([found.select(["doc_id", "spans"]), sentinel]) \
+            .combine_chunks()
+        pos = {u: i for i, u in enumerate(found["doc_id"].to_pylist())}
+        missing = found.num_rows - 1
+        idx = pa.array([pos.get(u, missing) for u in arr], pa.int64())
+        return found["spans"].take(idx).combine_chunks()
+
+    def lookup_one(self, url: str):
+        arr = self.lookup_table([url])
+        spans = arr[0].as_py()
+        return spans or None
+
+
+def make_store(web_source):
+    """web_source: dict | synth.ScaleParams | ("parquet", path, num_buckets)."""
+    if isinstance(web_source, dict):
+        return DictWebStore(web_source)
+    if isinstance(web_source, synth.ScaleParams):
+        return GeneratorWebStore(web_source)
+    kind, path, buckets = web_source
+    assert kind == "parquet"
+    return ParquetWebStore(path, buckets)
+
+
+# ------------------------------------------------------------------ walkers
+
+
+class _FetchState:
+    """Shared per-actor fetch machinery (store + stash + politeness + robots)."""
+
+    def __init__(self, cfg: CrawlConfig, web_source, seen_handle):
+        import ray
+
+        self.cfg = cfg
+        if isinstance(web_source, ray.ObjectRef):
+            web_source = ray.get(web_source)   # broadcast corpus: fetched once per actor
+        self.store = make_store(web_source)
+        self.seen = seen_handle           # SeenSet handle or None
+        self.sched = HostScheduler(
+            cfg.sleep_time_between_requests,
+            real_sleep=cfg.real_sleep, max_sleep=cfg.max_sleep)
+        self.robots = RobotsCache(cfg.robots if cfg.respect_robots else {})
+        self.statuses = cfg.status_overlay or {}
+
+    def fetch_one(self, url, stash: bool):
+        """Sequential-path fetch (index chains, continuations).
+        Returns (spans, from_resource, slept, status, robots_blocked)."""
+        if url is None or url == "":
+            return EMPTY_SPANS, False, False, 0, False      # M7 nil-url guard
+        if not self.robots.allowed_mask(np.array([url], dtype=object))[0]:
+            return EMPTY_SPANS, False, False, 0, True
+        from_resource = True
+        if stash and self.seen is not None:
+            from_resource = bool(self.seen.check_and_add([url])[0])
+        slept = False
+        status = 200
+        if from_resource:
+            status = self.statuses.get(url, 200)
+            if status == 408:      # bounded retry (reference loops forever, T4)
+                for _ in range(self.cfg.max_retries):
+                    pass           # sandbox: status is static; retries exhaust
+            self.sched.wait_turn(host_of(url))
+            slept = True           # politeness applies to error/empty fetches too (Q8)
+            if status != 200:
+                if stash and self.seen is not None:
+                    self.seen.record_bad([url])   # error page stashed as empty body
+                return EMPTY_SPANS, True, slept, status, False
+        elif self.seen is not None and self.seen.bad_mask([url])[0]:
+            return EMPTY_SPANS, False, False, 200, False  # cached empty body
+        body = self.store.lookup_one(url)
+        return (body or EMPTY_SPANS), from_resource, slept, status, False
+
+
+class IndexWalker:
+    """Round-0 stage: one sequential pagination chain per seed (P2/P5).
+
+    In: batch of seed rows (seed_id, url, selector).
+    Out: one row per fetched index page:
+    (seed_id, page_no, base, selector, spans, from_resource, slept, status).
+    """
+
+    def __init__(self, cfg: CrawlConfig, web_source, seen_handle=None):
+        self.st = _FetchState(cfg, web_source, seen_handle)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        out = {k: [] for k in ("seed_id", "page_no", "base", "selector",
+                               "spans", "from_resource", "slept", "status")}
+        for row in batch.to_pylist():
+            seed_url, selector = row["url"], row["selector"]
+            # get_index_pages loop (upton.rb:295-311): stop on "" successor,
+            # repeated URL, or after fetching an empty page (Q7)
+            prev_url = None
+            pagination_index = cfg.pagination_start_index
+            page_no = 0
+            while True:
+                nxt = next_index_page_url(
+                    seed_url, pagination_index, paginated=cfg.paginated,
+                    pagination_param=cfg.pagination_param,
+                    pagination_max_pages=cfg.pagination_max_pages)
+                if nxt == "":
+                    break
+                nxt = resolve_url(nxt, seed_url)
+                if nxt == prev_url:
+                    break
+                spans, from_res, slept, status, _rb = self.st.fetch_one(
+                    nxt, cfg.index_debug)
+                out["seed_id"].append(row["seed_id"])
+                out["page_no"].append(page_no)
+                out["base"].append(seed_url)   # Q3: resolve base is the SEED url
+                out["selector"].append(selector)
+                out["spans"].append(spans)
+                out["from_resource"].append(from_res)
+                out["slept"].append(slept)
+                out["status"].append(status)
+                prev_url = nxt
+                pagination_index += cfg.pagination_interval
+                page_no += 1
+                if len(spans) == 0:
+                    break
+        return pa.table({
+            "seed_id": pa.array(out["seed_id"], pa.int32()),
+            "page_no": pa.array(out["page_no"], pa.int32()),
+            "base": pa.array(out["base"], pa.string()),
+            "selector": pa.array(out["selector"], pa.string()),
+            "spans": schema.spans_array(out["spans"]),
+            "from_resource": pa.array(out["from_resource"], pa.bool_()),
+            "slept": pa.array(out["slept"], pa.bool_()),
+            "status": pa.array(out["status"], pa.int32()),
+        })
+
+
+class InstanceWalker:
+    """Round-1 stage: batched instance fetch (P6) + continuation quirk (P4/Q5).
+
+    In: frontier batch (instance_index:int64, url:string nullable).
+    Out: one row per fetched instance page:
+    (instance_index, pagination_index, instance_url, spans, from_resource,
+     slept, status, robots_blocked).
+    """
+
+    def __init__(self, cfg: CrawlConfig, web_source, seen_handle=None):
+        self.st = _FetchState(cfg, web_source, seen_handle)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        st = self.st
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        iidx = batch["instance_index"].to_numpy(zero_copy_only=False)
+        n = len(urls)
+
+        valid = np.array([u is not None and u != "" for u in urls], dtype=bool)
+        vpos = np.flatnonzero(valid)
+        vurls = urls[vpos]
+
+        robots_ok = st.robots.allowed_mask(vurls) if len(vurls) else np.ones(0, bool)
+        fetchable = vpos[robots_ok]
+        furls = urls[fetchable]
+
+        # stash gate: batched check_and_add preserves fetch-once semantics
+        if cfg.debug and st.seen is not None:
+            from_res = st.seen.check_and_add(furls)
+        else:
+            from_res = np.ones(len(furls), dtype=bool)
+
+        statuses = np.full(n, 0, dtype=np.int32)
+        slept = np.zeros(n, dtype=bool)
+        if st.sched.delay and cfg.real_sleep:
+            # politeness: earliest-deadline-first order over this batch's hosts
+            for j in st.sched.order_batch(furls):
+                if from_res[j]:
+                    u = furls[j]
+                    statuses[fetchable[j]] = st.statuses.get(u, 200)
+                    st.sched.wait_turn(host_of(u))
+                    slept[fetchable[j]] = True
+        else:
+            fr_rows = fetchable[from_res]
+            slept[fr_rows] = True
+            if st.statuses:
+                statuses[fr_rows] = [st.statuses.get(u, 200) for u in furls[from_res]]
+            else:
+                statuses[fr_rows] = 200
+        # error pages are stashed as empty bodies (downloader.rb:86-98):
+        # record them so later cache hits of the same URL stay empty
+        if cfg.debug and st.seen is not None:
+            err_urls = urls[(statuses != 200) & (statuses != 0)]
+            if len(err_urls):
+                st.seen.record_bad(err_urls)
+            hit_rows = fetchable[~from_res]
+            if len(hit_rows):
+                bad_hits = st.seen.bad_mask(urls[hit_rows])
+                statuses[hit_rows[bad_hits]] = -1   # cached empty body
+
+        # vectorized body lookup for every fetchable row
+        spans = st.store.lookup_table(furls) if len(furls) else schema.spans_array([])
+
+        # assemble aligned spans for the whole batch via sentinel-take:
+        # row i of `pool` = spans of fetchable[i]; last row = empty spans
+        pool = pa.concat_arrays([spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans,
+                                 schema.spans_array([EMPTY_SPANS])])
+        take_idx = np.full(n, len(pool) - 1, dtype=np.int64)
+        take_idx[fetchable] = np.arange(len(furls))
+        # error statuses (and cached-empty hits) -> empty page (M8), row kept
+        bad = (statuses != 200) & (statuses != 0)
+        take_idx[bad] = len(pool) - 1
+        statuses[statuses == -1] = 200
+        aligned = pool.take(pa.array(take_idx))
+
+        from_resource = np.zeros(n, dtype=bool)
+        from_resource[fetchable] = from_res
+        robots_blocked = np.zeros(n, dtype=bool)
+        robots_blocked[vpos[~robots_ok]] = True
+
+        out = pa.table({
+            "instance_index": pa.array(iidx, pa.int64()),
+            "pagination_index": pa.array(np.zeros(n, dtype=np.int32)),
+            "instance_url": pa.array([u or "" for u in urls], pa.string()),
+            "spans": aligned,
+            "from_resource": pa.array(from_resource),
+            "slept": pa.array(slept),
+            "status": pa.array(statuses, pa.int32()),
+            "robots_blocked": pa.array(robots_blocked),
+        })
+        if cfg.next_instance_page_url is not None:
+            out = self._continuations(out)
+        return out
+
+    def _continuations(self, out: pa.Table) -> pa.Table:
+        """Instance pagination (P4): sequentially walk successor URLs per
+        instance. Reference quirk Q5: pagination_index is never incremented in
+        the loop (upton.rb:326), so a stateless successor yields at most
+        depth 2 — replicated exactly by calling succ(url, 0+1) each step and
+        stopping when the successor repeats."""
+        cfg = self.cfg
+        succ = cfg.next_instance_page_url
+        extra = {k: [] for k in out.column_names}
+        lens = pc.list_value_length(out["spans"]).to_numpy(zero_copy_only=False)
+        for i in range(out.num_rows):
+            if lens[i] == 0:
+                continue
+            url = out["instance_url"][i].as_py()
+            prev_url = url
+            pagination_index = 0
+            depth = 1
+            while True:
+                nxt = succ(url, pagination_index + 1)
+                if nxt == prev_url or nxt == "":
+                    break
+                spans, from_res, slept, status, rb = self.st.fetch_one(nxt, cfg.debug)
+                extra["instance_index"].append(out["instance_index"][i].as_py())
+                extra["pagination_index"].append(depth)
+                extra["instance_url"].append(nxt)
+                extra["spans"].append(spans)
+                extra["from_resource"].append(from_res)
+                extra["slept"].append(slept)
+                extra["status"].append(status)
+                extra["robots_blocked"].append(rb)
+                prev_url = nxt
+                depth += 1
+                if len(spans) == 0:
+                    break
+        if not extra["instance_index"]:
+            return out
+        extra_t = pa.table({
+            "instance_index": pa.array(extra["instance_index"], pa.int64()),
+            "pagination_index": pa.array(extra["pagination_index"], pa.int32()),
+            "instance_url": pa.array(extra["instance_url"], pa.string()),
+            "spans": schema.spans_array(extra["spans"]),
+            "from_resource": pa.array(extra["from_resource"], pa.bool_()),
+            "slept": pa.array(extra["slept"], pa.bool_()),
+            "status": pa.array(extra["status"], pa.int32()),
+            "robots_blocked": pa.array(extra["robots_blocked"], pa.bool_()),
+        })
+        return pa.concat_tables([out, extra_t]).combine_chunks()

@@ -1,0 +1,123 @@
+"""Frontier scheduling: per-host politeness with a min-heap of deadlines.
+
+The reference's politeness is a single global ``sleep 30`` after every network
+fetch (/root/reference/lib/upton.rb:220-223) — the degenerate one-host case.
+The engine generalizes it (north_star): each fetch worker holds a min-heap of
+``(next_allowed_time, host)`` and schedules the batch's URLs so that no host
+is hit more often than its crawl-delay, while different hosts interleave
+freely.  Cluster-wide per-host correctness comes from routing a host's URLs to
+one worker (host-hash sharding; ``CrawlConfig.needs_host_affinity``); hot
+hosts can be salted into sub-queues that share a token bucket.
+"""
+
+from __future__ import annotations
+
+import heapq
+import time
+from collections import defaultdict
+
+import numpy as np
+
+from upton_ray.urlops import hosts_of
+
+
+class HostScheduler:
+    """Per-host pacing state held inside one fetch worker (actor).
+
+    ``order_batch`` returns the indices of a URL batch in fetch order
+    (earliest-deadline-first across hosts); ``wait_turn`` blocks (capped) until
+    the host's next-allowed time and advances it.
+    """
+
+    def __init__(self, crawl_delay: float, *, real_sleep: bool = False,
+                 max_sleep: float = 0.05, per_host_delay: dict | None = None):
+        self.delay = crawl_delay
+        self.real_sleep = real_sleep
+        self.max_sleep = max_sleep
+        self.per_host_delay = per_host_delay or {}
+        self.next_allowed: dict[str, float] = defaultdict(float)
+        self.virtual_clock = 0.0      # advances even when not actually sleeping
+        self.total_slept = 0.0
+
+    def host_delay(self, host: str) -> float:
+        return self.per_host_delay.get(host, self.delay)
+
+    def order_batch(self, urls: np.ndarray) -> np.ndarray:
+        """Earliest-deadline-first order over the batch's hosts (min-heap)."""
+        hosts = hosts_of(urls)
+        heap: list[tuple[float, int, str]] = []
+        pending: dict[str, list[int]] = defaultdict(list)
+        for i, h in enumerate(hosts):
+            pending[h].append(i)
+        for h, idxs in pending.items():
+            heapq.heappush(heap, (self.next_allowed[h], idxs[0], h))
+        out = np.empty(len(urls), dtype=np.int64)
+        pos = {h: 0 for h in pending}
+        t = 0
+        while heap:
+            deadline, _, h = heapq.heappop(heap)
+            idxs = pending[h]
+            out[t] = idxs[pos[h]]
+            t += 1
+            pos[h] += 1
+            if pos[h] < len(idxs):
+                heapq.heappush(heap, (deadline + self.host_delay(h), idxs[pos[h]], h))
+        return out
+
+    def wait_turn(self, host: str) -> float:
+        """Advance the host's deadline; really sleep only when configured.
+        Returns the (virtual) wait imposed."""
+        d = self.host_delay(host)
+        now = time.monotonic() if self.real_sleep else self.virtual_clock
+        wait = max(0.0, self.next_allowed[host] - now)
+        if self.real_sleep and wait > 0:
+            time.sleep(min(wait, self.max_sleep))
+            now = time.monotonic()
+        self.virtual_clock = max(self.virtual_clock, now) + 0.0
+        self.next_allowed[host] = max(now, self.next_allowed[host]) + d
+        self.total_slept += wait
+        return wait
+
+
+def salt_hot_hosts(hosts: np.ndarray, counts_threshold: int, num_salts: int,
+                   rng_base: int = 0x9E37) -> np.ndarray:
+    """Skew handling: return a routing key per row — host, or host#salt-i for
+    hosts that exceed the threshold in this batch (north_rule hot-host
+    splitting). Salted sub-queues of one host still share that host's token
+    bucket in the scheduler (keyed by the true host)."""
+    vals, counts = np.unique(hosts, return_counts=True)
+    hot = set(vals[counts > counts_threshold].tolist())
+    if not hot:
+        return hosts
+    out = hosts.copy()
+    salt_counter: dict[str, int] = defaultdict(int)
+    for i, h in enumerate(hosts):
+        if h in hot:
+            c = salt_counter[h]
+            out[i] = f"{h}#salt-{c % num_salts}"
+            salt_counter[h] = c + 1
+    return out
+
+
+class RobotsCache:
+    """Per-worker robots.txt decisions (engine extension; absent in reference —
+    SURVEY.md §2.4 T3). Rules come from a broadcast {host: [disallow_prefix]}
+    table; a real deployment would fetch/parse robots.txt per host and cache
+    it here with the same interface."""
+
+    def __init__(self, rules: dict[str, list[str]]):
+        self.rules = rules
+
+    def allowed_mask(self, urls: np.ndarray) -> np.ndarray:
+        out = np.ones(len(urls), dtype=bool)
+        if not self.rules:
+            return out
+        hosts = hosts_of(urls)
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            prefixes = self.rules.get(h)
+            if prefixes:
+                # path of the url
+                j = u.find("/", u.find("://") + 3)
+                path = u[j:] if j >= 0 else "/"
+                out[i] = not any(path.startswith(p) for p in prefixes)
+        return out

@@ -1,0 +1,230 @@
+"""Partitioned URL-seen set: the distributed re-expression of the reference's
+filesystem stash keyed by MD5(url) (/root/reference/lib/upton/downloader.rb:70-143).
+
+Design (SURVEY.md §2.4 T1): N shard actors, routed by a stable string hash of
+the url.  Each shard holds
+
+* a bloom filter  — fast *negative* membership (definitely-new fast path);
+* an exact Python set — the source of truth (bloom false-positives fall
+  through to it, so semantics are exact — a bloom positive alone must never
+  skip a fetch).
+
+``check_and_add`` is the one batch RPC the fetch stage needs: it returns, per
+url, whether the url was NEW (and atomically marks it seen).  Duplicates
+*within* one call count once — matching stash semantics where the first fetch
+writes the cache file and the second read hits it.
+
+Shards checkpoint/restore their exact sets (parquet) for crawl resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+def _hash2(urls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.asarray(urls, dtype=object)
+    h1 = pd.util.hash_array(arr, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key="upton_ray_seen_2", categorize=False)
+    return h1, h2
+
+
+class Bloom:
+    """Plain numpy bloom filter (Kirsch–Mitzenmacher double hashing)."""
+
+    def __init__(self, capacity: int = 1_000_000, fp_rate: float = 0.01, k: int = 7):
+        bits = max(1024, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = np.uint64(bits)
+        self.k = k
+        self.bits = np.zeros((bits + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        # (n, k) bit positions
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % self.m
+
+    def add_and_test(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Returns mask of items that *might* have been present before adding."""
+        pos = self._positions(h1, h2)
+        word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+        present = (self.bits[word] >> bit) & np.uint64(1)
+        maybe = present.all(axis=1).astype(bool)
+        np.bitwise_or.at(self.bits, word, np.uint64(1) << bit)
+        return maybe
+
+    def test(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1, h2)
+        word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+        present = (self.bits[word] >> bit) & np.uint64(1)
+        return present.all(axis=1).astype(bool)
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One shard of the URL-seen set."""
+
+    def __init__(self, capacity: int = 1_000_000):
+        self.bloom = Bloom(capacity)
+        self.exact: set[str] = set()
+        self.bad: set[str] = set()   # URLs whose stashed body is empty (error pages)
+
+    def check_and_add(self, urls: list[str]) -> np.ndarray:
+        """Per-url: True if NEW (first sighting, now marked seen)."""
+        if not urls:
+            return np.zeros(0, dtype=bool)
+        arr = np.asarray(urls, dtype=object)
+        h1, h2 = _hash2(arr)
+        # keep the bloom warm for contains(); the vectorized pre-test is only a
+        # hint and CANNOT shortcut here — duplicates within one call would all
+        # test bloom-negative (bits are probed before any adds)
+        self.bloom.add_and_test(h1, h2)
+        new = np.empty(len(arr), dtype=bool)
+        exact = self.exact
+        for i, u in enumerate(arr):
+            is_new = u not in exact
+            new[i] = is_new
+            if is_new:
+                exact.add(u)
+        return new
+
+    def contains(self, urls: list[str]) -> np.ndarray:
+        if not urls:
+            return np.zeros(0, dtype=bool)
+        arr = np.asarray(urls, dtype=object)
+        h1, h2 = _hash2(arr)
+        maybe = self.bloom.test(h1, h2)
+        out = np.zeros(len(arr), dtype=bool)
+        idx = np.flatnonzero(maybe)   # bloom-negative -> definitely new, skip set probe
+        for i in idx:
+            out[i] = arr[i] in self.exact
+        return out
+
+    def add(self, urls: list[str]) -> int:
+        arr = np.asarray(urls, dtype=object)
+        h1, h2 = _hash2(arr)
+        self.bloom.add_and_test(h1, h2)
+        self.exact.update(arr.tolist())
+        return len(self.exact)
+
+    def record_bad(self, urls: list[str]) -> None:
+        self.bad.update(urls)
+
+    def bad_mask(self, urls: list[str]) -> np.ndarray:
+        if not self.bad:
+            return np.zeros(len(urls), dtype=bool)
+        return np.array([u in self.bad for u in urls], dtype=bool)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def dump(self) -> list[str]:
+        return sorted(self.exact)
+
+    def dump_bad(self) -> list[str]:
+        return sorted(self.bad)
+
+    def restore(self, urls: list[str], bad: list[str]) -> None:
+        self.add(urls)
+        self.bad.update(bad)
+
+
+class SeenSet:
+    """Driver/worker-side handle: routes url batches to shard actors.
+
+    The handle is picklable (actor handles serialize), so fetch-stage actors
+    can hold one and issue batched membership RPCs from inside map_batches.
+    """
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1_000_000):
+        self.num_shards = num_shards
+        self.shards = [SeenShard.remote(capacity_per_shard) for _ in range(num_shards)]
+
+    def _route(self, urls: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_array(np.asarray(urls, dtype=object), categorize=False)
+        return (h % np.uint64(self.num_shards)).astype(np.int64)
+
+    def check_and_add(self, urls) -> np.ndarray:
+        """Batched fetch-once gate; preserves input order. True = new."""
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_ids = self._route(arr)
+        out = np.zeros(len(arr), dtype=bool)
+        futs, idxs = [], []
+        for s in np.unique(shard_ids):
+            idx = np.flatnonzero(shard_ids == s)
+            futs.append(self.shards[s].check_and_add.remote(arr[idx].tolist()))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def contains(self, urls) -> np.ndarray:
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_ids = self._route(arr)
+        out = np.zeros(len(arr), dtype=bool)
+        futs, idxs = [], []
+        for s in np.unique(shard_ids):
+            idx = np.flatnonzero(shard_ids == s)
+            futs.append(self.shards[s].contains.remote(arr[idx].tolist()))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def add(self, urls) -> None:
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return
+        shard_ids = self._route(arr)
+        ray.get([self.shards[s].add.remote(arr[shard_ids == s].tolist())
+                 for s in np.unique(shard_ids)])
+
+    def record_bad(self, urls) -> None:
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return
+        shard_ids = self._route(arr)
+        ray.get([self.shards[s].record_bad.remote(arr[shard_ids == s].tolist())
+                 for s in np.unique(shard_ids)])
+
+    def bad_mask(self, urls) -> np.ndarray:
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_ids = self._route(arr)
+        out = np.zeros(len(arr), dtype=bool)
+        futs, idxs = [], []
+        for s in np.unique(shard_ids):
+            idx = np.flatnonzero(shard_ids == s)
+            futs.append(self.shards[s].bad_mask.remote(arr[idx].tolist()))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def dump_bad(self) -> list[str]:
+        out: list[str] = []
+        for part in ray.get([s.dump_bad.remote() for s in self.shards]):
+            out.extend(part)
+        return out
+
+    def restore(self, urls, bad) -> None:
+        self.add(urls)
+        arr = np.asarray(bad, dtype=object)
+        if len(arr):
+            shard_ids = self._route(arr)
+            ray.get([self.shards[s].record_bad.remote(arr[shard_ids == s].tolist())
+                     for s in np.unique(shard_ids)])
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def dump(self) -> list[str]:
+        out: list[str] = []
+        for part in ray.get([s.dump.remote() for s in self.shards]):
+            out.extend(part)
+        return out
