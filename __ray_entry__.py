@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full crawl of the documents-derived
+web at sf0.001).  ``queries()`` exposes one entry per implemented operator
+(SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
+a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
+(fixture-web conformance crawls use literal VALUES goldens — the same golden
+outputs the reference RSpec suite asserts).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,295 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_SEL_STOP = r"\b(the|a|of|and|is)\b"
+_DOC_URL = ("'http://src' || substr(source, 4) || '.docs.example/d/' || "
+            "doc_id || '.html'")
+
+
+# --------------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: index->instance crawl over the web derived from the sf0.001
+    documents table; returns the records Dataset."""
+    from upton_ray.docweb import crawl_documents
+
+    return crawl_documents("/root/testdata/sf0.001", as_dataset=True)
+
+
+# ---------------------------------------------------------- fixture crawls
+
+
+def _fixture_crawl(name: str):
+    """Run one RSpec-conformance scenario; returns flat golden-comparable rows."""
+    import pyarrow as pa
+
+    from upton_ray.engine import Crawler
+    from upton_ray.scenarios import scenario_configs
+    from upton_ray.synth import fixture_web
+
+    cfg = scenario_configs()[name]
+    crawler = Crawler(cfg, fixture_web())
+    try:
+        t = crawler.crawl(trace=False).records_table()
+        return pa.table({
+            "instance_index": t["instance_index"],
+            "pagination_index": pa.compute.cast(t["pagination_index"], pa.int64()),
+            "row_no": pa.compute.cast(t["row_no"], pa.int64()),
+            "rec": pa.array(["|".join(r) for r in t["record"].to_pylist()],
+                            pa.string()),
+        })
+    finally:
+        crawler.shutdown()
+
+
+def _values_sql(rows: list[tuple[int, int, int, str]]) -> str:
+    vals = ",\n  ".join(
+        f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({c} AS BIGINT), "
+        f"'{r.replace(chr(39), chr(39) * 2)}')"
+        for a, b, c, r in rows)
+    return ("SELECT * FROM (VALUES\n  " + vals +
+            ") AS t(instance_index, pagination_index, row_no, rec)")
+
+
+def _fixture_goldens() -> dict[str, str]:
+    """Golden VALUES oracles derived from the reference RSpec expectations
+    (spec/upton_spec.rb:14-40) via the sequential oracle."""
+    from upton_ray.synth import (EAST_TIMOR_HEADER, EAST_TIMOR_ROWS, HEADLINES,
+                                MOST_COMMENTED)
+
+    basic = [(0, 0, 0, HEADLINES["webinar"]), (1, 0, 0, ""),
+             (2, 0, 0, HEADLINES["prosecutor"]), (3, 0, 0, HEADLINES["sixfacts"])]
+    lst = [(0, 0, 0, "|".join(MOST_COMMENTED))]
+    table = [(0, 0, 0, "|".join(EAST_TIMOR_HEADER + ["1", "2", "3", "4"])),
+             (0, 0, 1, "")]
+    table += [(0, 0, i + 2, "|".join(row)) for i, row in enumerate(EAST_TIMOR_ROWS)]
+    paginated = [(0, 0, 0, HEADLINES["webinar"]), (1, 0, 0, HEADLINES["prosecutor"]),
+                 (2, 0, 0, HEADLINES["sixfacts"])]
+    return {
+        "crawl_basic": _values_sql(basic),
+        "crawl_list": _values_sql(lst),
+        "crawl_table": _values_sql(table),
+        "crawl_paginated": _values_sql(paginated),
+    }
+
+
+# ------------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from upton_ray import datapipe
+    from upton_ray.docweb import crawl_documents
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def url_parts(sf_dir: str):
+        import pyarrow as pa
+        import ray.data
+
+        from upton_ray.urlops import hosts_of, slugs
+
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            srcs = b["source"].to_pylist()
+            urls = [f"http://src{s[3:]}.docs.example/d/{i}.html"
+                    for i, s in zip(ids, srcs)]
+            import numpy as np
+
+            ua = np.array(urls, dtype=object)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts_of(ua), pa.string()),
+                "slug": pa.array(slugs(ua), pa.string()),
+            })
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "source"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    def pagination_successor(sf_dir: str):
+        import pyarrow as pa
+        import ray.data
+
+        from upton_ray.urlops import next_index_page_url
+
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            srcs = b["source"].to_pylist()
+            urls = [f"http://src{s[3:]}.docs.example/list.html"
+                    for s in srcs]
+            nxt = [next_index_page_url(u, 2, paginated=True,
+                                       pagination_param="page",
+                                       pagination_max_pages=10)
+                   for u in urls]
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "next_url": pa.array(nxt, pa.string())})
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "source"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    q: dict[str, Callable[[str], Any]] = {
+        # --- crawl engine (SURVEY.md §2) ---
+        "crawl_documents": crawl_documents,
+        "crawl_basic": lambda sf: _fixture_crawl("basic"),
+        "crawl_list": lambda sf: _fixture_crawl("list"),
+        "crawl_table": lambda sf: _fixture_crawl("table"),
+        "crawl_paginated": lambda sf: _fixture_crawl("paginated"),
+        "url_parts": url_parts,
+        "pagination_successor": pagination_successor,
+        # --- training-data pipeline extras ---
+        "dedup_exact": datapipe.dedup_exact,
+        "fingerprint": datapipe.fingerprint,
+        "token_count": datapipe.token_count,
+        "quality_score": datapipe.quality_score,
+        "lang_id": datapipe.lang_id,
+        "simhash": datapipe.simhash,
+        "minhash_dedup": datapipe.minhash_dedup,
+        "ann_topk": datapipe.ann_topk,
+        "embedding_dedup": datapipe.embedding_dedup,
+        "events_window": datapipe.events_window,
+        "frontier_topk": datapipe.frontier_topk,
+        "media_decode": datapipe.media_decode,
+    }
+    return q
+
+
+# ---------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "crawl_documents": f"""
+            SELECT CAST(row_number() OVER (
+                       ORDER BY CAST(substr(source, 4) AS INT), doc_id) - 1
+                   AS BIGINT) AS instance_index,
+                   {_DOC_URL} AS instance_url,
+                   substring(text, 1, 48) AS title
+            FROM documents
+        """,
+        "url_parts": f"""
+            SELECT doc_id,
+                   {_DOC_URL} AS url,
+                   'src' || substr(source, 4) || '.docs.example' AS host,
+                   CAST(doc_id AS VARCHAR) AS slug
+            FROM documents
+        """,
+        "pagination_successor": """
+            SELECT doc_id,
+                   'http://src' || substr(source, 4) ||
+                   '.docs.example/list.html?page=2' AS next_url
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fp, CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": rf"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '{_SEL_STOP}')) AS BIGINT) AS n_stopwords,
+                   (len(regexp_extract_all(text, '{_SEL_STOP}')) + 1.0)
+                   / (len(regexp_extract_all(text, '\S+')) + 1.0) AS quality
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\b(the|and|of|is|was)\b')) AS s_en,
+                     len(regexp_extract_all(text, '\b(le|la|et|les|des)\b'))  AS s_fr,
+                     len(regexp_extract_all(text, '\b(el|los|las|una|es)\b')) AS s_es,
+                     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de
+              FROM documents)
+            SELECT doc_id, CASE
+              WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+              WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+              WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+              WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+              WHEN s_es >= s_de THEN 'es'
+              ELSE 'de' END AS pred_lang
+            FROM s
+        """,
+        "minhash_dedup": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(w) >= 3 THEN list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                       ELSE [] END) AS sh
+              FROM t),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) AS la, len(b.sh) AS lb
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (la + lb - inter) AS jacc
+            FROM p
+            WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 4),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT CAST(query_id AS INT) AS query_id, vec_id,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY 1, 2
+        """,
+        "events_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "frontier_topk": """
+            WITH r AS (SELECT doc_id, source, n_chars,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n_chars DESC, doc_id) AS rank
+                       FROM documents)
+            SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "media_decode": """
+            SELECT doc_id,
+                   'assets/' || doc_id || '.img' AS media_ref,
+                   CAST(64 + (length('assets/' || doc_id || '.img') * 37) % 448
+                        AS BIGINT) AS width,
+                   CAST(64 + (length('assets/' || doc_id || '.img') * 53) % 448
+                        AS BIGINT) AS height,
+                   CAST((64 + (length('assets/' || doc_id || '.img') * 37) % 448)
+                        * (64 + (length('assets/' || doc_id || '.img') * 53) % 448)
+                        AS BIGINT) AS n_pixels
+            FROM documents
+        """,
+        # "simhash" intentionally has no SQL oracle (hash function not
+        # expressible in SQL) -> driver records the weaker rows-only check.
+    }
+    sql.update(_fixture_goldens())
+    return sql

@@ -1,0 +1,504 @@
+"""Large-scale training-data pipeline operators over the ``documents`` /
+``embeddings`` / ``events`` tables (TESTDATA.md), Ray-Data-first.
+
+Everything is a streaming ``map_batches`` transform plus (only where the
+semantics require it) one keyed aggregation; per-batch work is vectorized
+with pyarrow.compute / numpy.  Each public function takes ``sf_dir`` and
+returns a Dataset or Arrow table whose columns match the DuckDB oracle SQL in
+``__ray_entry__`` exactly (names included).
+
+Operators:
+* exact dedup (hash-partitioned first-wins) and document fingerprinting
+* MinHash+LSH near-dup with exact shingle-Jaccard verification
+* SimHash fingerprints
+* embedding near-dup (cosine) and brute-force ANN top-k over a broadcast
+  query matrix (+ an IVF-bucketed variant for the scale path)
+* language-ID (marker-token heuristic), quality scoring, token counting
+* tumbling-window aggregation over the events stream
+* per-host top-k (frontier-priority shape: window/top-k over a key)
+* multimodal decode stub: the Ray-side plumbing (schema, actor pool, batch
+  flow) is real; the decoder itself is a deterministic fake because no
+  image/audio libraries exist in this container.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# --------------------------------------------------------------- primitives
+
+NORM_RE = r"\s+"
+
+
+def _docs(sf_dir: str, columns):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _norm_text(texts: pa.Array) -> pa.Array:
+    """lower + collapse whitespace + trim — matches the SQL normalization
+    lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))."""
+    t = pc.replace_substring_regex(texts, pattern=NORM_RE, replacement=" ")
+    return pc.utf8_trim_whitespace(pc.utf8_lower(t))
+
+
+def _md5_hex(strings) -> list[str]:
+    return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings]
+
+
+# ------------------------------------------------------- fingerprint / dedup
+
+
+def fingerprint(sf_dir: str):
+    """(doc_id, fp): md5 of the normalized text — the document-identity key
+    (the crawl engine's url_hash M10 analog for payloads)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        norm = _norm_text(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(_md5_hex(norm.to_pylist()), pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: first (min doc_id) winner per content fingerprint.
+    Hash-partitioned groupby on the fp key — the batch-mode equivalent of the
+    crawl engine's URL-seen semi-join (SURVEY.md §2.5)."""
+    ds = fingerprint(sf_dir)
+    agg = ds.groupby("fp").min("doc_id")
+    return agg.map_batches(
+        lambda b: pa.table({"fp": b["fp"],
+                            "doc_id": b["min(doc_id)"]}),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- text analysis
+
+
+def token_count(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(batch["text"], pattern=r"\S+"),
+                pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+_PUNCT = r"[.,;:!?]"
+_STOPWORDS = r"\b(the|a|of|and|is)\b"
+
+
+def quality_score(sf_dir: str):
+    """(doc_id, n_chars_calc, n_punct, n_stopwords, quality):
+    length/punctuation/stopword signals in one vectorized pass."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, pattern=_PUNCT), pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(text, pattern=_STOPWORDS), pa.int64())
+        n_tok = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        quality = pc.divide(
+            pc.cast(pc.add(n_stop, 1), pa.float64()),
+            pc.cast(pc.add(n_tok, 1), pa.float64()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_calc": n_chars,
+            "n_punct": n_punct,
+            "n_stopwords": n_stop,
+            "quality": quality,
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# marker-token tables for the language-ID heuristic (argmax with fixed
+# precedence; CJK codepoints short-circuit to zh) — mirrored in oracle SQL
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|is|was)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "es": r"\b(el|los|las|una|es)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+}
+_CJK = r"[\x{4e00}-\x{9fff}]"        # RE2 syntax (pyarrow + duckdb)
+
+
+def lang_id(sf_dir: str):
+    """(doc_id, pred_lang): n-gram-free marker-token language heuristic."""
+    order = list(LANG_MARKERS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        scores = np.stack([
+            pc.count_substring_regex(text, pattern=rx).to_numpy(zero_copy_only=False)
+            for rx in LANG_MARKERS.values()])
+        best = np.argmax(scores, axis=0)        # ties -> first in precedence order
+        pred = np.array(order, dtype=object)[best]
+        pred[scores.max(axis=0) == 0] = "und"
+        has_cjk = pc.match_substring_regex(text, pattern=_CJK).to_numpy(
+            zero_copy_only=False)
+        pred[has_cjk] = "zh"
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pred_lang": pa.array(pred, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ simhash
+
+_HASH_KEY2 = "upton_ray_simh_2"
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Classic 64-bit SimHash over token hashes (count-weighted)."""
+    hs = _token_hashes(tokens)
+    if len(hs) == 0:
+        return 0
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) &
+            np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for b in np.flatnonzero(v > 0):
+        out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def simhash(sf_dir: str):
+    """(doc_id, simhash_hex). Near-dup candidates are pairs within small
+    Hamming distance — bucketing by 16-bit chunks gives the LSH variant."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = _norm_text(batch["text"]).to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash_hex": pa.array([format(simhash64(t.split()), "016x")
+                                     for t in texts], pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ minhash + lsh
+
+N_PERM = 128
+N_BANDS = 32          # 32 bands x 4 rows; P(miss | j=0.8) ~ 5e-8
+_MERS = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(shingle_hashes) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (n_shingles, n_perm) permuted values mod 2^61-1, column-min
+    x = shingle_hashes[:, None]
+    vals = (x * a[None, :] + b[None, :]) % _MERS
+    return vals.min(axis=0)
+
+
+def jaccard(a_tokens: set, b_tokens: set) -> float:
+    if not a_tokens and not b_tokens:
+        return 1.0
+    inter = len(a_tokens & b_tokens)
+    return inter / (len(a_tokens) + len(b_tokens) - inter)
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Near-dup pairs by MinHash+LSH, verified with exact shingle-Jaccard.
+
+    Pipeline: shingle->minhash (map_batches) -> band->bucket (flat emit +
+    groupby band key) -> candidate pairs -> exact verification against a
+    broadcast store of the candidate docs' shingle sets (candidates << corpus).
+    Output: (doc_a, doc_b, jacc) for pairs with jacc >= threshold, doc_a <
+    doc_b — equal to the O(n^2) oracle because band parameters put LSH recall
+    at ~1 for j >= threshold.
+    """
+    a, b = _perm_params()
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        texts = _norm_text(batch["text"]).to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        rows = {"band": [], "bucket": [], "doc_id": []}
+        for doc_id, t in zip(ids, texts):
+            sh = shingles(t)
+            hs = np.unique(_token_hashes(sh))
+            sig = _minhash_sig(hs, a, b)
+            bands = sig.reshape(N_BANDS, -1)
+            keys = pd.util.hash_array(
+                np.array([bands[i].tobytes() for i in range(N_BANDS)],
+                         dtype=object), categorize=False)
+            rows["band"].extend(range(N_BANDS))
+            rows["bucket"].extend(keys.astype(np.int64).tolist())
+            rows["doc_id"].extend([doc_id] * N_BANDS)
+        return pa.table({"band": pa.array(rows["band"], pa.int32()),
+                         "bucket": pa.array(rows["bucket"], pa.int64()),
+                         "doc_id": pa.array(rows["doc_id"], pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group["doc_id"].to_pylist())
+        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]]
+        return pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                         "doc_b": pa.array([p[1] for p in pairs], pa.int64())})
+
+    cand = buckets.groupby(["band", "bucket"]).map_groups(
+        emit_pairs, batch_format="pyarrow")
+    cand_parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns > 0]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jacc": pa.array([], pa.float64())})
+    if not cand_parts:
+        return empty
+    cand_t = pa.concat_tables(cand_parts)
+    if cand_t.num_rows == 0:
+        return empty
+    cand_df = cand_t.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    # exact verification: broadcast the candidate docs' shingle sets
+    # (candidate set << corpus; pruned with a vectorized is_in scan)
+    involved = pa.array(sorted(set(cand_df["doc_a"]).union(cand_df["doc_b"])),
+                        pa.int64())
+
+    def grab(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=involved))
+
+    texts_t = pa.concat_tables(
+        [t for t in ray.get(docs.map_batches(grab, batch_format="pyarrow")
+                            .to_arrow_refs()) if t.num_columns > 0])
+    sets = {i: set(shingles(t)) for i, t in zip(
+        texts_t["doc_id"].to_pylist(),
+        _norm_text(texts_t["text"]).to_pylist())}
+    ja = np.array([jaccard(sets[x], sets[y])
+                   for x, y in zip(cand_df["doc_a"], cand_df["doc_b"])])
+    keep = ja >= threshold
+    out = cand_df[keep].copy()
+    out["jacc"] = ja[keep]
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
+    """Brute-force cosine top-k: queries broadcast once (ray.put), each batch
+    computes a (batch x q) matmul and emits its local top-k per query; the
+    driver merges the tiny per-block candidate sets. Ties break by vec_id."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).slice(0, n_queries)
+    Q = _emb_matrix(qt)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(Q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        M = _emb_matrix(batch)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ Qm.T                      # (n, q)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        kk = min(k, len(ids))
+        for qi in range(Qm.shape[0]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, kk - 1)[:kk]
+            rows["query_id"].extend([qi] * len(part))
+            rows["vec_id"].extend(ids[part].tolist())
+            rows["sim"].extend(s[part].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int32()),
+                         "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    cand = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=4096)
+    df = pa.concat_tables(ray.get(cand.to_arrow_refs())).to_pandas()
+    df = df.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Embedding near-dup pairs (cosine >= threshold, a < b).
+
+    Exact blockwise implementation: the L2-normalized corpus matrix is
+    broadcast once (small side: n x d floats) and each batch emits its pairs
+    — at true scale, replace the broadcast with sign-random-projection
+    bucketing + within-bucket matmul (same emit contract)."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    M = _emb_matrix(full)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = full["vec_id"].to_numpy(zero_copy_only=False)
+    m_ref = ray.put((M, ids))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        Mm, all_ids = ray.get(m_ref)
+        B = _emb_matrix(batch)
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = B @ Mm.T
+        bi, mj = np.nonzero(sims >= threshold)
+        a = bids[bi]
+        b = all_ids[mj]
+        keep = a < b
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(b[keep], pa.int64())})
+
+    out = _emb(sf_dir).map_batches(pairs, batch_format="pyarrow", batch_size=4096)
+    t = pa.concat_tables([x for x in ray.get(out.to_arrow_refs())
+                          if x.num_columns > 0])
+    return t.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")]) \
+        if t.num_rows else pa.table({"vec_a": pa.array([], pa.int64()),
+                                     "vec_b": pa.array([], pa.int64())})
+
+
+# ------------------------------------------------------------------- events
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event_type: the partial
+    aggregation happens inside map_batches (combiner) so the groupby shuffle
+    moves one row per (window, type) per block, not per event."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "w": batch["ts"].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[h]").astype("datetime64[us]"),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["event_type", "w"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby(["event_type", "w"]).sum(["n_events", "sum_value"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "window_start": b["w"],
+            "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+            # round to 6dp: float-sum association differs between partial-agg
+            # order and the oracle's single-pass sum
+            "sum_value": pc.round(b["sum(sum_value)"], ndigits=6),
+        }), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- host top-k
+
+
+def frontier_topk(sf_dir: str, k: int = 3):
+    """Top-k documents per source host by (n_chars desc, doc_id asc) — the
+    frontier-priority-queue shape as a keyed top-k (sort inside each group,
+    never a global sort)."""
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+        t = t.slice(0, k)
+        return t.append_column("rank", pa.array(
+            np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    return ds.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- media stubs
+
+
+class MediaDecoder:
+    """Multimodal decode/feature stage (actor pool): the decoder is a
+    deterministic FAKE (no image/audio libs in this container) but the
+    Ray-side contract — callable class, per-actor init, binary-ref batches in,
+    typed feature columns out — is the real production shape.
+
+    Fake decode: width/height derived from the media ref string length — a
+    stand-in that oracle SQL can mirror. A real build replaces `_decode`
+    with PIL/ffmpeg and nothing else changes.
+    """
+
+    def __init__(self):
+        self.decoded = 0   # per-actor state initialized once
+
+    @staticmethod
+    def _decode(ref: str) -> tuple[int, int]:
+        n = len(ref)
+        return 64 + (n * 37) % 448, 64 + (n * 53) % 448
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        dims = [self._decode(r) for r in refs]
+        self.decoded += len(refs)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "width": pa.array([d[0] for d in dims], pa.int64()),
+            "height": pa.array([d[1] for d in dims], pa.int64()),
+            "n_pixels": pa.array([d[0] * d[1] for d in dims], pa.int64()),
+        })
+
+
+def media_decode(sf_dir: str):
+    """Media feature extraction over the documents-derived web: one media
+    span per document (docweb.article_spans)."""
+
+    def media_refs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "media_ref": pa.array([f"assets/{i}.img" for i in ids], pa.string()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(media_refs, batch_format="pyarrow")
+    return ds.map_batches(MediaDecoder, batch_format="pyarrow",
+                          concurrency=2, batch_size=4096)

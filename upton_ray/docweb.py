@@ -1,0 +1,131 @@
+"""A crawlable web derived deterministically from the testdata ``documents``
+table — the bridge between the crawl engine and the driver's TPC-H-ish
+corpus (TESTDATA.md).
+
+Derivation (mirrorable in SQL for the correctness oracle):
+
+* each document row becomes an article page
+  ``http://src{N}.docs.example/d/{doc_id}.html`` where N comes from the
+  ``source`` column ("src14" -> 14);
+* the article's ``h1.article-title`` span text is the first 48 characters of
+  ``text``; the body is the token stream chunked into ``p`` spans of 12
+  tokens; one ``media.img`` span references ``assets/{doc_id}.img``;
+* each host serves paginated index pages
+  ``http://src{N}.docs.example/index.html?page=K`` listing its documents in
+  ``doc_id`` order, 10 links per page (relative hrefs ``d/{doc_id}.html``).
+
+Crawling every host's index with the standard river selector therefore visits
+every document in (host N asc, doc_id asc) order — which is what the DuckDB
+oracle expresses with a window function (see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from upton_ray.config import CrawlConfig
+from upton_ray.synth import _sp
+
+TITLE_LEN = 48
+LINKS_PER_PAGE = 10
+TOKENS_PER_P = 12
+
+INDEX_SELECTOR = "section#river section h1 a"
+
+
+def host_of_source(source: str) -> str:
+    return f"src{source[3:]}.docs.example"
+
+
+def article_url(source: str, doc_id: int) -> str:
+    return f"http://{host_of_source(source)}/d/{doc_id}.html"
+
+
+def article_spans(doc_id: int, text: str) -> list[dict]:
+    spans = [_sp("h1.article-title", text[:TITLE_LEN], "", 0)]
+    toks = text.split()
+    off = 1
+    for i in range(0, len(toks), TOKENS_PER_P):
+        spans.append(_sp("p", " ".join(toks[i:i + TOKENS_PER_P]), "", off))
+        off += 1
+    spans.append(_sp("media.img", "", f"assets/{doc_id}.img", off))
+    return spans
+
+
+def web_from_documents(sf_dir: str) -> tuple[dict, list[tuple[int, str, str]]]:
+    """(web dict, seeds) from ``{sf_dir}/documents.parquet``.
+
+    Driver-side construction is fine at test scales (the table is the small
+    side); the bench-scale path generates the corpus distributed
+    (synth.scale_web) and reads it back through ParquetWebStore.
+    """
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    by_host: dict[int, list[tuple[int, str]]] = {}
+    web: dict[str, list[dict]] = {}
+    for doc_id, text, source in zip(t["doc_id"].to_pylist(),
+                                    t["text"].to_pylist(),
+                                    t["source"].to_pylist()):
+        n = int(source[3:])
+        by_host.setdefault(n, []).append((doc_id, text))
+        web[article_url(source, doc_id)] = article_spans(doc_id, text)
+
+    seeds: list[tuple[int, str, str]] = []
+    for seed_id, n in enumerate(sorted(by_host)):
+        docs = sorted(by_host[n])
+        host = f"src{n}.docs.example"
+        seeds.append((seed_id, f"http://{host}/index.html", INDEX_SELECTOR))
+        n_pages = (len(docs) + LINKS_PER_PAGE - 1) // LINKS_PER_PAGE
+        for p in range(1, n_pages + 1):
+            chunk = docs[(p - 1) * LINKS_PER_PAGE: p * LINKS_PER_PAGE]
+            spans = [_sp("section#river/section/h1/a", text[:TITLE_LEN],
+                         f"d/{doc_id}.html", i)
+                     for i, (doc_id, text) in enumerate(chunk)]
+            web[f"http://{host}/index.html?page={p}"] = spans
+        # page n_pages+1 does not exist -> empty fetch terminates pagination
+    return web, seeds
+
+
+def crawl_config() -> CrawlConfig:
+    return CrawlConfig(
+        index_selector=INDEX_SELECTOR,
+        extractor="css:h1.article-title",
+        paginated=True, pagination_param="page", pagination_max_pages=10_000,
+        sleep_time_between_requests=0,
+        fetch_batch_size=1024,
+    )
+
+
+def crawl_documents(sf_dir: str, *, as_dataset: bool = False):
+    """Flagship pipeline: crawl the documents-derived web end-to-end and
+    return (instance_index, instance_url, title) in crawl order.
+
+    Oracle (DuckDB): row_number over (host N, doc_id) + substring title —
+    see __ray_entry__.oracle_sql()["crawl_documents"].
+    """
+    import pyarrow as pa
+
+    from upton_ray.engine import Crawler
+
+    web, seeds = web_from_documents(sf_dir)
+    crawler = Crawler(crawl_config(), web, seeds=seeds)
+    try:
+        res = crawler.crawl(trace=False)
+        ds = res.records.map_batches(
+            lambda b: pa.table({
+                "instance_index": b["instance_index"],
+                "instance_url": b["instance_url"],
+                "title": pa.array([r[0] if r else "" for r in
+                                   b["record"].to_pylist()], pa.string()),
+            }), batch_format="pyarrow")
+        if as_dataset:
+            return ds
+        from upton_ray.engine import collect
+
+        t = collect(ds, pa.schema([
+            ("instance_index", pa.int64()), ("instance_url", pa.string()),
+            ("title", pa.string())]))
+        return t.sort_by([("instance_index", "ascending")])
+    finally:
+        if not as_dataset:
+            crawler.shutdown()

@@ -137,6 +137,12 @@ class Crawler:
             self.seen = SeenSet(cfg.num_seen_shards)
             self._restore_seen()
 
+    def shutdown(self) -> None:
+        """Release the seen-set shard actors (call after consuming results)."""
+        if self.seen is not None:
+            self.seen.kill()
+            self.seen = None
+
     # ------------------------------------------------------------ checkpoint
 
     def _ckpt(self, name: str) -> Optional[str]:

@@ -228,3 +228,9 @@ class SeenSet:
         for part in ray.get([s.dump.remote() for s in self.shards]):
             out.extend(part)
         return out
+
+    def kill(self) -> None:
+        """Release the shard actors."""
+        for sh in self.shards:
+            ray.kill(sh, no_restart=True)
+        self.shards = []
