@@ -1,0 +1,209 @@
+"""Benchmark driver: headline crawl + training-data pipelines.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "frontier_urls_per_sec": ...}
+
+Headline pipeline: full index->instance crawl of a seeded synthetic web
+(many hosts, paginated indexes) stored as a hash-bucketed parquet corpus —
+fetch = point lookups through ParquetWebStore, extraction = vectorized
+map_batches, seen-set = sharded actors.  ``--scaling`` runs the headline
+crawl at num_cpus=8 and num_cpus=32 in fresh subprocesses and reports the
+N->4N throughput scaling efficiency (the sandbox stand-in for the
+two-cluster-size criterion; BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+GRAFT_CRAWL_HOSTS / GRAFT_CRAWL_PAGES to resize the synthetic web.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_HOSTS = int(os.environ.get("GRAFT_CRAWL_HOSTS", "192"))
+PAGES_PER_HOST = int(os.environ.get("GRAFT_CRAWL_PAGES", "320"))
+WEB_BUCKETS = 16
+
+
+def synth_params():
+    from upton_ray.synth import ScaleParams
+
+    return ScaleParams(n_hosts=N_HOSTS, pages_per_host=PAGES_PER_HOST,
+                       links_per_page=20, spans_per_page=24,
+                       media_fraction=0.25, zipf_alpha=0.3, seed=42)
+
+
+def corpus_path(p) -> str:
+    key = f"{p.n_hosts}x{p.pages_per_host}x{p.links_per_page}x{p.spans_per_page}-{p.zipf_alpha}-{p.seed}"
+    return f"/tmp/upton_ray_web/{key}"
+
+
+def ensure_corpus(p) -> tuple[str, int]:
+    """Write the synthetic corpus once (distributed, bucketed); reuse after."""
+    from upton_ray import sinks, synth
+
+    path = corpus_path(p)
+    marker = os.path.join(path, "_DONE")
+    n_pages = len(synth.all_urls(p))
+    if not os.path.exists(marker):
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ds = synth.scale_web(p, parallelism=NUM_CPUS * 2)
+        sinks.write_web(ds, path, num_buckets=WEB_BUCKETS)
+        open(marker, "w").close()
+    return path, n_pages
+
+
+def run_synthetic_crawl() -> dict:
+    from upton_ray import synth
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+
+    p = synth_params()
+    path, n_pages = ensure_corpus(p)
+
+    cfg = CrawlConfig(
+        index_selector="section#river section h1 a",
+        extractor="css:h1.article-title",
+        paginated=True, pagination_param="p", pagination_max_pages=100_000,
+        sleep_time_between_requests=0,
+        debug=True, index_debug=True,
+        num_seen_shards=max(4, NUM_CPUS // 4),
+        fetch_concurrency=NUM_CPUS,
+        fetch_batch_size=1024,
+    )
+    seeds = [(h, synth.index_url(p, h), cfg.index_selector)
+             for h in range(p.n_hosts)]
+    crawler = Crawler(cfg, ("parquet", path, WEB_BUCKETS), seeds=seeds)
+    t0 = time.time()
+    res = crawler.crawl(trace=False)
+    records = res.records
+    n_records = records.count()
+    dt = time.time() - t0
+    n_articles = sum(p.n_articles(h) for h in range(p.n_hosts))
+    n_index = sum(p.n_index_pages(h) for h in range(p.n_hosts))
+    fetched = n_articles + n_index + p.n_hosts  # + one empty page per host
+    crawler.shutdown()
+    return {
+        "sec": dt,
+        "pages_fetched": fetched,
+        "frontier_urls": n_articles,
+        "records": n_records,
+        "pages_per_sec": fetched / dt,
+        "frontier_urls_per_sec": n_articles / dt,
+        "corpus_pages": n_pages,
+    }
+
+
+def timed(fn, *args):
+    t0 = time.time()
+    out = fn(*args)
+    try:
+        import ray.data
+
+        if isinstance(out, ray.data.Dataset):
+            out = out.count()
+    except ImportError:
+        pass
+    return time.time() - t0
+
+
+def main():
+    import ray
+
+    if "--scaling" in sys.argv:
+        return scaling()
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from upton_ray import datapipe
+    from upton_ray.docweb import crawl_documents
+
+    queries: dict[str, float] = {}
+    crawl = run_synthetic_crawl()
+    queries["synthetic_crawl"] = round(crawl["sec"], 3)
+    queries["crawl_documents"] = round(timed(crawl_documents, SF_DIR), 3)
+    queries["minhash_dedup"] = round(timed(datapipe.minhash_dedup, SF_DIR), 3)
+    queries["ann_topk"] = round(timed(datapipe.ann_topk, SF_DIR), 3)
+    queries["dedup_exact"] = round(timed(datapipe.dedup_exact, SF_DIR), 3)
+    queries["events_window"] = round(timed(datapipe.events_window, SF_DIR), 3)
+    queries["quality_score"] = round(timed(datapipe.quality_score, SF_DIR), 3)
+
+    out = {
+        "metric": "crawl+extract throughput and pipeline wall-times",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_per_sec": round(crawl["pages_per_sec"], 1),
+        "frontier_urls_per_sec": round(crawl["frontier_urls_per_sec"], 1),
+        "crawl_pages": crawl["pages_fetched"],
+        "crawl_records": crawl["records"],
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling():
+    """Same crawl, fresh processes, num_cpus=8 then 32 -> efficiency."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_BENCH_ONLY_CRAWL="1")
+        r = subprocess.run([sys.executable, __file__, "--crawl-only"],
+                           env=env, capture_output=True, text=True, timeout=1800)
+        line = [ln for ln in r.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["pages_per_sec"]
+    thr32 = results[32]["pages_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    print(json.dumps({
+        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "pages_per_sec_8": round(thr8, 1),
+        "pages_per_sec_32": round(thr32, 1),
+        "queries": {"crawl@8cpus": results[8]["queries"]["synthetic_crawl"],
+                    "crawl@32cpus": results[32]["queries"]["synthetic_crawl"]},
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }))
+
+
+def crawl_only():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    crawl = run_synthetic_crawl()
+    out = {
+        "metric": "synthetic crawl",
+        "value": round(crawl["sec"], 3),
+        "unit": "sec",
+        "queries": {"synthetic_crawl": round(crawl["sec"], 3)},
+        "num_cpus": NUM_CPUS,
+        "pages_per_sec": round(crawl["pages_per_sec"], 1),
+        "frontier_urls_per_sec": round(crawl["frontier_urls_per_sec"], 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--crawl-only" in sys.argv:
+        crawl_only()
+    else:
+        main()

@@ -1,0 +1,115 @@
+"""Unit tests for the training-data operators: synthetic near-duplicates give
+non-vacuous coverage for the dedup/similarity family (the testdata corpus has
+none at high thresholds)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from upton_ray import datapipe
+
+
+def _collect(ds, *cols_types) -> pa.Table:
+    from upton_ray.engine import collect
+
+    return collect(ds, pa.schema(list(cols_types)))
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    """A tiny corpus with planted exact dups, near-dups, and distinct docs."""
+    d = tmp_path_factory.mktemp("dupes")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    near = base.replace("deep dark forest", "deep dark cave")   # high jaccard
+    far = "completely different content about databases and query engines here"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, "  " + base.upper() + "  ", near, far,
+                          "tiny doc"], pa.string()),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["src0", "src0", "src1", "src1", "src2"]),
+        "n_chars": pa.array([len(base)] * 5, pa.int64()),
+    })
+    pq.write_table(docs, d / "documents.parquet")
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(6, 16).astype(np.float32)
+    vecs[1] = vecs[0] + 0.001 * rng.randn(16).astype(np.float32)  # near-dup pair
+    emb = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 6, pa.int32()),
+    })
+    pq.write_table(emb, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_dedup_exact_normalizes_case_and_whitespace(ray_session, dup_dir):
+    t = _collect(datapipe.dedup_exact(dup_dir),
+                 ("fp", pa.string()), ("doc_id", pa.int64()))
+    # doc 0 and doc 1 share a fingerprint (lower+collapse) -> winner doc 0
+    assert t.num_rows == 4
+    winners = set(t["doc_id"].to_pylist())
+    assert 0 in winners and 1 not in winners
+
+
+def test_minhash_finds_planted_near_dup(ray_session, dup_dir):
+    t = datapipe.minhash_dedup(dup_dir, threshold=0.5)
+    pairs = set(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+    assert (0, 2) in pairs or (0, 1) in pairs
+    assert (0, 2) in pairs            # the deliberate near-dup
+    assert all(j >= 0.5 for j in t["jacc"].to_pylist())
+
+
+def test_simhash_near_dup_small_hamming(ray_session, dup_dir):
+    t = _collect(datapipe.simhash(dup_dir),
+                 ("doc_id", pa.int64()), ("simhash_hex", pa.string()))
+    h = {i: int(s, 16) for i, s in zip(t["doc_id"].to_pylist(),
+                                       t["simhash_hex"].to_pylist())}
+    d_near = bin(h[0] ^ h[2]).count("1")
+    d_far = bin(h[0] ^ h[3]).count("1")
+    assert h[0] == h[1]               # identical after normalization
+    assert d_near < d_far             # near-dup is closer than unrelated doc
+
+
+def test_embedding_dedup_finds_planted_pair(ray_session, dup_dir):
+    t = datapipe.embedding_dedup(dup_dir, threshold=0.99)
+    pairs = set(zip(t["vec_a"].to_pylist(), t["vec_b"].to_pylist()))
+    assert pairs == {(0, 1)}
+
+
+def test_ann_topk_self_is_rank1(ray_session, dup_dir):
+    t = datapipe.ann_topk(dup_dir, n_queries=2, k=3)
+    df = t.to_pandas()
+    r1 = df[df["rank"] == 1].set_index("query_id")["vec_id"]
+    assert r1.loc[0] == 0 and r1.loc[1] == 1
+    # query 0's 2nd neighbor must be its planted near-dup
+    r2 = df[(df["query_id"] == 0) & (df["rank"] == 2)]["vec_id"].iloc[0]
+    assert r2 == 1
+
+
+def test_lang_id_cjk_and_und(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the cat and the dog is here",
+                          "漢字 text with cjk",
+                          "xyzzy plugh"], pa.string()),
+        "lang": pa.array(["en", "zh", "xx"]),
+        "source": pa.array(["src0"] * 3),
+        "n_chars": pa.array([1, 1, 1], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = _collect(datapipe.lang_id(str(tmp_path)),
+                 ("doc_id", pa.int64()), ("pred_lang", pa.string()))
+    got = dict(zip(t["doc_id"].to_pylist(), t["pred_lang"].to_pylist()))
+    assert got == {0: "en", 1: "zh", 2: "und"}
+
+
+def test_media_decoder_deterministic():
+    d1 = datapipe.MediaDecoder._decode("assets/42.img")
+    d2 = datapipe.MediaDecoder._decode("assets/42.img")
+    assert d1 == d2
+    assert 64 <= d1[0] < 512 and 64 <= d1[1] < 512

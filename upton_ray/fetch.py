@@ -78,39 +78,62 @@ class ParquetWebStore:
     partition column + doc_id row-group stats).
     """
 
-    def __init__(self, path: str, num_buckets: int):
+    def __init__(self, path: str, num_buckets: int, cache_buckets: int = 4):
         import pyarrow.dataset as pads
 
         self.ds = pads.dataset(path, format="parquet", partitioning="hive")
         self.num_buckets = num_buckets
+        # per-actor LRU of loaded buckets: the frontier arrives in seed (host)
+        # order, so consecutive batches hit the same bucket(s); at 10^10 scale
+        # shrink bucket size (more buckets), not this cache
+        self._cache: dict[int, tuple[pa.Table, dict]] = {}
+        self._cache_max = cache_buckets
 
     def _buckets(self, urls: np.ndarray) -> np.ndarray:
         from upton_ray.urlops import hosts_of, shard_hashes
 
         return shard_hashes(hosts_of(urls), self.num_buckets)
 
-    def lookup_table(self, urls) -> pa.Array:
+    def _bucket_table(self, b: int) -> tuple[pa.Table, dict]:
         import pyarrow.dataset as pads
 
+        hit = self._cache.pop(b, None)
+        if hit is None:
+            t = self.ds.to_table(filter=pads.field("bucket") == int(b),
+                                 columns=["doc_id", "spans"]).combine_chunks()
+            hit = (t, {u: i for i, u in enumerate(t["doc_id"].to_pylist())})
+        self._cache[b] = hit           # re-insert = most-recently-used
+        while len(self._cache) > self._cache_max:
+            self._cache.pop(next(iter(self._cache)))
+        return hit
+
+    def lookup_table(self, urls) -> pa.Array:
         arr = np.asarray(urls, dtype=object)
         if len(arr) == 0:
             return schema.spans_array([])
         buckets = self._buckets(arr)
-        tables = []
+        sentinel = schema.spans_array([EMPTY_SPANS])
+        order = np.empty(len(arr), dtype=np.int64)
+        out_parts = []
         for b in np.unique(buckets):
-            us = arr[buckets == b].tolist()
-            flt = (pads.field("bucket") == int(b)) & pads.field("doc_id").isin(us)
-            tables.append(self.ds.to_table(filter=flt, columns=["doc_id", "spans"]))
-        found = pa.concat_tables(tables) if tables else schema.WEB.empty_table()
-        # align to input order via sentinel-row take (missing -> empty spans)
-        sentinel = pa.table({"doc_id": pa.array([""], pa.string()),
-                             "spans": schema.spans_array([EMPTY_SPANS])})
-        found = pa.concat_tables([found.select(["doc_id", "spans"]), sentinel]) \
-            .combine_chunks()
-        pos = {u: i for i, u in enumerate(found["doc_id"].to_pylist())}
-        missing = found.num_rows - 1
-        idx = pa.array([pos.get(u, missing) for u in arr], pa.int64())
-        return found["spans"].take(idx).combine_chunks()
+            rows = np.flatnonzero(buckets == b)
+            t, pos = self._bucket_table(int(b))
+            idx = np.array([pos.get(u, -1) for u in arr[rows]], dtype=np.int64)
+            spans_col = t["spans"]
+            if isinstance(spans_col, pa.ChunkedArray):
+                spans_col = spans_col.combine_chunks()
+            pool = pa.concat_arrays([spans_col, sentinel])
+            idx[idx < 0] = len(pool) - 1
+            out_parts.append((rows, pool.take(pa.array(idx))))
+        # stitch per-bucket results back to input order
+        taken = pa.concat_arrays([p[1].combine_chunks()
+                                  if isinstance(p[1], pa.ChunkedArray) else p[1]
+                                  for p in out_parts])
+        offs = 0
+        for rows, part in out_parts:
+            order[rows] = np.arange(offs, offs + len(rows))
+            offs += len(rows)
+        return taken.take(pa.array(order))
 
     def lookup_one(self, url: str):
         arr = self.lookup_table([url])
