@@ -37,8 +37,9 @@ WEB_BUCKETS = 16
 def synth_params():
     from upton_ray.synth import ScaleParams
 
+    spans = int(os.environ.get("GRAFT_CRAWL_SPANS", "24"))
     return ScaleParams(n_hosts=N_HOSTS, pages_per_host=PAGES_PER_HOST,
-                       links_per_page=20, spans_per_page=24,
+                       links_per_page=20, spans_per_page=spans,
                        media_fraction=0.25, zipf_alpha=0.3, seed=42)
 
 
@@ -157,11 +158,15 @@ def main():
 
 
 def scaling():
-    """Same crawl, fresh processes, num_cpus=8 then 32 -> efficiency."""
+    """Same crawl, same input, fresh processes, num_cpus=8 then 32 ->
+    throughput scaling efficiency (BASELINE.md protocol). Uses a larger,
+    heavier web than the default bench so compute dominates fixed overhead."""
+    size = dict(GRAFT_CRAWL_HOSTS=os.environ.get("GRAFT_SCALING_HOSTS", "384"),
+                GRAFT_CRAWL_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "650"),
+                GRAFT_CRAWL_SPANS=os.environ.get("GRAFT_SCALING_SPANS", "48"))
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_BENCH_ONLY_CRAWL="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), **size)
         r = subprocess.run([sys.executable, __file__, "--crawl-only"],
                            env=env, capture_output=True, text=True, timeout=1800)
         line = [ln for ln in r.stdout.strip().splitlines()

@@ -205,14 +205,17 @@ class Crawler:
             "selector": pa.array([s[2] for s in self.seeds], pa.string()),
         })
         n_seeds = len(self.seeds)
-        seeds_ds = ray.data.from_arrow(seeds_t)
-        if n_seeds > 1:
-            seeds_ds = seeds_ds.repartition(min(n_seeds, 64))
         conc = min(cfg.fetch_concurrency, max(1, n_seeds))
+        # pre-split seed blocks (block = task unit): ~4 chains per task so the
+        # actor pool stays busy without paying an all-to-all repartition
+        n_blocks = min(n_seeds, conc * 4) or 1
+        step = (n_seeds + n_blocks - 1) // n_blocks
+        seed_blocks = [seeds_t.slice(i, step) for i in range(0, n_seeds, step)]
+        seeds_ds = ray.data.from_arrow(seed_blocks)
         pages = seeds_ds.map_batches(
             IndexWalker,
             fn_constructor_args=(cfg, self.web_ref, self.seen),
-            batch_size=max(1, n_seeds // max(1, conc * 2)) if n_seeds > 4 else 1,
+            batch_size=step,
             batch_format="pyarrow",
             concurrency=conc,
             num_cpus=0.5,
@@ -231,13 +234,26 @@ class Crawler:
         links = links.materialize()   # round-0 output is ~1/links_per_page of the crawl
 
         # deterministic instance_index: exclusive prefix-sum of per-(seed, page)
-        # link counts — one row per index page on the driver (small)
-        counts = links.groupby(["seed_id", "page_no"]).count().to_pandas()
+        # link counts — per-block partial counts (no all-to-all), one row per
+        # index page collected on the driver (small)
+        def _page_counts(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({"seed_id": b["seed_id"].to_numpy(zero_copy_only=False),
+                               "page_no": b["page_no"].to_numpy(zero_copy_only=False)})
+            g = df.groupby(["seed_id", "page_no"], as_index=False).size()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = collect(links.map_batches(_page_counts, batch_format="pyarrow"),
+                         pa.schema([("seed_id", pa.int32()),
+                                    ("page_no", pa.int32()),
+                                    ("size", pa.int64())])).to_pandas()
         if len(counts) == 0:
             offsets = {}
         else:
+            counts = counts.groupby(["seed_id", "page_no"], as_index=False)["size"].sum()
             counts = counts.sort_values(["seed_id", "page_no"]).reset_index(drop=True)
-            offs = counts["count()"].cumsum().shift(fill_value=0).astype("int64")
+            offs = counts["size"].cumsum().shift(fill_value=0).astype("int64")
             offsets = {(int(s), int(p)): int(o) for s, p, o in
                        zip(counts["seed_id"], counts["page_no"], offs)}
 

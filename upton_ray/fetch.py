@@ -94,14 +94,20 @@ class ParquetWebStore:
 
         return shard_hashes(hosts_of(urls), self.num_buckets)
 
-    def _bucket_table(self, b: int) -> tuple[pa.Table, dict]:
+    def _bucket_pool(self, b: int) -> tuple[pa.Array, dict]:
+        """(spans pool with trailing empty-sentinel row, url->row index) for a
+        bucket; built once and LRU-cached per actor."""
         import pyarrow.dataset as pads
 
         hit = self._cache.pop(b, None)
         if hit is None:
             t = self.ds.to_table(filter=pads.field("bucket") == int(b),
                                  columns=["doc_id", "spans"]).combine_chunks()
-            hit = (t, {u: i for i, u in enumerate(t["doc_id"].to_pylist())})
+            spans_col = t["spans"]
+            if isinstance(spans_col, pa.ChunkedArray):
+                spans_col = spans_col.combine_chunks()
+            pool = pa.concat_arrays([spans_col, schema.spans_array([EMPTY_SPANS])])
+            hit = (pool, {u: i for i, u in enumerate(t["doc_id"].to_pylist())})
         self._cache[b] = hit           # re-insert = most-recently-used
         while len(self._cache) > self._cache_max:
             self._cache.pop(next(iter(self._cache)))
@@ -112,18 +118,21 @@ class ParquetWebStore:
         if len(arr) == 0:
             return schema.spans_array([])
         buckets = self._buckets(arr)
-        sentinel = schema.spans_array([EMPTY_SPANS])
+        uniq = np.unique(buckets)
+        if len(uniq) == 1:
+            pool, pos = self._bucket_pool(int(uniq[0]))
+            miss = len(pool) - 1
+            idx = np.fromiter((pos.get(u, miss) for u in arr),
+                              dtype=np.int64, count=len(arr))
+            return pool.take(pa.array(idx))
         order = np.empty(len(arr), dtype=np.int64)
         out_parts = []
-        for b in np.unique(buckets):
+        for b in uniq:
             rows = np.flatnonzero(buckets == b)
-            t, pos = self._bucket_table(int(b))
-            idx = np.array([pos.get(u, -1) for u in arr[rows]], dtype=np.int64)
-            spans_col = t["spans"]
-            if isinstance(spans_col, pa.ChunkedArray):
-                spans_col = spans_col.combine_chunks()
-            pool = pa.concat_arrays([spans_col, sentinel])
-            idx[idx < 0] = len(pool) - 1
+            pool, pos = self._bucket_pool(int(b))
+            miss = len(pool) - 1
+            idx = np.fromiter((pos.get(u, miss) for u in arr[rows]),
+                              dtype=np.int64, count=len(rows))
             out_parts.append((rows, pool.take(pa.array(idx))))
         # stitch per-bucket results back to input order
         taken = pa.concat_arrays([p[1].combine_chunks()
@@ -136,9 +145,12 @@ class ParquetWebStore:
         return taken.take(pa.array(order))
 
     def lookup_one(self, url: str):
-        arr = self.lookup_table([url])
-        spans = arr[0].as_py()
-        return spans or None
+        b = int(self._buckets(np.array([url], dtype=object))[0])
+        pool, pos = self._bucket_pool(b)
+        i = pos.get(url)
+        if i is None:
+            return None
+        return pool[i].as_py() or None
 
 
 def make_store(web_source):
