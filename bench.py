@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_HOSTS = int(os.environ.get("GRAFT_CRAWL_HOSTS", "192"))
 PAGES_PER_HOST = int(os.environ.get("GRAFT_CRAWL_PAGES", "320"))
-WEB_BUCKETS = 16
+WEB_BUCKETS = 64
 
 
 def synth_params():
@@ -44,7 +44,7 @@ def synth_params():
 
 
 def corpus_path(p) -> str:
-    key = f"{p.n_hosts}x{p.pages_per_host}x{p.links_per_page}x{p.spans_per_page}-{p.zipf_alpha}-{p.seed}"
+    key = f"{p.n_hosts}x{p.pages_per_host}x{p.links_per_page}x{p.spans_per_page}-{p.zipf_alpha}-{p.seed}-b{WEB_BUCKETS}"
     return f"/tmp/upton_ray_web/{key}"
 
 
@@ -161,8 +161,8 @@ def scaling():
     """Same crawl, same input, fresh processes, num_cpus=8 then 32 ->
     throughput scaling efficiency (BASELINE.md protocol). Uses a larger,
     heavier web than the default bench so compute dominates fixed overhead."""
-    size = dict(GRAFT_CRAWL_HOSTS=os.environ.get("GRAFT_SCALING_HOSTS", "384"),
-                GRAFT_CRAWL_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "650"),
+    size = dict(GRAFT_CRAWL_HOSTS=os.environ.get("GRAFT_SCALING_HOSTS", "640"),
+                GRAFT_CRAWL_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "1600"),
                 GRAFT_CRAWL_SPANS=os.environ.get("GRAFT_SCALING_SPANS", "48"))
     results = {}
     for cpus in (8, 32):

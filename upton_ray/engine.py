@@ -206,11 +206,28 @@ class Crawler:
         })
         n_seeds = len(self.seeds)
         conc = min(cfg.fetch_concurrency, max(1, n_seeds))
-        # pre-split seed blocks (block = task unit): ~4 chains per task so the
-        # actor pool stays busy without paying an all-to-all repartition
-        n_blocks = min(n_seeds, conc * 4) or 1
-        step = (n_seeds + n_blocks - 1) // n_blocks
-        seed_blocks = [seeds_t.slice(i, step) for i in range(0, n_seeds, step)]
+        # pre-split seed blocks (block = task unit). For a bucketed parquet
+        # corpus, group seeds by their host's bucket so each task touches ONE
+        # bucket and the per-actor bucket cache actually hits (without this,
+        # every chain re-decodes a full bucket — the dominant cost at scale).
+        if isinstance(self.web_ref, tuple):
+            _, _, n_buckets = self.web_ref
+            hb = shard_hashes(hosts_of(np.array([s[1] for s in self.seeds],
+                                                dtype=object)), n_buckets)
+            order = np.lexsort((seeds_t["seed_id"].to_numpy(), hb))
+            seeds_t = seeds_t.take(pa.array(order))
+            hb_sorted = hb[order]
+            cuts = [0] + (np.flatnonzero(np.diff(hb_sorted)) + 1).tolist() + [n_seeds]
+            seed_blocks = []
+            max_chains = max(4, n_seeds // max(1, conc * 2))
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                for i in range(a, b, max_chains):
+                    seed_blocks.append(seeds_t.slice(i, min(max_chains, b - i)))
+            step = max_chains
+        else:
+            n_blocks = min(n_seeds, conc * 4) or 1
+            step = (n_seeds + n_blocks - 1) // n_blocks
+            seed_blocks = [seeds_t.slice(i, step) for i in range(0, n_seeds, step)]
         seeds_ds = ray.data.from_arrow(seed_blocks)
         pages = seeds_ds.map_batches(
             IndexWalker,
@@ -295,6 +312,27 @@ class Crawler:
         """Frontier Dataset -> fetched instance-page Dataset."""
         cfg = self.cfg
         walker_args = (cfg, self.web_ref, self.seen)
+        if isinstance(self.web_ref, tuple) and not cfg.needs_host_affinity():
+            # frontier-routing shuffle (SURVEY.md §7.3): co-locate each corpus
+            # bucket's URLs so every bucket is decoded ONCE, not per batch —
+            # the shuffle moves only (url, ints) rows, the cheap side
+            from upton_ray.fetch import make_group_walker
+
+            _, path, buckets = self.web_ref
+
+            def add_bucket(batch: pa.Table) -> pa.Table:
+                urls = batch["url"].to_numpy(zero_copy_only=False)
+                return batch.append_column(
+                    "bucket", pa.array(shard_hashes(hosts_of(urls), buckets),
+                                       pa.int32()))
+
+            token = f"walk-{os.getpid()}-{id(self)}"
+            fetched = (frontier
+                       .map_batches(add_bucket, batch_format="pyarrow")
+                       .groupby("bucket")
+                       .map_groups(make_group_walker(token, *walker_args),
+                                   batch_format="pyarrow"))
+            return self._maybe_checkpoint_fetch(fetched)
         if cfg.needs_host_affinity():
             # the designed shuffle: co-locate each host on one worker so the
             # per-host deadline heap is authoritative cluster-wide
@@ -322,6 +360,9 @@ class Crawler:
                 concurrency=cfg.fetch_concurrency,
                 num_cpus=0.5,
             )
+        return self._maybe_checkpoint_fetch(fetched)
+
+    def _maybe_checkpoint_fetch(self, fetched):
         ckpt = self._ckpt("fetched_round1")
         if ckpt:
             import shutil

@@ -213,6 +213,26 @@ class _FetchState:
         return (body or EMPTY_SPANS), from_resource, slept, status, False
 
 
+# per-worker-process walker cache for group-routed fetch (map_groups pickles
+# the callable per task; the walker + its bucket cache must live per process)
+_GROUP_WALKERS: dict = {}
+
+
+def make_group_walker(token: str, cfg, web_source, seen_handle):
+    """A picklable map_groups callable that lazily builds ONE InstanceWalker
+    per worker process (keyed by token) so bucket caches persist across the
+    groups a worker processes."""
+
+    def walk(group: pa.Table) -> pa.Table:
+        w = _GROUP_WALKERS.get(token)
+        if w is None:
+            w = _GROUP_WALKERS[token] = InstanceWalker(cfg, web_source, seen_handle)
+        drop = [c for c in ("bucket",) if c in group.column_names]
+        return w(group.drop_columns(drop) if drop else group)
+
+    return walk
+
+
 class IndexWalker:
     """Round-0 stage: one sequential pagination chain per seed (P2/P5).
 
