@@ -1,0 +1,81 @@
+"""Unit tests for politeness scheduling, hot-host salting, robots filtering
+(pure python — no Ray session needed)."""
+
+import numpy as np
+
+from upton_ray.frontier import HostScheduler, RobotsCache, salt_hot_hosts
+
+
+def hosts(urls):
+    from upton_ray.urlops import hosts_of
+
+    return hosts_of(np.array(urls, dtype=object))
+
+
+class TestHostScheduler:
+    def test_order_interleaves_hosts(self):
+        s = HostScheduler(crawl_delay=1.0)
+        urls = np.array(
+            ["http://a.com/1", "http://a.com/2", "http://a.com/3",
+             "http://b.com/1", "http://b.com/2"], dtype=object)
+        order = s.order_batch(urls)
+        got_hosts = [hosts([urls[i]])[0] for i in order]
+        # earliest-deadline-first: a and b alternate until b runs out
+        assert got_hosts[:4] != ["a.com"] * 4
+        assert sorted(order.tolist()) == [0, 1, 2, 3, 4]
+
+    def test_order_preserves_within_host_order(self):
+        s = HostScheduler(crawl_delay=1.0)
+        urls = np.array([f"http://a.com/{i}" for i in range(5)], dtype=object)
+        order = s.order_batch(urls)
+        assert order.tolist() == [0, 1, 2, 3, 4]
+
+    def test_wait_turn_advances_deadline(self):
+        s = HostScheduler(crawl_delay=10.0, real_sleep=False)
+        w1 = s.wait_turn("a.com")
+        w2 = s.wait_turn("a.com")
+        assert w1 == 0.0
+        assert w2 > 0.0          # second hit inside the delay window waits
+        assert s.wait_turn("b.com") == 0.0   # other hosts unaffected
+
+    def test_per_host_delay_override(self):
+        s = HostScheduler(crawl_delay=1.0, per_host_delay={"slow.com": 100.0})
+        s.wait_turn("slow.com")
+        assert s.next_allowed["slow.com"] >= 100.0
+
+
+class TestSaltHotHosts:
+    def test_only_hot_hosts_salted(self):
+        hs = np.array(["hot.com"] * 10 + ["cold.com"] * 2, dtype=object)
+        out = salt_hot_hosts(hs, counts_threshold=5, num_salts=3)
+        assert all(h.startswith("hot.com#salt-") for h in out[:10])
+        assert list(out[10:]) == ["cold.com", "cold.com"]
+
+    def test_salts_spread_round_robin(self):
+        hs = np.array(["hot.com"] * 9, dtype=object)
+        out = salt_hot_hosts(hs, counts_threshold=5, num_salts=3)
+        assert len(set(out)) == 3
+
+    def test_no_hot_hosts_is_identity(self):
+        hs = np.array(["a.com", "b.com"], dtype=object)
+        out = salt_hot_hosts(hs, counts_threshold=5, num_salts=3)
+        assert out is hs
+
+
+class TestRobotsCache:
+    def test_prefix_blocking(self):
+        rc = RobotsCache({"x.com": ["/private", "/tmp"]})
+        urls = np.array(["http://x.com/private/1", "http://x.com/public/1",
+                         "http://y.com/private/1", "http://x.com/tmp"],
+                        dtype=object)
+        assert rc.allowed_mask(urls).tolist() == [False, True, True, False]
+
+    def test_empty_rules_allow_all(self):
+        rc = RobotsCache({})
+        urls = np.array(["http://x.com/a"], dtype=object)
+        assert rc.allowed_mask(urls).tolist() == [True]
+
+    def test_host_without_path(self):
+        rc = RobotsCache({"x.com": ["/"]})
+        urls = np.array(["http://x.com"], dtype=object)
+        assert rc.allowed_mask(urls).tolist() == [False]

@@ -343,14 +343,13 @@ class Crawler:
                     "host_shard",
                     pa.array(shard_hashes(hs, cfg.fetch_concurrency), pa.int32()))
 
+            from upton_ray.fetch import make_group_walker
+
             sharded = frontier.map_batches(add_shard, batch_format="pyarrow")
-            walker = InstanceWalker(*walker_args)
-
-            def walk_group(group: pa.Table) -> pa.Table:
-                return walker(group.drop_columns(["host_shard"]))
-
+            token = f"hostwalk-{os.getpid()}-{id(self)}"
             fetched = sharded.groupby("host_shard").map_groups(
-                walk_group, batch_format="pyarrow")
+                make_group_walker(token, *walker_args, drop=("host_shard",)),
+                batch_format="pyarrow")
         else:
             fetched = frontier.map_batches(
                 InstanceWalker,
@@ -373,9 +372,49 @@ class Crawler:
                     "from_resource", "slept", "status", "robots_blocked"]
             fetched.select_columns(cols).write_parquet(ckpt)
             fetched = ray.data.read_parquet(ckpt)
+            self._write_metrics(fetched)
             self._mark_done("round1")
             self._dump_seen()
         return fetched
+
+    def _write_metrics(self, fetched) -> None:
+        """Per-partition counters (T5: the structured replacement for the
+        reference's @verbose logging) appended to the checkpoint: partition =
+        host-hash bucket, matching the fetch routing, so resume tooling can
+        reconcile lineage with counters per unit of work."""
+        p = self._ckpt("metrics.parquet")
+        if not p:
+            return
+        buckets = self.web_ref[2] if isinstance(self.web_ref, tuple) else \
+            self.cfg.num_seen_shards
+
+        def partial(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            hs = hosts_of(b["instance_url"].to_numpy(zero_copy_only=False))
+            part = shard_hashes(hs, buckets)
+            df = pd.DataFrame({
+                "partition": part,
+                "fetched": b["from_resource"].to_numpy(zero_copy_only=False),
+                "slept": b["slept"].to_numpy(zero_copy_only=False),
+                "errors": (b["status"].to_numpy(zero_copy_only=False) != 200)
+                          & (b["status"].to_numpy(zero_copy_only=False) != 0),
+                "robots_blocked": b["robots_blocked"].to_numpy(zero_copy_only=False),
+            })
+            g = df.groupby("partition", as_index=False).agg(
+                fetched=("fetched", "sum"), cache_hits=("fetched", lambda x: (~x).sum()),
+                slept=("slept", "sum"), errors=("errors", "sum"),
+                robots_blocked=("robots_blocked", "sum"), rows=("fetched", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        sch = pa.schema([("partition", pa.int32()), ("fetched", pa.int64()),
+                         ("cache_hits", pa.int64()), ("slept", pa.int64()),
+                         ("errors", pa.int64()), ("robots_blocked", pa.int64()),
+                         ("rows", pa.int64())])
+        t = collect(fetched.map_batches(partial, batch_format="pyarrow"), sch)
+        df = t.to_pandas().groupby("partition", as_index=False).sum()
+        df.insert(0, "round", 1)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
 
     def extract_records(self, fetched):
         # instance (not class): runs in the task pool — extraction is stateless,

@@ -50,6 +50,10 @@ class DictWebStore:
     def lookup_one(self, url: str):
         return self.web.get(url)
 
+    def page_len(self, url: str):
+        spans = self.web.get(url)
+        return None if spans is None else len(spans)
+
     def lookup_table(self, urls) -> pa.Array:
         return schema.spans_array([self.web.get(u) or EMPTY_SPANS for u in urls])
 
@@ -63,6 +67,10 @@ class GeneratorWebStore:
 
     def lookup_one(self, url: str):
         return synth.gen_page(self.params, url)
+
+    def page_len(self, url: str):
+        spans = synth.gen_page(self.params, url)
+        return None if spans is None else len(spans)
 
     def lookup_table(self, urls) -> pa.Array:
         return schema.spans_array(
@@ -94,7 +102,7 @@ class ParquetWebStore:
 
         return shard_hashes(hosts_of(urls), self.num_buckets)
 
-    def _bucket_pool(self, b: int) -> tuple[pa.Array, dict]:
+    def _bucket_pool(self, b: int) -> tuple[pa.Array, dict, "np.ndarray"]:
         """(spans pool with trailing empty-sentinel row, url->row index) for a
         bucket; built once and LRU-cached per actor."""
         import pyarrow.dataset as pads
@@ -107,7 +115,8 @@ class ParquetWebStore:
             if isinstance(spans_col, pa.ChunkedArray):
                 spans_col = spans_col.combine_chunks()
             pool = pa.concat_arrays([spans_col, schema.spans_array([EMPTY_SPANS])])
-            hit = (pool, {u: i for i, u in enumerate(t["doc_id"].to_pylist())})
+            lens = pc.list_value_length(pool).to_numpy(zero_copy_only=False)
+            hit = (pool, {u: i for i, u in enumerate(t["doc_id"].to_pylist())}, lens)
         self._cache[b] = hit           # re-insert = most-recently-used
         while len(self._cache) > self._cache_max:
             self._cache.pop(next(iter(self._cache)))
@@ -120,7 +129,7 @@ class ParquetWebStore:
         buckets = self._buckets(arr)
         uniq = np.unique(buckets)
         if len(uniq) == 1:
-            pool, pos = self._bucket_pool(int(uniq[0]))
+            pool, pos, _ = self._bucket_pool(int(uniq[0]))
             miss = len(pool) - 1
             idx = np.fromiter((pos.get(u, miss) for u in arr),
                               dtype=np.int64, count=len(arr))
@@ -129,7 +138,7 @@ class ParquetWebStore:
         out_parts = []
         for b in uniq:
             rows = np.flatnonzero(buckets == b)
-            pool, pos = self._bucket_pool(int(b))
+            pool, pos, _ = self._bucket_pool(int(b))
             miss = len(pool) - 1
             idx = np.fromiter((pos.get(u, miss) for u in arr[rows]),
                               dtype=np.int64, count=len(rows))
@@ -146,11 +155,18 @@ class ParquetWebStore:
 
     def lookup_one(self, url: str):
         b = int(self._buckets(np.array([url], dtype=object))[0])
-        pool, pos = self._bucket_pool(b)
+        pool, pos, _ = self._bucket_pool(b)
         i = pos.get(url)
         if i is None:
             return None
         return pool[i].as_py() or None
+
+    def page_len(self, url: str):
+        """Span count of a page without materializing it (None = not in web)."""
+        b = int(self._buckets(np.array([url], dtype=object))[0])
+        pool, pos, lens = self._bucket_pool(b)
+        i = pos.get(url)
+        return None if i is None else int(lens[i])
 
 
 def make_store(web_source):
@@ -218,7 +234,8 @@ class _FetchState:
 _GROUP_WALKERS: dict = {}
 
 
-def make_group_walker(token: str, cfg, web_source, seen_handle):
+def make_group_walker(token: str, cfg, web_source, seen_handle,
+                      drop: tuple = ("bucket",)):
     """A picklable map_groups callable that lazily builds ONE InstanceWalker
     per worker process (keyed by token) so bucket caches persist across the
     groups a worker processes."""
@@ -227,8 +244,8 @@ def make_group_walker(token: str, cfg, web_source, seen_handle):
         w = _GROUP_WALKERS.get(token)
         if w is None:
             w = _GROUP_WALKERS[token] = InstanceWalker(cfg, web_source, seen_handle)
-        drop = [c for c in ("bucket",) if c in group.column_names]
-        return w(group.drop_columns(drop) if drop else group)
+        cols = [c for c in drop if c in group.column_names]
+        return w(group.drop_columns(cols) if cols else group)
 
     return walk
 
@@ -239,16 +256,28 @@ class IndexWalker:
     In: batch of seed rows (seed_id, url, selector).
     Out: one row per fetched index page:
     (seed_id, page_no, base, selector, spans, from_resource, slept, status).
+
+    The chain control flow (early stop on empty page — Q7) only needs each
+    page's SPAN COUNT and static error status, so the walk uses a light
+    ``page_len`` probe; page bodies are then fetched with ONE vectorized
+    ``lookup_table`` and stash accounting with ONE batched ``check_and_add``
+    per task — no per-page RPCs or python span materialization.
     """
 
     def __init__(self, cfg: CrawlConfig, web_source, seen_handle=None):
         self.st = _FetchState(cfg, web_source, seen_handle)
         self.cfg = cfg
+        # error pages are stashed as empty bodies; the bad set is static
+        # within a run (statuses come from cfg) so snapshot it once per actor
+        self.local_bad: set = set()
+        if seen_handle is not None and (cfg.index_debug or cfg.debug):
+            self.local_bad = set(seen_handle.dump_bad())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        out = {k: [] for k in ("seed_id", "page_no", "base", "selector",
-                               "spans", "from_resource", "slept", "status")}
+        st = self.st
+        rows = {k: [] for k in ("seed_id", "page_no", "base", "selector",
+                                "fetch_url", "status", "force_empty")}
         for row in batch.to_pylist():
             seed_url, selector = row["url"], row["selector"]
             # get_index_pages loop (upton.rb:295-311): stop on "" successor,
@@ -266,30 +295,52 @@ class IndexWalker:
                 nxt = resolve_url(nxt, seed_url)
                 if nxt == prev_url:
                     break
-                spans, from_res, slept, status, _rb = self.st.fetch_one(
-                    nxt, cfg.index_debug)
-                out["seed_id"].append(row["seed_id"])
-                out["page_no"].append(page_no)
-                out["base"].append(seed_url)   # Q3: resolve base is the SEED url
-                out["selector"].append(selector)
-                out["spans"].append(spans)
-                out["from_resource"].append(from_res)
-                out["slept"].append(slept)
-                out["status"].append(status)
+                status = st.statuses.get(nxt, 200)
+                force_empty = status != 200 or nxt in self.local_bad
+                n_spans = 0 if force_empty else (st.store.page_len(nxt) or 0)
+                rows["seed_id"].append(row["seed_id"])
+                rows["page_no"].append(page_no)
+                rows["base"].append(seed_url)   # Q3: resolve base is the SEED url
+                rows["selector"].append(selector)
+                rows["fetch_url"].append(nxt)
+                rows["status"].append(status)
+                rows["force_empty"].append(force_empty)
                 prev_url = nxt
                 pagination_index += cfg.pagination_interval
                 page_no += 1
-                if len(spans) == 0:
+                if n_spans == 0:
                     break
+
+        urls = np.array(rows["fetch_url"], dtype=object)
+        n = len(urls)
+        # stash accounting: one batched RPC, in walk order (fetch-once)
+        if cfg.index_debug and st.seen is not None and n:
+            from_resource = st.seen.check_and_add(urls)
+            err = [u for u, fe, stt in zip(urls, rows["force_empty"], rows["status"])
+                   if stt != 200]
+            if err:
+                st.seen.record_bad(err)
+        else:
+            from_resource = np.ones(n, dtype=bool)
+        if cfg.real_sleep and st.sched.delay:
+            for u, fr in zip(urls, from_resource):
+                if fr:
+                    st.sched.wait_turn(host_of(u))
+
+        # vectorized body fetch; forced-empty rows look up "" (never present)
+        lookup_urls = np.where(np.array(rows["force_empty"], dtype=bool), "", urls)             if n else urls
+        spans = st.store.lookup_table(lookup_urls)
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
         return pa.table({
-            "seed_id": pa.array(out["seed_id"], pa.int32()),
-            "page_no": pa.array(out["page_no"], pa.int32()),
-            "base": pa.array(out["base"], pa.string()),
-            "selector": pa.array(out["selector"], pa.string()),
-            "spans": schema.spans_array(out["spans"]),
-            "from_resource": pa.array(out["from_resource"], pa.bool_()),
-            "slept": pa.array(out["slept"], pa.bool_()),
-            "status": pa.array(out["status"], pa.int32()),
+            "seed_id": pa.array(rows["seed_id"], pa.int32()),
+            "page_no": pa.array(rows["page_no"], pa.int32()),
+            "base": pa.array(rows["base"], pa.string()),
+            "selector": pa.array(rows["selector"], pa.string()),
+            "spans": spans if n else schema.spans_array([]),
+            "from_resource": pa.array(from_resource),
+            "slept": pa.array(from_resource),   # politeness per network fetch (Q8)
+            "status": pa.array(rows["status"], pa.int32()),
         })
 
 
