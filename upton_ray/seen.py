@@ -60,14 +60,126 @@ class Bloom:
         return present.all(axis=1).astype(bool)
 
 
-@ray.remote(num_cpus=0)
-class SeenShard:
-    """One shard of the URL-seen set."""
+class Cuckoo:
+    """Numpy cuckoo filter — the deletable approximate-membership structure
+    (north_star: "cuckoo fallback for deletions").  Blooms can't delete: on
+    re-crawl invalidation the bloom would keep answering "maybe seen" forever,
+    so invalidated shards switch their fast path to this filter.
+
+    4-slot buckets of uint16 fingerprints (0 = empty); partial-key cuckoo
+    hashing: bucket2 = bucket1 XOR hash(fingerprint).  At 10^10 URLs this is
+    ~2.25 bytes/key/shard vs ~60+ for a Python set — the memory scale path;
+    exactness (when required for conformance) still comes from the exact set.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
 
     def __init__(self, capacity: int = 1_000_000):
+        n_buckets = 1
+        while n_buckets * self.SLOTS < capacity * 1.05:
+            n_buckets *= 2
+        self.m = n_buckets                      # power of two -> mask indexing
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self.count = 0
+
+    def _fp_and_buckets(self, h1: np.ndarray, h2: np.ndarray):
+        fp = (h2 % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
+        i1 = (h1 & np.uint64(self.m - 1)).astype(np.int64)
+        # bucket2 derived from (bucket1, fp) only — so membership/deletion can
+        # recover both candidate buckets from a stored fingerprint alone
+        i2 = (i1 ^ (fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+                    & np.uint64(self.m - 1)).astype(np.int64))
+        return fp, i1, i2
+
+    def _alt(self, i: int, fp: int) -> int:
+        return i ^ int(np.uint64(fp) * np.uint64(0x5BD1E995)
+                       & np.uint64(self.m - 1))
+
+    def _insert_one(self, i1: int, i2: int, fp: int, rng: np.random.Generator) -> bool:
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        i = i1
+        for _ in range(self.MAX_KICKS):
+            slot = int(rng.integers(self.SLOTS))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = self._alt(i, fp)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        return False      # table overfull — caller falls back to exact set
+
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        fp, i1, i2 = self._fp_and_buckets(h1, h2)
+        rng = np.random.default_rng(0xC0FFEE ^ self.count)
+        for a, b, f in zip(i1, i2, fp):
+            self._insert_one(int(a), int(b), int(f), rng)
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._fp_and_buckets(h1, h2)
+        f = fp[:, None]
+        return ((self.table[i1] == f).any(axis=1)
+                | (self.table[i2] == f).any(axis=1))
+
+    def delete(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Remove one copy of each item's fingerprint; True where found."""
+        fp, i1, i2 = self._fp_and_buckets(h1, h2)
+        out = np.zeros(len(fp), dtype=bool)
+        for n, (a, b, f) in enumerate(zip(i1, i2, fp)):
+            for i in (int(a), int(b)):
+                row = self.table[i]
+                hit = np.flatnonzero(row == f)
+                if len(hit):
+                    row[hit[0]] = 0
+                    self.count -= 1
+                    out[n] = True
+                    break
+        return out
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One shard of the URL-seen set.
+
+    Fast negative path: bloom until the first ``invalidate`` (deletion), then
+    the deletable cuckoo filter — rebuilt from the exact set at switch time —
+    serves it instead (a bloom cannot unlearn a deleted URL)."""
+
+    def __init__(self, capacity: int = 1_000_000):
+        self.capacity = capacity
         self.bloom = Bloom(capacity)
+        self.cuckoo: Cuckoo | None = None    # engaged on first invalidate
         self.exact: set[str] = set()
         self.bad: set[str] = set()   # URLs whose stashed body is empty (error pages)
+
+    def invalidate(self, urls: list[str]) -> int:
+        """Re-crawl invalidation: forget these URLs so the next crawl refetches
+        them. Switches the fast path from bloom to the deletable cuckoo."""
+        if self.cuckoo is None:
+            self.cuckoo = Cuckoo(max(self.capacity, len(self.exact) * 2))
+            if self.exact:
+                arr = np.asarray(sorted(self.exact), dtype=object)
+                self.cuckoo.add(*_hash2(arr))
+        n = 0
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return 0
+        h1, h2 = _hash2(arr)
+        self.cuckoo.delete(h1, h2)
+        for u in urls:
+            if u in self.exact:
+                self.exact.discard(u)
+                n += 1
+            self.bad.discard(u)
+        return n
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         """Per-url: True if NEW (first sighting, now marked seen)."""
@@ -86,6 +198,9 @@ class SeenShard:
             new[i] = is_new
             if is_new:
                 exact.add(u)
+        if self.cuckoo is not None and new.any():
+            self.cuckoo.add(h1[new], h2[new])   # only first sightings — keeps
+            # the filter a set, so one delete fully forgets a URL
         return new
 
     def contains(self, urls: list[str]) -> np.ndarray:
@@ -93,9 +208,12 @@ class SeenShard:
             return np.zeros(0, dtype=bool)
         arr = np.asarray(urls, dtype=object)
         h1, h2 = _hash2(arr)
-        maybe = self.bloom.test(h1, h2)
+        if self.cuckoo is not None:   # post-invalidate: deletable filter rules
+            maybe = self.cuckoo.contains(h1, h2)
+        else:
+            maybe = self.bloom.test(h1, h2)
         out = np.zeros(len(arr), dtype=bool)
-        idx = np.flatnonzero(maybe)   # bloom-negative -> definitely new, skip set probe
+        idx = np.flatnonzero(maybe)   # filter-negative -> definitely new, skip set probe
         for i in idx:
             out[i] = arr[i] in self.exact
         return out
@@ -104,6 +222,10 @@ class SeenShard:
         arr = np.asarray(urls, dtype=object)
         h1, h2 = _hash2(arr)
         self.bloom.add_and_test(h1, h2)
+        if self.cuckoo is not None:
+            fresh = np.array([u not in self.exact for u in arr], dtype=bool)
+            if fresh.any():
+                self.cuckoo.add(h1[fresh], h2[fresh])
         self.exact.update(arr.tolist())
         return len(self.exact)
 
@@ -190,6 +312,18 @@ class SeenSet:
         shard_ids = self._route(arr)
         ray.get([self.shards[s].record_bad.remote(arr[shard_ids == s].tolist())
                  for s in np.unique(shard_ids)])
+
+    def invalidate(self, urls) -> int:
+        """Re-crawl invalidation: forget these URLs on their shards (cuckoo
+        deletion path) so the next crawl fetches them fresh. Returns the
+        number of URLs that were actually seen."""
+        arr = np.asarray(urls, dtype=object)
+        if len(arr) == 0:
+            return 0
+        shard_ids = self._route(arr)
+        return sum(ray.get([
+            self.shards[s].invalidate.remote(arr[shard_ids == s].tolist())
+            for s in np.unique(shard_ids)]))
 
     def bad_mask(self, urls) -> np.ndarray:
         arr = np.asarray(urls, dtype=object)
