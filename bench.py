@@ -80,8 +80,14 @@ def run_synthetic_crawl() -> dict:
         paginated=True, pagination_param="p", pagination_max_pages=100_000,
         sleep_time_between_requests=0,
         debug=True, index_debug=True,
-        num_seen_shards=max(2, NUM_CPUS),
-        fetch_concurrency=NUM_CPUS,
+        # pool sizes are capped, not =NUM_CPUS: measurements on this box show
+        # a 32-actor pool + 32 shard actors pays more in process-startup storm
+        # than it gains (round0 5.4s at 16 actors vs 16.6s at 32); seen-set
+        # RPCs are one-per-task so a handful of shards never bottlenecks
+        num_seen_shards=int(os.environ.get("GRAFT_SEEN_SHARDS",
+                                           str(max(2, min(8, NUM_CPUS))))),
+        fetch_concurrency=int(os.environ.get("GRAFT_FETCH_CONC",
+                                             str(max(2, min(16, NUM_CPUS))))),
         fetch_batch_size=1024,
     )
     seeds = [(h, synth.index_url(p, h), cfg.index_selector)
