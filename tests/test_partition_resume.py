@@ -1,0 +1,101 @@
+"""Per-partition lineage: a crashed run resumes by re-walking ONLY the
+buckets without a _SUCCESS marker; completed buckets stream from checkpoint
+as cache reads (no fetch, no sleep) and final records are identical."""
+
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def crawled(ray_session, tmp_path_factory):
+    from upton_ray import sinks, synth
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+
+    p = synth.ScaleParams(n_hosts=6, pages_per_host=15, links_per_page=5,
+                          spans_per_page=8, media_fraction=0.25,
+                          zipf_alpha=0.3, seed=11)
+    root = tmp_path_factory.mktemp("presume")
+    corpus = str(root / "corpus")
+    sinks.write_web(synth.scale_web(p, parallelism=4), corpus, num_buckets=4)
+
+    def cfg(stash):
+        return CrawlConfig(
+            index_selector="section#river section h1 a",
+            extractor="css:h1.article-title",
+            paginated=True, pagination_param="p", pagination_max_pages=1000,
+            sleep_time_between_requests=0, debug=True, index_debug=True,
+            num_seen_shards=2, fetch_concurrency=2, fetch_batch_size=256,
+            stash_folder=stash)
+
+    seeds = [(h, synth.index_url(p, h), "section#river section h1 a")
+             for h in range(p.n_hosts)]
+    stash = str(root / "stash")
+    c = Crawler(cfg(stash), ("parquet", corpus, 4), seeds=seeds)
+    golden = c.crawl().records_table()
+    c.shutdown()
+    return corpus, seeds, cfg, stash, golden
+
+
+def _key_rows(t):
+    return list(zip(t["instance_index"].to_pylist(),
+                    t["pagination_index"].to_pylist(),
+                    t["row_no"].to_pylist(),
+                    [tuple(r) for r in t["record"].to_pylist()]))
+
+
+def test_marker_per_completed_bucket(crawled):
+    _, _, _, stash, _ = crawled
+    ckpt = os.path.join(stash, "fetched_round1")
+    buckets = [d for d in os.listdir(ckpt) if d.startswith("bucket=")]
+    assert buckets, "bucketed checkpoint must exist"
+    for d in buckets:
+        assert os.path.exists(os.path.join(ckpt, d, "_SUCCESS"))
+    import json
+
+    lin = json.load(open(os.path.join(stash, "lineage.json")))
+    for d in buckets:
+        assert f"round1/{d}" in lin, "per-partition lineage entry missing"
+
+
+def test_crashed_bucket_rewalks_alone(crawled):
+    from upton_ray.engine import Crawler
+
+    corpus, seeds, cfg, stash, golden = crawled
+    ckpt = os.path.join(stash, "fetched_round1")
+    buckets = sorted(d for d in os.listdir(ckpt) if d.startswith("bucket="))
+    victim = buckets[0]
+    # simulate a crash mid-bucket: data present but no completion marker
+    os.remove(os.path.join(ckpt, victim, "_SUCCESS"))
+
+    c = Crawler(cfg(stash), ("parquet", corpus, 4), seeds=seeds)
+    res = c.crawl()
+    t = res.records_table()
+    assert _key_rows(t) == _key_rows(golden), "resume must reproduce records"
+
+    import pyarrow.parquet as pq
+
+    m = pq.read_table(os.path.join(stash, "metrics.parquet")).to_pandas()
+    assert int(m["fetched"].sum()) == 0, "re-walk is all cache hits (seen set)"
+    v = int(victim.split("=")[1])
+    assert set(m[m["rows"] > 0]["partition"]) <= {v}, \
+        "only the crashed bucket may have done work this run"
+    assert os.path.exists(os.path.join(ckpt, victim, "_SUCCESS")), \
+        "re-walk must restore the marker"
+    c.shutdown()
+
+
+def test_fully_resumed_run_does_no_work(crawled):
+    from upton_ray.engine import Crawler
+
+    corpus, seeds, cfg, stash, golden = crawled
+    c = Crawler(cfg(stash), ("parquet", corpus, 4), seeds=seeds)
+    res = c.crawl()
+    assert _key_rows(res.records_table()) == _key_rows(golden)
+    import pyarrow.parquet as pq
+
+    m = pq.read_table(os.path.join(stash, "metrics.parquet")).to_pandas()
+    assert len(m) == 0 or int(m["rows"].sum()) == 0
+    c.shutdown()

@@ -155,6 +155,15 @@ def cmd_invalidate(args) -> int:
     lin = os.path.join(args.stash, "lineage.json")
     if os.path.exists(lin):
         os.remove(lin)     # rounds must re-run; restored seen set skips the rest
+    # clear per-bucket completion markers: the re-walk is all cache hits except
+    # the invalidated URLs, so this is cheap and always correct (we don't know
+    # the bucket count here to target only the victims' buckets)
+    ckpt = os.path.join(args.stash, "fetched_round1")
+    if os.path.isdir(ckpt):
+        for d in os.listdir(ckpt):
+            marker = os.path.join(ckpt, d, "_SUCCESS")
+            if d.startswith("bucket=") and os.path.exists(marker):
+                os.remove(marker)
     print(json.dumps({"invalidated": n, "stash": args.stash}))
     return 0
 

@@ -170,6 +170,33 @@ class Crawler:
         with open(p, "w") as f:
             json.dump(done, f)
 
+    @staticmethod
+    def _done_buckets(ckpt: str) -> set:
+        """Buckets whose round-1 fetch checkpoint completed (marker present).
+        The marker, written after the bucket's data file, is the per-partition
+        lineage unit — a crash mid-bucket leaves no marker, so only that
+        bucket re-walks on resume."""
+        out = set()
+        if not os.path.isdir(ckpt):
+            return out
+        for d in os.listdir(ckpt):
+            if d.startswith("bucket=") and \
+                    os.path.exists(os.path.join(ckpt, d, "_SUCCESS")):
+                out.add(int(d.split("=", 1)[1]))
+        return out
+
+    @staticmethod
+    def _clean_stale_buckets(ckpt: str, done: set) -> None:
+        """Drop partial bucket dirs (data written, no marker) from a crashed
+        run so the re-walk starts clean."""
+        import shutil
+
+        if not os.path.isdir(ckpt):
+            return
+        for d in os.listdir(ckpt):
+            if d.startswith("bucket=") and int(d.split("=", 1)[1]) not in done:
+                shutil.rmtree(os.path.join(ckpt, d))
+
     def _restore_seen(self) -> None:
         p = self._ckpt("seen.parquet")
         if p and os.path.exists(p) and self.seen is not None:
@@ -327,12 +354,55 @@ class Crawler:
                                        pa.int32()))
 
             token = f"walk-{os.getpid()}-{id(self)}"
-            fetched = (frontier
-                       .map_batches(add_bucket, batch_format="pyarrow")
-                       .groupby("bucket")
-                       .map_groups(make_group_walker(token, *walker_args),
-                                   batch_format="pyarrow"))
-            return self._maybe_checkpoint_fetch(fetched)
+            ckpt = self._ckpt("fetched_round1")
+            done: set = set()
+            if ckpt:
+                done = self._done_buckets(ckpt)
+                self._clean_stale_buckets(ckpt, done)
+            bucketed = frontier.map_batches(add_bucket, batch_format="pyarrow")
+            if done:   # partition-level resume: only not-yet-done buckets walk
+                done_arr = np.array(sorted(done), dtype=np.int64)
+
+                def drop_done(b: pa.Table) -> pa.Table:
+                    keep = ~np.isin(b["bucket"].to_numpy(zero_copy_only=False),
+                                    done_arr)
+                    return b.filter(pa.array(keep))
+
+                bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow")
+            walked = bucketed.groupby("bucket").map_groups(
+                make_group_walker(token, *walker_args, ckpt_dir=ckpt),
+                batch_format="pyarrow")
+            if not ckpt:
+                return walked
+            # barrier: execute the walk so every pending bucket lands its
+            # checkpoint + _SUCCESS marker, then record lineage/metrics for
+            # THIS run's work only (resumed buckets did no work this run)
+            walked = walked.materialize()
+            self._write_metrics(walked)
+            for b in sorted(self._done_buckets(ckpt) - done):
+                self._mark_done(f"round1/bucket={b}")
+            self._mark_done("round1")
+            self._dump_seen()
+            if not done:
+                return walked
+            prev = ray.data.read_parquet(
+                [os.path.join(ckpt, f"bucket={b}", "data-0.parquet")
+                 for b in sorted(done)])
+
+            def as_cache_hit(b: pa.Table) -> pa.Table:
+                # read-back rows are cache reads in THIS run: no network
+                # fetch, no politeness sleep (stash semantics, Q8)
+                n = b.num_rows
+                b = b.drop_columns(["from_resource", "slept"])
+                return (b.append_column("from_resource",
+                                        pa.array(np.zeros(n, dtype=bool)))
+                         .append_column("slept",
+                                        pa.array(np.zeros(n, dtype=bool))))
+
+            cols = [f.name for f in FETCHED_OUT]
+            return walked.select_columns(cols).union(
+                prev.map_batches(as_cache_hit, batch_format="pyarrow")
+                    .select_columns(cols))
         if cfg.needs_host_affinity():
             # the designed shuffle: co-locate each host on one worker so the
             # per-host deadline heap is authoritative cluster-wide

@@ -235,17 +235,37 @@ _GROUP_WALKERS: dict = {}
 
 
 def make_group_walker(token: str, cfg, web_source, seen_handle,
-                      drop: tuple = ("bucket",)):
+                      drop: tuple = ("bucket",), ckpt_dir: str | None = None):
     """A picklable map_groups callable that lazily builds ONE InstanceWalker
     per worker process (keyed by token) so bucket caches persist across the
-    groups a worker processes."""
+    groups a worker processes.
+
+    With ``ckpt_dir``, each group (= one corpus bucket) checkpoints its own
+    output to ``<ckpt_dir>/bucket=<b>/`` and drops a ``_SUCCESS`` marker —
+    the per-partition lineage unit: a crashed run leaves markers only for
+    completed buckets, and the next run walks just the rest
+    (engine.fetch_instances)."""
 
     def walk(group: pa.Table) -> pa.Table:
         w = _GROUP_WALKERS.get(token)
         if w is None:
             w = _GROUP_WALKERS[token] = InstanceWalker(cfg, web_source, seen_handle)
+        bucket = None
+        if ckpt_dir is not None and "bucket" in group.column_names and group.num_rows:
+            bucket = int(group["bucket"][0].as_py())
         cols = [c for c in drop if c in group.column_names]
-        return w(group.drop_columns(cols) if cols else group)
+        out = w(group.drop_columns(cols) if cols else group)
+        if bucket is not None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            d = os.path.join(ckpt_dir, f"bucket={bucket}")
+            os.makedirs(d, exist_ok=True)
+            # fixed filename: a Ray task retry overwrites instead of duplicating
+            pq.write_table(out, os.path.join(d, "data-0.parquet"))
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        return out
 
     return walk
 
