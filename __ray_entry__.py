@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": datapipe.lang_id,
         "simhash": datapipe.simhash,
         "minhash_dedup": datapipe.minhash_dedup,
+        "ngram_jaccard": datapipe.ngram_jaccard,
         "ann_topk": datapipe.ann_topk,
         "embedding_dedup": datapipe.embedding_dedup,
         "events_window": datapipe.events_window,
@@ -255,6 +256,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inter AS DOUBLE) / (la + lb - inter) AS jacc
             FROM p
             WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+              FROM documents),
+            s AS (
+              SELECT doc_id, source,
+                     list_distinct(CASE
+                       WHEN len(w) >= 3 THEN list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                       ELSE [] END) AS sh
+              FROM t),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) AS la, len(b.sh) AS lb
+              FROM s a JOIN s b
+                ON a.source = b.source AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (la + lb - inter) AS jacc
+            FROM p
+            WHERE la + lb - inter > 0
+              AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
             ORDER BY doc_a, doc_b
         """,
         "ann_topk": """

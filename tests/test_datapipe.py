@@ -113,3 +113,18 @@ def test_media_decoder_deterministic():
     d2 = datapipe.MediaDecoder._decode("assets/42.img")
     assert d1 == d2
     assert 64 <= d1[0] < 512 and 64 <= d1[1] < 512
+
+
+def test_ngram_jaccard_exact_blocked_pairs(ray_session, dup_dir):
+    t = datapipe.ngram_jaccard(dup_dir, threshold=0.5)
+    pairs = list(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+    # within-source blocking: (0,1) are normalized-identical in src0 -> 1.0;
+    # src1's near-dup pair (2,3) is far below threshold; src2 has one doc
+    assert pairs == [(0, 1)]
+    assert t["jacc"].to_pylist() == [1.0]
+
+
+def test_ngram_jaccard_threshold_zero_emits_all_block_pairs(ray_session, dup_dir):
+    t = datapipe.ngram_jaccard(dup_dir, threshold=0.0)
+    assert set(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())) == \
+        {(0, 1), (2, 3)}

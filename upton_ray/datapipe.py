@@ -232,6 +232,58 @@ def jaccard(a_tokens: set, b_tokens: set) -> float:
     return inter / (len(a_tokens) + len(b_tokens) - inter)
 
 
+def ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Exact n-gram (word 3-shingle) Jaccard near-dup pairs, source-blocked.
+
+    The exact counterpart of :func:`minhash_dedup`: instead of LSH candidate
+    generation, pairs are enumerated only WITHIN a blocking key (``source``) —
+    the standard way to bound the O(n^2) pair space at corpus scale (cross-
+    block pairs are the LSH path's job). One ``groupby(source).map_groups``
+    per block; inside a block the pairwise intersection is one integer matmul
+    over the doc x shingle incidence matrix (no Python pair loop). Division
+    is float64 on exact integer counts, so values match the SQL oracle
+    bit-for-bit.
+    """
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def pairs_in_block(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group["doc_id"])
+        group = group.take(order)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        texts = _norm_text(group["text"]).to_pylist()
+        sets = [set(shingles(t)) for t in texts]
+        vocab: dict = {}
+        for s in sets:
+            for x in s:
+                vocab.setdefault(x, len(vocab))
+        m = np.zeros((len(ids), max(len(vocab), 1)), dtype=np.int64)
+        for r, s in enumerate(sets):
+            for x in s:
+                m[r, vocab[x]] = 1
+        inter = m @ m.T
+        sizes = m.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        i, j = np.triu_indices(len(ids), k=1)
+        ok = union[i, j] > 0
+        i, j = i[ok], j[ok]
+        jac = inter[i, j].astype(np.float64) / union[i, j]
+        keep = jac >= threshold
+        return pa.table({"doc_a": pa.array(ids[i[keep]], pa.int64()),
+                         "doc_b": pa.array(ids[j[keep]], pa.int64()),
+                         "jacc": pa.array(jac[keep], pa.float64())})
+
+    out = docs.groupby("source").map_groups(pairs_in_block,
+                                            batch_format="pyarrow")
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns > 0]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jacc": pa.array([], pa.float64())})
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     """Near-dup pairs by MinHash+LSH, verified with exact shingle-Jaccard.
 
