@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": datapipe.minhash_dedup,
         "ngram_jaccard": datapipe.ngram_jaccard,
         "ann_topk": datapipe.ann_topk,
+        "ann_ivf": datapipe.ann_ivf,     # approximate (IVF): rows-only gate
         "embedding_dedup": datapipe.embedding_dedup,
         "events_window": datapipe.events_window,
         "frontier_topk": datapipe.frontier_topk,

@@ -128,3 +128,24 @@ def test_ngram_jaccard_threshold_zero_emits_all_block_pairs(ray_session, dup_dir
     t = datapipe.ngram_jaccard(dup_dir, threshold=0.0)
     assert set(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())) == \
         {(0, 1), (2, 3)}
+
+
+def test_ann_ivf_full_probe_equals_brute_force(ray_session):
+    sf = "/root/testdata/sf0.001"
+    exact = datapipe.ann_topk(sf).to_pandas()
+    ivf = datapipe.ann_ivf(sf, n_cells=8, nprobe=8).to_pandas()
+    # probing every cell must reduce IVF to exact brute force, bit-for-bit
+    assert ivf.values.tolist() == exact.values.tolist()
+
+
+def test_ann_ivf_partial_probe_recall(ray_session):
+    sf = "/root/testdata/sf0.001"
+    exact = datapipe.ann_topk(sf).to_pandas()
+    ivf = datapipe.ann_ivf(sf, n_cells=8, nprobe=4).to_pandas()
+    hits = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        hits += len(truth & got) / len(truth)
+    recall = hits / exact["query_id"].nunique()
+    assert recall >= 0.5, f"IVF nprobe=4/8 recall too low: {recall}"

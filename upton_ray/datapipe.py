@@ -416,6 +416,98 @@ def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _kmeans_cosine(x: np.ndarray, n_cells: int, iters: int = 8,
+                   seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a (normalized) sample — the IVF
+    coarse quantizer. Driver-side on a BOUNDED sample (at corpus scale: a
+    seeded shard sample, never the full table)."""
+    rng = np.random.RandomState(seed)
+    cents = x[rng.permutation(len(x))[:n_cells]].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = x[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 4, k: int = 10, n_cells: int = 8,
+            nprobe: int = 4, train_sample: int = 4096) -> pa.Table:
+    """IVF-bucketed approximate top-k — the scale path for :func:`ann_topk`.
+
+    Coarse quantizer (spherical k-means, bounded deterministic sample) →
+    streamed cell assignment (`map_batches`, one matmul per batch) →
+    `groupby(cell).map_groups`: each inverted list scans ONLY the queries
+    probing it (top-``nprobe`` cells per query) → tiny candidate merge on the
+    driver. With ``nprobe == n_cells`` this degrades to exact brute force —
+    the property the unit test pins. Approximate for ``nprobe < n_cells``, so
+    the driver gate checks rows-only (no SQL oracle), like simhash.
+    """
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    sample = _emb_matrix(full.slice(0, train_sample))
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = _kmeans_cosine(sample, n_cells)
+
+    qt = full.slice(0, n_queries)
+    q = _emb_matrix(qt)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (q, nprobe)
+    state_ref = ray.put((cents, q, probe))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_m, _, _ = ray.get(state_ref)
+        m = _emb_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cell = (m @ cents_m.T).argmax(axis=1)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    def cell_topk(group: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int32()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if group.num_rows == 0:
+            return empty
+        _, qm, probe_m = ray.get(state_ref)
+        cell = int(group["cell"][0].as_py())
+        qis = [qi for qi in range(len(qm)) if cell in probe_m[qi]]
+        if not qis:
+            return empty
+        m = _emb_matrix(group)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ qm[qis].T                    # (cell_size, len(qis))
+        kk = min(k, len(ids))
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        for col, qi in enumerate(qis):
+            s = sims[:, col]
+            part = np.argpartition(-s, kk - 1)[:kk]
+            rows["query_id"].extend([qi] * len(part))
+            rows["vec_id"].extend(ids[part].tolist())
+            rows["sim"].extend(s[part].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int32()),
+                         "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    cand = (_emb(sf_dir)
+            .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+            .groupby("cell")
+            .map_groups(cell_topk, batch_format="pyarrow"))
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns > 0]
+    df = pa.concat_tables(parts).to_pandas()
+    df = df.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     """Embedding near-dup pairs (cosine >= threshold, a < b).
 
