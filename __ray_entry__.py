@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": datapipe.events_window,
         "frontier_topk": datapipe.frontier_topk,
         "media_decode": datapipe.media_decode,
+        "media_resize": datapipe.media_resize,
+        "frame_sample": datapipe.frame_sample,
     }
     return q
 
@@ -330,6 +332,33 @@ def oracle_sql() -> dict[str, str]:
                         * (64 + (length('assets/' || doc_id || '.img') * 53) % 448)
                         AS BIGINT) AS n_pixels
             FROM documents
+        """,
+        "media_resize": """
+            WITH d AS (
+              SELECT doc_id,
+                     'assets/' || doc_id || '.img' AS media_ref,
+                     64 + (length('assets/' || doc_id || '.img') * 37) % 448 AS w,
+                     64 + (length('assets/' || doc_id || '.img') * 53) % 448 AS h
+              FROM documents)
+            SELECT doc_id, media_ref,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                        ELSE (w * 256) // greatest(w, h) END AS BIGINT) AS out_width,
+                   CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                        ELSE (h * 256) // greatest(w, h) END AS BIGINT) AS out_height
+            FROM d
+        """,
+        "frame_sample": """
+            WITH d AS (
+              SELECT doc_id,
+                     'assets/' || doc_id || '.img' AS media_ref,
+                     1 + (length('assets/' || doc_id || '.img') * 29) % 120
+                       AS dur
+              FROM documents)
+            SELECT doc_id, media_ref,
+                   CAST(t // 10 AS BIGINT) AS frame_no,
+                   CAST(t AS BIGINT) AS t_s
+            FROM d, unnest(range(0, dur, 10)) AS u(t)
         """,
         # "simhash" intentionally has no SQL oracle (hash function not
         # expressible in SQL) -> driver records the weaker rows-only check.

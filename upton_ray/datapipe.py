@@ -632,10 +632,7 @@ class MediaDecoder:
         })
 
 
-def media_decode(sf_dir: str):
-    """Media feature extraction over the documents-derived web: one media
-    span per document (docweb.article_spans)."""
-
+def _media_refs_ds(sf_dir: str):
     def media_refs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         return pa.table({
@@ -643,6 +640,81 @@ def media_decode(sf_dir: str):
             "media_ref": pa.array([f"assets/{i}.img" for i in ids], pa.string()),
         })
 
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(media_refs, batch_format="pyarrow")
-    return ds.map_batches(MediaDecoder, batch_format="pyarrow",
-                          concurrency=2, batch_size=4096)
+    return _docs(sf_dir, ["doc_id"]).map_batches(media_refs,
+                                                 batch_format="pyarrow")
+
+
+def media_decode(sf_dir: str):
+    """Media feature extraction over the documents-derived web: one media
+    span per document (docweb.article_spans)."""
+    return _media_refs_ds(sf_dir).map_batches(
+        MediaDecoder, batch_format="pyarrow", concurrency=2, batch_size=4096)
+
+
+class MediaResizer:
+    """Resize stage (actor pool): fit the fake-decoded image into a target
+    box preserving aspect ratio, integer math only (so the SQL oracle mirrors
+    it exactly). A real build swaps `_decode`+arithmetic for PIL thumbnail;
+    the Ray plumbing — callable class, per-actor init, vector batches — is
+    the production shape."""
+
+    def __init__(self, box: int = 256):
+        self.box = box
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        dims = [MediaDecoder._decode(r) for r in refs]
+        box = self.box
+        out = []
+        for w, h in dims:
+            mx = max(w, h)
+            out.append((w, h) if mx <= box
+                       else ((w * box) // mx, (h * box) // mx))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "width": pa.array([d[0] for d in dims], pa.int64()),
+            "height": pa.array([d[1] for d in dims], pa.int64()),
+            "out_width": pa.array([o[0] for o in out], pa.int64()),
+            "out_height": pa.array([o[1] for o in out], pa.int64()),
+        })
+
+
+def media_resize(sf_dir: str):
+    return _media_refs_ds(sf_dir).map_batches(
+        MediaResizer, batch_format="pyarrow", concurrency=2, batch_size=4096)
+
+
+class FrameSampler:
+    """Video frame-sampling stage (actor pool): emits one row per sampled
+    frame (every ``step_s`` seconds over a fake per-ref duration) — the
+    row-explosion contract of a real ffmpeg keyframe sampler, with the decode
+    stubbed deterministically (no media libs in this container)."""
+
+    def __init__(self, step_s: int = 10):
+        self.step_s = step_s
+
+    @staticmethod
+    def _duration_s(ref: str) -> int:
+        return 1 + (len(ref) * 29) % 120
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        step = self.step_s
+        rows = {"doc_id": [], "media_ref": [], "frame_no": [], "t_s": []}
+        for doc_id, ref in zip(batch["doc_id"].to_pylist(),
+                               batch["media_ref"].to_pylist()):
+            dur = self._duration_s(ref)
+            for fno, t in enumerate(range(0, dur, step)):
+                rows["doc_id"].append(doc_id)
+                rows["media_ref"].append(ref)
+                rows["frame_no"].append(fno)
+                rows["t_s"].append(t)
+        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "media_ref": pa.array(rows["media_ref"], pa.string()),
+                         "frame_no": pa.array(rows["frame_no"], pa.int64()),
+                         "t_s": pa.array(rows["t_s"], pa.int64())})
+
+
+def frame_sample(sf_dir: str):
+    return _media_refs_ds(sf_dir).map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=2, batch_size=4096)
