@@ -41,6 +41,10 @@ class CrawlConfig:
     real_sleep: bool = False           # tests/bench count sleeps instead of sleeping
     max_sleep: float = 0.05            # cap on actual sleep when real_sleep
 
+    # --- skew handling (north_rule: hot-host splitting, shared token bucket) ---
+    hot_host_threshold: Optional[int] = None  # frontier URLs per host; None = off
+    hot_host_salts: int = 8                   # sub-queues per hot host
+
     # --- distributed shape ---
     num_seen_shards: int = 8
     fetch_concurrency: int = 4         # fetch actor pool size

@@ -132,6 +132,7 @@ class Crawler:
         if seeds is None and cfg.index_url is not None:
             seeds = [(0, cfg.index_url, cfg.index_selector)]
         self.seeds = seeds
+        self.pacer = None            # shared hot-host token bucket (if engaged)
         self.seen: Optional[SeenSet] = None
         if cfg.debug or cfg.index_debug:
             self.seen = SeenSet(cfg.num_seen_shards)
@@ -142,6 +143,9 @@ class Crawler:
         if self.seen is not None:
             self.seen.kill()
             self.seen = None
+        if self.pacer is not None:
+            ray.kill(self.pacer, no_restart=True)
+            self.pacer = None
 
     # ------------------------------------------------------------ checkpoint
 
@@ -405,20 +409,46 @@ class Crawler:
                     .select_columns(cols))
         if cfg.needs_host_affinity():
             # the designed shuffle: co-locate each host on one worker so the
-            # per-host deadline heap is authoritative cluster-wide
+            # per-host deadline heap is authoritative cluster-wide.
+            # Skew handling (north_rule): hosts above cfg.hot_host_threshold
+            # are SPLIT into salted sub-queues that land on different workers
+            # but share one global token bucket (HostPacer actor).
+            hot_hosts: frozenset = frozenset()
+            self.pacer = None
+            if cfg.hot_host_threshold:
+                # pin the frontier first: the counting pass must not re-run
+                # the (stateful) round-0 walkers when the fetch pass executes.
+                # Frontier rows are just (url, ints); at the 10^10 design
+                # point replace this with the round-0 per-host link counts.
+                frontier = frontier.materialize()
+                hot_hosts = self._find_hot_hosts(frontier,
+                                                 cfg.hot_host_threshold)
+                if hot_hosts:
+                    from upton_ray.frontier import make_host_pacer
+
+                    self.pacer = make_host_pacer()
+            salts = max(1, cfg.hot_host_salts)
+
             def add_shard(batch: pa.Table) -> pa.Table:
                 urls = batch["url"].to_numpy(zero_copy_only=False)
                 hs = hosts_of(urls)
+                keys = hs
+                if hot_hosts:
+                    keys = hs.copy()
+                    idx = np.flatnonzero(np.isin(hs, list(hot_hosts)))
+                    for j, i in enumerate(idx):   # round-robin sub-queues
+                        keys[i] = f"{hs[i]}#s{j % salts}"
                 return batch.append_column(
                     "host_shard",
-                    pa.array(shard_hashes(hs, cfg.fetch_concurrency), pa.int32()))
+                    pa.array(shard_hashes(keys, cfg.fetch_concurrency), pa.int32()))
 
             from upton_ray.fetch import make_group_walker
 
             sharded = frontier.map_batches(add_shard, batch_format="pyarrow")
             token = f"hostwalk-{os.getpid()}-{id(self)}"
             fetched = sharded.groupby("host_shard").map_groups(
-                make_group_walker(token, *walker_args, drop=("host_shard",)),
+                make_group_walker(token, *walker_args, drop=("host_shard",),
+                                  pacer=self.pacer, hot_hosts=hot_hosts),
                 batch_format="pyarrow")
         else:
             fetched = frontier.map_batches(
@@ -430,6 +460,25 @@ class Crawler:
                 num_cpus=0.5,
             )
         return self._maybe_checkpoint_fetch(fetched)
+
+    @staticmethod
+    def _find_hot_hosts(frontier, threshold: int) -> frozenset:
+        """Per-host frontier counts via streamed partial aggregates; only the
+        (host, count) rollup — bounded by distinct-host count — reaches the
+        driver."""
+        def partial(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            hs = hosts_of(b["url"].to_numpy(zero_copy_only=False))
+            g = pd.DataFrame({"host": hs}).groupby("host", as_index=False).size()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        t = collect(frontier.map_batches(partial, batch_format="pyarrow"),
+                    pa.schema([("host", pa.string()), ("size", pa.int64())]))
+        if t.num_rows == 0:
+            return frozenset()
+        df = t.to_pandas().groupby("host", as_index=False)["size"].sum()
+        return frozenset(df[df["size"] > threshold]["host"])
 
     def _maybe_checkpoint_fetch(self, fetched):
         ckpt = self._ckpt("fetched_round1")

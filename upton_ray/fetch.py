@@ -186,7 +186,8 @@ def make_store(web_source):
 class _FetchState:
     """Shared per-actor fetch machinery (store + stash + politeness + robots)."""
 
-    def __init__(self, cfg: CrawlConfig, web_source, seen_handle):
+    def __init__(self, cfg: CrawlConfig, web_source, seen_handle,
+                 pacer=None, hot_hosts: frozenset = frozenset()):
         import ray
 
         self.cfg = cfg
@@ -199,6 +200,10 @@ class _FetchState:
             real_sleep=cfg.real_sleep, max_sleep=cfg.max_sleep)
         self.robots = RobotsCache(cfg.robots if cfg.respect_robots else {})
         self.statuses = cfg.status_overlay or {}
+        # skew handling: hosts split into salted sub-queues share ONE global
+        # token bucket (HostPacer actor) instead of this worker's local heap
+        self.pacer = pacer
+        self.hot_hosts = hot_hosts
 
     def fetch_one(self, url, stash: bool):
         """Sequential-path fetch (index chains, continuations).
@@ -235,7 +240,8 @@ _GROUP_WALKERS: dict = {}
 
 
 def make_group_walker(token: str, cfg, web_source, seen_handle,
-                      drop: tuple = ("bucket",), ckpt_dir: str | None = None):
+                      drop: tuple = ("bucket",), ckpt_dir: str | None = None,
+                      pacer=None, hot_hosts: frozenset = frozenset()):
     """A picklable map_groups callable that lazily builds ONE InstanceWalker
     per worker process (keyed by token) so bucket caches persist across the
     groups a worker processes.
@@ -249,7 +255,8 @@ def make_group_walker(token: str, cfg, web_source, seen_handle,
     def walk(group: pa.Table) -> pa.Table:
         w = _GROUP_WALKERS.get(token)
         if w is None:
-            w = _GROUP_WALKERS[token] = InstanceWalker(cfg, web_source, seen_handle)
+            w = _GROUP_WALKERS[token] = InstanceWalker(
+                cfg, web_source, seen_handle, pacer=pacer, hot_hosts=hot_hosts)
         bucket = None
         if ckpt_dir is not None and "bucket" in group.column_names and group.num_rows:
             bucket = int(group["bucket"][0].as_py())
@@ -373,8 +380,10 @@ class InstanceWalker:
      slept, status, robots_blocked).
     """
 
-    def __init__(self, cfg: CrawlConfig, web_source, seen_handle=None):
-        self.st = _FetchState(cfg, web_source, seen_handle)
+    def __init__(self, cfg: CrawlConfig, web_source, seen_handle=None,
+                 pacer=None, hot_hosts: frozenset = frozenset()):
+        self.st = _FetchState(cfg, web_source, seen_handle,
+                              pacer=pacer, hot_hosts=hot_hosts)
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -401,12 +410,35 @@ class InstanceWalker:
         statuses = np.full(n, 0, dtype=np.int32)
         slept = np.zeros(n, dtype=bool)
         if st.sched.delay and cfg.real_sleep:
-            # politeness: earliest-deadline-first order over this batch's hosts
+            from upton_ray.urlops import hosts_of as _hosts_of
+
+            fetch_hosts = _hosts_of(furls) if len(furls) else np.array([], object)
+            if st.pacer is not None and st.hot_hosts:
+                # hot hosts: lease from the GLOBAL bucket, one RPC per host
+                # per batch (their sub-queues live on several workers, so the
+                # local heap can't be authoritative); capped local wait
+                import time as _time
+
+                from collections import Counter
+
+                import ray as _ray
+
+                cnt = Counter(h for j, h in enumerate(fetch_hosts)
+                              if from_res[j] and h in st.hot_hosts)
+                if cnt:
+                    items = list(cnt.items())
+                    _ray.get([st.pacer.lease.remote(h, c, st.sched.host_delay(h))
+                              for h, c in items])
+                    for h, c in items:
+                        _time.sleep(min(c * st.sched.host_delay(h),
+                                        cfg.max_sleep))
+            # cold hosts: earliest-deadline-first over this worker's heap
             for j in st.sched.order_batch(furls):
                 if from_res[j]:
                     u = furls[j]
                     statuses[fetchable[j]] = st.statuses.get(u, 200)
-                    st.sched.wait_turn(host_of(u))
+                    if fetch_hosts[j] not in st.hot_hosts:
+                        st.sched.wait_turn(host_of(u))
                     slept[fetchable[j]] = True
         else:
             fr_rows = fetchable[from_res]

@@ -79,6 +79,43 @@ class HostScheduler:
         return wait
 
 
+def make_host_pacer():
+    """Create the shared token-bucket actor for hot hosts (deferred ray import
+    so this module stays importable without a session)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class HostPacer:
+        """Cluster-wide politeness bucket for SPLIT (salted) hot hosts.
+
+        A hot host's sub-queues land on different workers, so worker-local
+        deadline heaps would each pace independently — k sub-queues would
+        fetch k× the polite rate. Every worker instead LEASES a window for
+        its batch's fetches of that host here (one RPC per host per batch,
+        amortized): the virtual clock advances ``n * delay`` per lease, so
+        the host's global fetch rate stays 1/delay no matter how many
+        sub-queues exist (north_rule: salted sub-queues share the bucket).
+        """
+
+        def __init__(self):
+            self.next_allowed: dict[str, float] = {}
+            self.granted: dict[str, int] = {}
+            self.leases: dict[str, int] = {}
+
+        def lease(self, host: str, n: int, delay: float) -> float:
+            start = self.next_allowed.get(host, 0.0)
+            self.next_allowed[host] = start + n * delay
+            self.granted[host] = self.granted.get(host, 0) + n
+            self.leases[host] = self.leases.get(host, 0) + 1
+            return start
+
+        def state(self):
+            return (dict(self.next_allowed), dict(self.granted),
+                    dict(self.leases))
+
+    return HostPacer.remote()
+
+
 def salt_hot_hosts(hosts: np.ndarray, counts_threshold: int, num_salts: int,
                    rng_base: int = 0x9E37) -> np.ndarray:
     """Skew handling: return a routing key per row — host, or host#salt-i for
