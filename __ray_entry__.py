@@ -82,11 +82,16 @@ def _fixture_goldens() -> dict[str, str]:
     table += [(0, 0, i + 2, "|".join(row)) for i, row in enumerate(EAST_TIMOR_ROWS)]
     paginated = [(0, 0, 0, HEADLINES["webinar"]), (1, 0, 0, HEADLINES["prosecutor"]),
                  (2, 0, 0, HEADLINES["sixfacts"])]
+    # robots extension: sixfacts' path disallowed -> blocked without fetch,
+    # empty record kept positionally (row 1 is the reference's own no-match "")
+    robots = [(0, 0, 0, HEADLINES["webinar"]), (1, 0, 0, ""),
+              (2, 0, 0, HEADLINES["prosecutor"]), (3, 0, 0, "")]
     return {
         "crawl_basic": _values_sql(basic),
         "crawl_list": _values_sql(lst),
         "crawl_table": _values_sql(table),
         "crawl_paginated": _values_sql(paginated),
+        "crawl_robots": _values_sql(robots),
     }
 
 
@@ -151,11 +156,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_list": lambda sf: _fixture_crawl("list"),
         "crawl_table": lambda sf: _fixture_crawl("table"),
         "crawl_paginated": lambda sf: _fixture_crawl("paginated"),
+        "crawl_robots": lambda sf: _fixture_crawl("robots"),
         "url_parts": url_parts,
         "pagination_successor": pagination_successor,
         # --- training-data pipeline extras ---
         "dedup_exact": datapipe.dedup_exact,
         "fingerprint": datapipe.fingerprint,
+        "winnow_fingerprint": datapipe.winnow_fingerprint,  # rows-only gate
         "token_count": datapipe.token_count,
         "quality_score": datapipe.quality_score,
         "lang_id": datapipe.lang_id,

@@ -149,3 +149,34 @@ def test_ann_ivf_partial_probe_recall(ray_session):
         hits += len(truth & got) / len(truth)
     recall = hits / exact["query_id"].nunique()
     assert recall >= 0.5, f"IVF nprobe=4/8 recall too low: {recall}"
+
+
+def test_winnowing_guarantee_and_stability():
+    """Winnowing property: every window of w consecutive k-gram hashes
+    contributes a selected fingerprint, and matches of length >= w+k-1
+    between two docs share at least one fingerprint."""
+    from upton_ray.datapipe import rolling_kgram_hashes, winnow
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    h = rolling_kgram_hashes(text, k=8)
+    sel = set(winnow(h, w=4).tolist())
+    wins = np.lib.stride_tricks.sliding_window_view(h, 4)
+    assert all(any(int(v) in sel for v in win) for win in wins)
+
+    # a long shared substring yields shared fingerprints
+    other = "XYZ " + text[4:40] + " QQQ totally different tail here now"
+    sel2 = set(winnow(rolling_kgram_hashes(other, k=8), w=4).tolist())
+    assert sel & sel2, "long shared substring must share a fingerprint"
+
+
+def test_winnow_fingerprint_pipeline(ray_session, dup_dir):
+    t = _collect(datapipe.winnow_fingerprint(dup_dir),
+                 ("doc_id", pa.int64()), ("n_fp", pa.int64()),
+                 ("fp_min", pa.int64()), ("fp_max", pa.int64()),
+                 ("fp_xor", pa.int64())).sort_by("doc_id")
+    assert t.num_rows == 5
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    # docs 0 and 1 are normalization-identical -> identical sketches
+    assert (rows[0]["n_fp"], rows[0]["fp_xor"]) == \
+        (rows[1]["n_fp"], rows[1]["fp_xor"])
+    assert rows[0]["fp_xor"] != rows[3]["fp_xor"]

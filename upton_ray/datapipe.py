@@ -68,6 +68,63 @@ def fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
+_WIN_MOD = np.int64((1 << 61) - 1)
+
+
+def rolling_kgram_hashes(text: str, k: int = 8, base: int = 257) -> np.ndarray:
+    """Polynomial (Rabin–Karp-style) hashes of every char k-gram, vectorized:
+    one sliding-window view + one matvec over the byte array."""
+    arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(arr) < k:
+        arr = np.pad(arr, (0, k - len(arr)))
+    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.int64)
+    pows = np.power(np.int64(base), np.arange(k - 1, -1, -1, dtype=np.int64),
+                    dtype=object)  # object to avoid overflow, then reduce
+    vals = (win * np.array([int(p) % int(_WIN_MOD) for p in pows],
+                           dtype=np.int64)) % _WIN_MOD
+    return vals.sum(axis=1) % _WIN_MOD
+
+
+def winnow(hashes: np.ndarray, w: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer et al., MOSS): keep the min hash of every window
+    of ``w`` consecutive k-gram hashes — guarantees any match of length
+    >= w + k - 1 shares a selected fingerprint. Vectorized window-min."""
+    if len(hashes) == 0:
+        return hashes
+    if len(hashes) < w:
+        return np.unique(hashes.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return np.unique(mins)
+
+
+def winnow_fingerprint(sf_dir: str, k: int = 8, w: int = 4):
+    """Rolling-hash document fingerprints (winnowing): per doc, the selected
+    fingerprint set summarized as (count, min, max) + a set-hash — the
+    plagiarism/near-dup sketch used at corpus scale where full shingle sets
+    don't fit. Approximate summary ⇒ rows-only driver gate; exact properties
+    pinned in tests/test_datapipe.py."""
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        texts = _norm_text(batch["text"]).to_pylist()
+        rows = {"n_fp": [], "fp_min": [], "fp_max": [], "fp_xor": []}
+        for t in texts:
+            sel = winnow(rolling_kgram_hashes(t, k), w)
+            rows["n_fp"].append(len(sel))
+            rows["fp_min"].append(int(sel.min()) if len(sel) else 0)
+            rows["fp_max"].append(int(sel.max()) if len(sel) else 0)
+            x = 0
+            for v in sel.tolist():
+                x ^= int(v)
+            rows["fp_xor"].append(x)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_fp": pa.array(rows["n_fp"], pa.int64()),
+                         "fp_min": pa.array(rows["fp_min"], pa.int64()),
+                         "fp_max": pa.array(rows["fp_max"], pa.int64()),
+                         "fp_xor": pa.array(rows["fp_xor"], pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp_batch, batch_format="pyarrow")
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: first (min doc_id) winner per content fingerprint.
     Hash-partitioned groupby on the fp key — the batch-mode equivalent of the
