@@ -378,35 +378,29 @@ class Crawler:
                 batch_format="pyarrow")
             if not ckpt:
                 return walked
-            # barrier: execute the walk so every pending bucket lands its
-            # checkpoint + _SUCCESS marker, then record lineage/metrics for
-            # THIS run's work only (resumed buckets did no work this run)
-            walked = walked.materialize()
-            self._write_metrics(walked)
-            for b in sorted(self._done_buckets(ckpt) - done):
+            # With a checkpoint, the walkers write page data straight to
+            # <ckpt>/bucket=<b>/ and emit only one-row stats — the barrier
+            # below holds a few KB, never the crawl's spans. Lineage +
+            # per-partition metrics come from the stats (THIS run's work
+            # only; resumed buckets contribute nothing); extraction then
+            # streams from the checkpoint files.
+            stats_schema = pa.schema([
+                ("bucket", pa.int32()), ("rows", pa.int64()),
+                ("fetched", pa.int64()), ("cache_hits", pa.int64()),
+                ("slept", pa.int64()), ("errors", pa.int64()),
+                ("robots_blocked", pa.int64())])
+            stats_t = collect(walked, stats_schema)
+            self._write_metrics_from_stats(stats_t)
+            for b in sorted(stats_t["bucket"].to_pylist()):
                 self._mark_done(f"round1/bucket={b}")
             self._mark_done("round1")
             self._dump_seen()
-            if not done:
-                return walked
-            prev = ray.data.read_parquet(
+            all_done = sorted(self._done_buckets(ckpt))
+            if not all_done:
+                return ray.data.from_arrow(FETCHED_OUT.empty_table())
+            return ray.data.read_parquet(
                 [os.path.join(ckpt, f"bucket={b}", "data-0.parquet")
-                 for b in sorted(done)])
-
-            def as_cache_hit(b: pa.Table) -> pa.Table:
-                # read-back rows are cache reads in THIS run: no network
-                # fetch, no politeness sleep (stash semantics, Q8)
-                n = b.num_rows
-                b = b.drop_columns(["from_resource", "slept"])
-                return (b.append_column("from_resource",
-                                        pa.array(np.zeros(n, dtype=bool)))
-                         .append_column("slept",
-                                        pa.array(np.zeros(n, dtype=bool))))
-
-            cols = [f.name for f in FETCHED_OUT]
-            return walked.select_columns(cols).union(
-                prev.map_batches(as_cache_hit, batch_format="pyarrow")
-                    .select_columns(cols))
+                 for b in all_done])
         if cfg.needs_host_affinity():
             # the designed shuffle: co-locate each host on one worker so the
             # per-host deadline heap is authoritative cluster-wide.
@@ -532,6 +526,18 @@ class Crawler:
                          ("rows", pa.int64())])
         t = collect(fetched.map_batches(partial, batch_format="pyarrow"), sch)
         df = t.to_pandas().groupby("partition", as_index=False).sum()
+        df.insert(0, "round", 1)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+
+    def _write_metrics_from_stats(self, stats_t: pa.Table) -> None:
+        """Per-partition metrics straight from the walkers' per-bucket stat
+        rows (partition = corpus bucket, matching the fetch routing and the
+        lineage unit)."""
+        p = self._ckpt("metrics.parquet")
+        if not p:
+            return
+        df = stats_t.to_pandas().rename(columns={"bucket": "partition"})
+        df = df.sort_values("partition").reset_index(drop=True)
         df.insert(0, "round", 1)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
 

@@ -247,10 +247,12 @@ def make_group_walker(token: str, cfg, web_source, seen_handle,
     groups a worker processes.
 
     With ``ckpt_dir``, each group (= one corpus bucket) checkpoints its own
-    output to ``<ckpt_dir>/bucket=<b>/`` and drops a ``_SUCCESS`` marker —
-    the per-partition lineage unit: a crashed run leaves markers only for
-    completed buckets, and the next run walks just the rest
-    (engine.fetch_instances)."""
+    output to ``<ckpt_dir>/bucket=<b>/``, drops a ``_SUCCESS`` marker — the
+    per-partition lineage unit: a crashed run leaves markers only for
+    completed buckets, and the next run walks just the rest — and returns
+    only a one-row STATS table (the page data stays on disk, so the barrier
+    the engine takes over these stats never holds the crawl's spans in the
+    object store; extraction re-reads the checkpoint files)."""
 
     def walk(group: pa.Table) -> pa.Table:
         w = _GROUP_WALKERS.get(token)
@@ -262,17 +264,31 @@ def make_group_walker(token: str, cfg, web_source, seen_handle,
             bucket = int(group["bucket"][0].as_py())
         cols = [c for c in drop if c in group.column_names]
         out = w(group.drop_columns(cols) if cols else group)
-        if bucket is not None:
-            import os
+        if bucket is None:
+            return out
+        import os
 
-            import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-            d = os.path.join(ckpt_dir, f"bucket={bucket}")
-            os.makedirs(d, exist_ok=True)
-            # fixed filename: a Ray task retry overwrites instead of duplicating
-            pq.write_table(out, os.path.join(d, "data-0.parquet"))
-            open(os.path.join(d, "_SUCCESS"), "w").close()
-        return out
+        d = os.path.join(ckpt_dir, f"bucket={bucket}")
+        os.makedirs(d, exist_ok=True)
+        # fixed filename: a Ray task retry overwrites instead of duplicating
+        pq.write_table(out, os.path.join(d, "data-0.parquet"))
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+        status = out["status"]
+        fetched_n = int(pc.sum(out["from_resource"]).as_py() or 0)
+        return pa.table({
+            "bucket": pa.array([bucket], pa.int32()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "fetched": pa.array([fetched_n], pa.int64()),
+            "cache_hits": pa.array([out.num_rows - fetched_n], pa.int64()),
+            "slept": pa.array([int(pc.sum(out["slept"]).as_py() or 0)], pa.int64()),
+            "errors": pa.array([int(pc.sum(pc.and_(
+                pc.not_equal(status, 200),
+                pc.not_equal(status, 0))).as_py() or 0)], pa.int64()),
+            "robots_blocked": pa.array([int(pc.sum(
+                out["robots_blocked"]).as_py() or 0)], pa.int64()),
+        })
 
     return walk
 
