@@ -86,12 +86,16 @@ def _fixture_goldens() -> dict[str, str]:
     # empty record kept positionally (row 1 is the reference's own no-match "")
     robots = [(0, 0, 0, HEADLINES["webinar"]), (1, 0, 0, ""),
               (2, 0, 0, HEADLINES["prosecutor"]), (3, 0, 0, "")]
+    # instance continuation (P4/Q5): the stateless successor caps at depth 2 —
+    # page 2 (webinar_page_1.html) doesn't exist -> empty record at depth 1
+    continuation = [(0, 0, 0, HEADLINES["webinar"]), (0, 1, 0, "")]
     return {
         "crawl_basic": _values_sql(basic),
         "crawl_list": _values_sql(lst),
         "crawl_table": _values_sql(table),
         "crawl_paginated": _values_sql(paginated),
         "crawl_robots": _values_sql(robots),
+        "crawl_continuation": _values_sql(continuation),
     }
 
 
@@ -157,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_table": lambda sf: _fixture_crawl("table"),
         "crawl_paginated": lambda sf: _fixture_crawl("paginated"),
         "crawl_robots": lambda sf: _fixture_crawl("robots"),
+        "crawl_continuation": lambda sf: _fixture_crawl("continuation"),
         "url_parts": url_parts,
         "pagination_successor": pagination_successor,
         # --- training-data pipeline extras ---

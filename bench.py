@@ -142,10 +142,15 @@ def main():
     queries["synthetic_crawl"] = round(crawl["sec"], 3)
     queries["crawl_documents"] = round(timed(crawl_documents, SF_DIR), 3)
     queries["minhash_dedup"] = round(timed(datapipe.minhash_dedup, SF_DIR), 3)
+    queries["ngram_jaccard"] = round(timed(datapipe.ngram_jaccard, SF_DIR), 3)
     queries["ann_topk"] = round(timed(datapipe.ann_topk, SF_DIR), 3)
+    queries["ann_ivf"] = round(timed(datapipe.ann_ivf, SF_DIR), 3)
     queries["dedup_exact"] = round(timed(datapipe.dedup_exact, SF_DIR), 3)
+    queries["winnow_fingerprint"] = round(
+        timed(datapipe.winnow_fingerprint, SF_DIR), 3)
     queries["events_window"] = round(timed(datapipe.events_window, SF_DIR), 3)
     queries["quality_score"] = round(timed(datapipe.quality_score, SF_DIR), 3)
+    queries["media_decode"] = round(timed(datapipe.media_decode, SF_DIR), 3)
 
     out = {
         "metric": "crawl+extract throughput and pipeline wall-times",
