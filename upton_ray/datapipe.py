@@ -37,7 +37,11 @@ NORM_RE = r"\s+"
 
 
 def _docs(sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    # the test tables are ONE small parquet file -> one read block; split so
+    # downstream map_batches actually parallelizes (a real corpus is many
+    # files and needs no override)
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns, override_num_blocks=8)
 
 
 def _norm_text(texts: pa.Array) -> pa.Array:
