@@ -90,3 +90,35 @@ def test_seen_set_invalidate_clears_bad(ray_session):
     s.invalidate(["http://a.test/2"])
     assert not s.bad_mask(["http://a.test/2"]).any()
     s.kill()
+
+
+def test_approximate_mode_filters_only(ray_session):
+    """Filters-only membership (the 10^10-URL memory config): dedup still
+    works end-to-end with a bounded false-positive rate and no exact tier."""
+    from upton_ray.seen import SeenSet
+
+    s = SeenSet(num_shards=2, capacity_per_shard=100_000, approximate=True)
+    urls = [f"http://h{i % 32}.test/doc/{i}" for i in range(20_000)]
+    new1 = s.check_and_add(urls)
+    assert new1.mean() > 0.99, "first pass: nearly all new (FP rate bounded)"
+    new2 = s.check_and_add(urls)
+    assert not new2.any(), "second pass: no false negatives, none refetch"
+    assert s.contains(urls).all()
+    assert s.size() == int(new1.sum())
+
+    # deletions work from day one (cuckoo IS the store in this mode)
+    victims = urls[::100]
+    assert s.invalidate(victims) == len(victims)
+    again = s.check_and_add(victims)
+    assert again.mean() > 0.9, "invalidated URLs read as new again"
+    s.kill()
+
+
+def test_approximate_mode_intra_batch_duplicates(ray_session):
+    from upton_ray.seen import SeenSet
+
+    s = SeenSet(num_shards=1, capacity_per_shard=10_000, approximate=True)
+    new = s.check_and_add(["http://a.test/x", "http://a.test/x",
+                           "http://a.test/y"])
+    assert new.tolist() == [True, False, True]
+    s.kill()

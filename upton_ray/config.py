@@ -46,6 +46,8 @@ class CrawlConfig:
     hot_host_salts: int = 8                   # sub-queues per hot host
 
     # --- distributed shape ---
+    seen_exact: bool = True   # False = filters-only membership (10^10-URL
+                              # memory config; a filter FP may skip a fetch)
     num_seen_shards: int = 8
     fetch_concurrency: int = 4         # fetch actor pool size
     fetch_batch_size: int = 256

@@ -135,7 +135,8 @@ class Crawler:
         self.pacer = None            # shared hot-host token bucket (if engaged)
         self.seen: Optional[SeenSet] = None
         if cfg.debug or cfg.index_debug:
-            self.seen = SeenSet(cfg.num_seen_shards)
+            self.seen = SeenSet(cfg.num_seen_shards,
+                                approximate=not cfg.seen_exact)
             self._restore_seen()
 
     def shutdown(self) -> None:

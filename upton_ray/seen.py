@@ -153,11 +153,20 @@ class SeenShard:
     the deletable cuckoo filter — rebuilt from the exact set at switch time —
     serves it instead (a bloom cannot unlearn a deleted URL)."""
 
-    def __init__(self, capacity: int = 1_000_000):
+    def __init__(self, capacity: int = 1_000_000, approximate: bool = False):
         self.capacity = capacity
         self.bloom = Bloom(capacity)
         self.cuckoo: Cuckoo | None = None    # engaged on first invalidate
+        # approximate mode (the 10^10-URL memory config): membership lives in
+        # the filters ALONE — ~1.2 bits/key (bloom) or ~2.25 B/key (cuckoo)
+        # instead of ~60+ B/key for a Python set. Tradeoff: a filter false
+        # positive skips a fetch of a genuinely-new URL (rate set by
+        # `capacity`); crawl-order conformance modes keep the exact tier.
+        self.approximate = approximate
+        if approximate:
+            self.cuckoo = Cuckoo(capacity)   # deletable from day one
         self.exact: set[str] = set()
+        self.n_seen = 0
         self.bad: set[str] = set()   # URLs whose stashed body is empty (error pages)
 
     def invalidate(self, urls: list[str]) -> int:
@@ -168,17 +177,24 @@ class SeenShard:
             if self.exact:
                 arr = np.asarray(sorted(self.exact), dtype=object)
                 self.cuckoo.add(*_hash2(arr))
-        n = 0
         arr = np.asarray(urls, dtype=object)
         if len(arr) == 0:
             return 0
         h1, h2 = _hash2(arr)
-        self.cuckoo.delete(h1, h2)
+        deleted = self.cuckoo.delete(h1, h2)
+        if self.approximate:
+            n = int(deleted.sum())
+            self.n_seen -= n
+            for u in urls:
+                self.bad.discard(u)
+            return n
+        n = 0
         for u in urls:
             if u in self.exact:
                 self.exact.discard(u)
                 n += 1
             self.bad.discard(u)
+        self.n_seen = len(self.exact)
         return n
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
@@ -187,6 +203,18 @@ class SeenShard:
             return np.zeros(0, dtype=bool)
         arr = np.asarray(urls, dtype=object)
         h1, h2 = _hash2(arr)
+        if self.approximate:
+            # filters are the whole truth: new = filter-negative AND first
+            # occurrence in this call (bloom probes all bits before setting
+            # any, so intra-call duplicates would otherwise all read "new")
+            import pandas as pd
+
+            first = ~pd.Series(arr).duplicated().to_numpy()
+            new = first & ~self.cuckoo.contains(h1, h2)
+            if new.any():
+                self.cuckoo.add(h1[new], h2[new])
+            self.n_seen += int(new.sum())
+            return new
         # keep the bloom warm for contains(); the vectorized pre-test is only a
         # hint and CANNOT shortcut here — duplicates within one call would all
         # test bloom-negative (bits are probed before any adds)
@@ -198,6 +226,7 @@ class SeenShard:
             new[i] = is_new
             if is_new:
                 exact.add(u)
+        self.n_seen = len(exact)
         if self.cuckoo is not None and new.any():
             self.cuckoo.add(h1[new], h2[new])   # only first sightings — keeps
             # the filter a set, so one delete fully forgets a URL
@@ -212,6 +241,8 @@ class SeenShard:
             maybe = self.cuckoo.contains(h1, h2)
         else:
             maybe = self.bloom.test(h1, h2)
+        if self.approximate:
+            return maybe              # the filter IS the membership surface
         out = np.zeros(len(arr), dtype=bool)
         idx = np.flatnonzero(maybe)   # filter-negative -> definitely new, skip set probe
         for i in idx:
@@ -221,13 +252,20 @@ class SeenShard:
     def add(self, urls: list[str]) -> int:
         arr = np.asarray(urls, dtype=object)
         h1, h2 = _hash2(arr)
+        if self.approximate:
+            fresh = ~self.cuckoo.contains(h1, h2)
+            if fresh.any():
+                self.cuckoo.add(h1[fresh], h2[fresh])
+            self.n_seen += int(fresh.sum())
+            return self.n_seen
         self.bloom.add_and_test(h1, h2)
         if self.cuckoo is not None:
             fresh = np.array([u not in self.exact for u in arr], dtype=bool)
             if fresh.any():
                 self.cuckoo.add(h1[fresh], h2[fresh])
         self.exact.update(arr.tolist())
-        return len(self.exact)
+        self.n_seen = len(self.exact)
+        return self.n_seen
 
     def record_bad(self, urls: list[str]) -> None:
         self.bad.update(urls)
@@ -238,7 +276,7 @@ class SeenShard:
         return np.array([u in self.bad for u in urls], dtype=bool)
 
     def size(self) -> int:
-        return len(self.exact)
+        return self.n_seen if self.approximate else len(self.exact)
 
     def dump(self) -> list[str]:
         return sorted(self.exact)
@@ -258,9 +296,11 @@ class SeenSet:
     can hold one and issue batched membership RPCs from inside map_batches.
     """
 
-    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1_000_000):
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1_000_000,
+                 approximate: bool = False):
         self.num_shards = num_shards
-        self.shards = [SeenShard.remote(capacity_per_shard) for _ in range(num_shards)]
+        self.shards = [SeenShard.remote(capacity_per_shard, approximate)
+                       for _ in range(num_shards)]
 
     def _route(self, urls: np.ndarray) -> np.ndarray:
         h = pd.util.hash_array(np.asarray(urls, dtype=object), categorize=False)
