@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": datapipe.ann_ivf,     # approximate (IVF): rows-only gate
         "embedding_dedup": datapipe.embedding_dedup,
         "events_window": datapipe.events_window,
+        "sessionize": datapipe.sessionize,
         "frontier_topk": datapipe.frontier_topk,
         "media_decode": datapipe.media_decode,
         "media_resize": datapipe.media_resize,
@@ -324,6 +325,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM o)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_id
         """,
         "frontier_topk": """
             WITH r AS (SELECT doc_id, source, n_chars,

@@ -180,3 +180,35 @@ def test_winnow_fingerprint_pipeline(ray_session, dup_dir):
     assert (rows[0]["n_fp"], rows[0]["fp_xor"]) == \
         (rows[1]["n_fp"], rows[1]["fp_xor"])
     assert rows[0]["fp_xor"] != rows[3]["fp_xor"]
+
+
+def test_sessionize_gap_semantics(ray_session, tmp_path):
+    """Planted event stream: gaps > 30 min split sessions; boundary gap of
+    exactly 30 min does NOT split (strict >)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 7, 1.0),
+        (1, base + dt.timedelta(minutes=30), 7, 2.0),   # ==30min: same session
+        (2, base + dt.timedelta(minutes=61), 7, 4.0),   # 31min gap: new session
+        (3, base + dt.timedelta(minutes=62), 8, 8.0),   # other user
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * 4),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = _collect(datapipe.sessionize(str(tmp_path)),
+                   ("user_id", pa.int64()), ("session_id", pa.int64()),
+                   ("n_events", pa.int64()),
+                   ("session_start", pa.timestamp("us")),
+                   ("session_end", pa.timestamp("us")),
+                   ("sum_value", pa.float64()))
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+           for r in out.to_pylist()}
+    assert got == {(7, 0): (2, 3.0), (7, 1): (1, 4.0), (8, 0): (1, 8.0)}

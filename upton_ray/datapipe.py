@@ -640,6 +640,39 @@ def events_window(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization per user: a new session starts when the gap
+    to the previous event exceeds ``gap_minutes``. One
+    ``groupby(user_id).map_groups`` — the session chain is a per-key scan, so
+    the shuffle key (user_id) is the whole partitioning story; inside a group
+    everything is vectorized (sort → diff → cumsum)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": group["user_id"].to_numpy(zero_copy_only=False),
+            "ts": group["ts"].to_numpy(zero_copy_only=False),
+            "event_id": group["event_id"].to_numpy(zero_copy_only=False),
+            "value": group["value"].to_numpy(zero_copy_only=False),
+        }).sort_values(["ts", "event_id"]).reset_index(drop=True)
+        brk = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            brk[1:] = (df["ts"].to_numpy()[1:]
+                       - df["ts"].to_numpy()[:-1] > gap).astype(np.int64)
+        df["session_id"] = brk.cumsum() - 1
+        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("value", "size"), session_start=("ts", "min"),
+            session_end=("ts", "max"), sum_value=("value", "sum"))
+        g["n_events"] = g["n_events"].astype("int64")
+        g["sum_value"] = g["sum_value"].round(6)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"],
+                               override_num_blocks=8)
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- host top-k
 
 
