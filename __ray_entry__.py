@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": datapipe.embedding_dedup,
         "events_window": datapipe.events_window,
         "sessionize": datapipe.sessionize,
+        "lineitem_pricing": datapipe.lineitem_pricing,
+        "nation_revenue": datapipe.nation_revenue,
         "frontier_topk": datapipe.frontier_topk,
         "media_decode": datapipe.media_decode,
         "media_resize": datapipe.media_resize,
@@ -344,6 +346,28 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_id
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)
+                     AS sum_base_price_cents,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)
+                     AS BIGINT) AS sum_disc_price_cents,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "nation_revenue": """
+            SELECT n.n_name,
+                   CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT)
+                     AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "frontier_topk": """
             WITH r AS (SELECT doc_id, source, n_chars,

@@ -812,3 +812,97 @@ class FrameSampler:
 def frame_sample(sf_dir: str):
     return _media_refs_ds(sf_dir).map_batches(
         FrameSampler, batch_format="pyarrow", concurrency=2, batch_size=4096)
+
+
+# ------------------------------------------------------- relational patterns
+
+
+def lineitem_pricing(sf_dir: str, cutoff: str = "1998-09-02"):
+    """TPC-H-Q1-shaped pricing summary: the canonical partial-aggregate
+    pattern — every block combines to one row per (returnflag, linestatus)
+    inside map_batches, so the groupby shuffle moves a handful of rows per
+    block no matter how many billion lineitems feed it."""
+    cut = np.datetime64(cutoff)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= cut
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False)[keep],
+            "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False)[keep],
+            "qty": batch["l_quantity"].to_numpy(zero_copy_only=False)[keep],
+            "price": batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
+        })
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        df["disc_price"] = df["price"] * (1.0 - disc)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price=("price", "sum"),
+            sum_disc_price=("disc_price", "sum"), count_order=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        override_num_blocks=8)
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).sum(
+        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            # integer cents: stable under partial-agg float reassociation
+            # where decimal rounding is ulp-sensitive (see nation_revenue)
+            "sum_qty": pc.cast(pc.round(b["sum(sum_qty)"], ndigits=0),
+                               pa.int64()),
+            "sum_base_price_cents": pc.cast(pc.round(pc.multiply(
+                b["sum(sum_base_price)"], 100.0), ndigits=0), pa.int64()),
+            "sum_disc_price_cents": pc.cast(pc.round(pc.multiply(
+                b["sum(sum_disc_price)"], 100.0), ndigits=0), pa.int64()),
+            "count_order": pc.cast(b["sum(count_order)"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def nation_revenue(sf_dir: str):
+    """Revenue per nation: the broadcast-join pattern — the small sides
+    (customer->nation, nation->name; KBs) are ray.put once and read inside
+    every task, so the fact table (orders) streams through ONE map_batches
+    with zero shuffle; only the per-nation partials meet in a tiny groupby."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    c2n = np.zeros(int(pc.max(cust["c_custkey"]).as_py()) + 1, dtype=np.int64)
+    c2n[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    names = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    side_ref = ray.put((c2n, names))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c2n_m, names_m = ray.get(side_ref)
+        nk = c2n_m[batch["o_custkey"].to_numpy(zero_copy_only=False)]
+        df = pd.DataFrame({
+            "n_name": [names_m[int(k)] for k in nk],
+            "revenue": batch["o_totalprice"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"), n_orders=("revenue", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"],
+                               override_num_blocks=8)
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name").sum(["revenue", "n_orders"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_name": b["n_name"],
+            # integer cents: float-sum association differs between the
+            # partial-agg order and the oracle's single pass; nearest-cent is
+            # stable where a 4-dp round is ulp-sensitive
+            "revenue_cents": pc.cast(pc.round(pc.multiply(
+                b["sum(revenue)"], 100.0), ndigits=0), pa.int64()),
+            "n_orders": pc.cast(b["sum(n_orders)"], pa.int64()),
+        }), batch_format="pyarrow")
