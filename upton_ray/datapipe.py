@@ -13,12 +13,16 @@ Operators:
 * SimHash fingerprints
 * embedding near-dup (cosine) and brute-force ANN top-k over a broadcast
   query matrix (+ an IVF-bucketed variant for the scale path)
+* exact source-blocked n-gram Jaccard (incidence-matrix matmul per block)
+* winnowing rolling-hash fingerprints (Rabin–Karp k-grams + window-min)
 * language-ID (marker-token heuristic), quality scoring, token counting
-* tumbling-window aggregation over the events stream
+* tumbling-window aggregation and gap-based sessionization over events
 * per-host top-k (frontier-priority shape: window/top-k over a key)
-* multimodal decode stub: the Ray-side plumbing (schema, actor pool, batch
-  flow) is real; the decoder itself is a deterministic fake because no
-  image/audio libraries exist in this container.
+* relational patterns: partial-aggregate groupby (TPC-H-Q1 shape) and
+  broadcast join (small side via ray.put, zero fact-table shuffle)
+* multimodal decode/resize/frame-sample stubs: the Ray-side plumbing
+  (schema, actor pool, batch flow, row explosion) is real; the decoders are
+  deterministic fakes because no image/audio libraries exist here.
 """
 
 from __future__ import annotations
