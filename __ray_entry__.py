@@ -416,8 +416,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t AS BIGINT) AS t_s
             FROM d, unnest(range(0, dur, 10)) AS u(t)
         """,
-        # "simhash" intentionally has no SQL oracle (hash function not
-        # expressible in SQL) -> driver records the weaker rows-only check.
+        # simhash tokens hash via md5 precisely so DuckDB can mirror the
+        # computation bit-for-bit: count-weighted per-bit vote over the first
+        # 8 md5 bytes of each token, bit set where the vote is positive
+        "simhash": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS hv
+                  FROM tok),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h, (SELECT unnest(generate_series(0, 63)) AS b)
+              GROUP BY doc_id, b),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN 1::UBIGINT << b
+                         ELSE 0::UBIGINT END) AS sim
+              FROM bits GROUP BY doc_id)
+            SELECT doc_id, lower(lpad(to_hex(sim::UBIGINT), 16, '0'))
+                     AS simhash_hex
+            FROM sh
+        """,
     }
     sql.update(_fixture_goldens())
     return sql

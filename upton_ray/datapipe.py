@@ -231,9 +231,16 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
     return pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
 
 
+def _md5_u64(tokens: list[str]) -> np.ndarray:
+    """First 8 bytes of md5(token) as uint64 — chosen so the DuckDB oracle
+    can mirror the hash exactly (('0x'||substr(md5(t),1,16))::UBIGINT)."""
+    return np.array([int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                     for t in tokens], dtype=np.uint64)
+
+
 def simhash64(tokens: list[str]) -> int:
-    """Classic 64-bit SimHash over token hashes (count-weighted)."""
-    hs = _token_hashes(tokens)
+    """Classic 64-bit SimHash over md5 token hashes (count-weighted)."""
+    hs = _md5_u64(tokens)
     if len(hs) == 0:
         return 0
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) &
