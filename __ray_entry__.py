@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": datapipe.embedding_dedup,
         "events_window": datapipe.events_window,
         "sessionize": datapipe.sessionize,
+        "crawl_bfs": datapipe.crawl_bfs,
         "lineitem_pricing": datapipe.lineitem_pricing,
         "nation_revenue": datapipe.nation_revenue,
         "frontier_topk": datapipe.frontier_topk,
@@ -346,6 +347,18 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_id
+        """,
+        "crawl_bfs": """
+            WITH RECURSIVE r AS (
+              SELECT doc_id, 0 AS depth FROM documents WHERE doc_id IN (0, 1, 2)
+              UNION ALL
+              SELECT d.doc_id, r.depth + 1
+              FROM r JOIN documents d
+                ON d.doc_id IN (3 * r.doc_id + 1, 3 * r.doc_id + 2,
+                                3 * r.doc_id + 3)
+              WHERE r.depth < 8)
+            SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+            FROM r GROUP BY doc_id ORDER BY doc_id
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -212,3 +212,16 @@ def test_sessionize_gap_semantics(ray_session, tmp_path):
     got = {(r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
            for r in out.to_pylist()}
     assert got == {(7, 0): (2, 3.0), (7, 1): (1, 4.0), (8, 0): (1, 8.0)}
+
+
+def test_crawl_bfs_min_depth(ray_session):
+    t = datapipe.crawl_bfs("/root/testdata/sf0.001")
+    d = dict(zip(t["doc_id"].to_pylist(), t["depth"].to_pylist()))
+    assert d[0] == 0 and d[1] == 0 and d[2] == 0
+    # children of seed 1 -> depth 1; grandchildren -> depth 2
+    assert d[4] == 1 and d[3*4+1] == 2
+    # doc 7 is reachable as 3*2+1 (depth 1); min-depth wins over longer paths
+    assert d[7] == 1
+    # closure covers every existing doc in this corpus
+    assert len(d) == 500
+    assert all(0 <= v <= 8 for v in d.values())

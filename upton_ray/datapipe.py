@@ -917,3 +917,66 @@ def nation_revenue(sf_dir: str):
                 b["sum(revenue)"], 100.0), ndigits=0), pa.int64()),
             "n_orders": pc.cast(b["sum(n_orders)"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- frontier BFS
+
+
+def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
+              max_depth: int = 8) -> pa.Table:
+    """Multi-round frontier BFS — the generic crawl loop (discover → dedup →
+    fetch next round) that the index→instance pattern is a 2-level special
+    case of. The link graph is arithmetic (doc d → branching*d+1..+branching,
+    kept only where the child doc exists) so the DuckDB oracle is an exact
+    recursive CTE.
+
+    Distribution shape: each round is one streamed map_batches expansion over
+    the current frontier; the URL-seen actors gate re-visits (min-depth
+    guarantee comes from strict round sequencing, like the engine's round
+    loop); only (doc_id, depth) rows ever reach the driver."""
+    import pyarrow.parquet as pq
+
+    from upton_ray.seen import SeenSet
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    max_id = int(pc.max(ids["doc_id"]).as_py())
+    exists = np.zeros(max_id + 1, dtype=bool)
+    exists[ids["doc_id"].to_numpy()] = True
+    exists_ref = ray.put(exists)
+
+    seen = SeenSet(num_shards=2)
+    frontier = np.array([s for s in seeds if s <= max_id and exists[s]],
+                        dtype=np.int64)
+    frontier = frontier[seen.check_and_add([str(d) for d in frontier])]
+    out_ids = [frontier]
+    out_depths = [np.zeros(len(frontier), dtype=np.int64)]
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ex = ray.get(exists_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        kids = (d[:, None] * branching
+                + np.arange(1, branching + 1)[None, :]).ravel()
+        kids = np.unique(kids[(kids < len(ex)) & ex[np.clip(kids, 0, len(ex) - 1)]])
+        return pa.table({"doc_id": pa.array(kids, pa.int64())})
+
+    depth = 0
+    while len(frontier) and depth < max_depth:
+        depth += 1
+        ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(frontier)}))
+        kids_parts = [t for t in ray.get(
+            ds.map_batches(expand, batch_format="pyarrow").to_arrow_refs())
+            if t.num_columns > 0]
+        kids = (np.unique(np.concatenate(
+            [t["doc_id"].to_numpy() for t in kids_parts]))
+            if kids_parts else np.zeros(0, dtype=np.int64))
+        if len(kids) == 0:
+            break
+        new = seen.check_and_add([str(k) for k in kids])
+        frontier = kids[new]
+        out_ids.append(frontier)
+        out_depths.append(np.full(len(frontier), depth, dtype=np.int64))
+    seen.kill()
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+        "depth": pa.array(np.concatenate(out_depths), pa.int64()),
+    }).sort_by("doc_id")
