@@ -60,6 +60,9 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--concurrency", type=int, default=8)
     c.add_argument("--batch-size", type=int, default=1024)
     c.add_argument("--seen-shards", type=int, default=8)
+    c.add_argument("--approx-seen", action="store_true",
+                   help="filters-only URL-seen membership (cuckoo; the "
+                        "memory-bound scale config — a rare FP may skip a fetch)")
     c.add_argument("--stash", help="checkpoint dir (enables resume)")
     c.add_argument("--out", required=True, help="output path")
     c.add_argument("--format", choices=["parquet", "csv", "tsv"],
@@ -109,6 +112,7 @@ def cmd_crawl(args) -> int:
         respect_robots=args.respect_robots,
         debug=True, index_debug=True,
         num_seen_shards=args.seen_shards,
+        seen_exact=not args.approx_seen,
         fetch_concurrency=args.concurrency,
         fetch_batch_size=args.batch_size,
         stash_folder=args.stash,
