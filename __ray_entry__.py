@@ -365,8 +365,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
                    CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)
                      AS sum_base_price_cents,
-                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)
-                     AS BIGINT) AS sum_disc_price_cents,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                     AS BIGINT) AS sum_disc_price_e4,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'

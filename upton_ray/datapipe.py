@@ -869,8 +869,11 @@ def lineitem_pricing(sf_dir: str, cutoff: str = "1998-09-02"):
                                pa.int64()),
             "sum_base_price_cents": pc.cast(pc.round(pc.multiply(
                 b["sum(sum_base_price)"], 100.0), ndigits=0), pa.int64()),
-            "sum_disc_price_cents": pc.cast(pc.round(pc.multiply(
-                b["sum(sum_disc_price)"], 100.0), ndigits=0), pa.int64()),
+            # disc_price has FOUR decimals (2dp price x 2dp discount), so a
+            # cent-scale sum can land on an exact half -> scale by 1e4 where
+            # the true sum is integral and nearest-int has full margin
+            "sum_disc_price_e4": pc.cast(pc.round(pc.multiply(
+                b["sum(sum_disc_price)"], 10000.0), ndigits=0), pa.int64()),
             "count_order": pc.cast(b["sum(count_order)"], pa.int64()),
         }), batch_format="pyarrow")
 

@@ -93,6 +93,9 @@ def crawl_config() -> CrawlConfig:
         paginated=True, pagination_param="page", pagination_max_pages=10_000,
         sleep_time_between_requests=0,
         fetch_batch_size=1024,
+        # gate-scale web (<=5k docs): a small actor footprint beats pool
+        # startup; the synthetic-corpus bench exercises the wide shape
+        num_seen_shards=2, fetch_concurrency=2,
     )
 
 

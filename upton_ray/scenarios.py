@@ -15,6 +15,14 @@ TABLE_SELECTOR = ('//table[contains(concat(" ", normalize-space(@class), " "),'
 
 
 def scenario_configs() -> dict[str, CrawlConfig]:
+    cfgs = _raw_configs()
+    for c in cfgs.values():   # fixture webs are tiny: minimize actor footprint
+        c.num_seen_shards = 2
+        c.fetch_concurrency = 2
+    return cfgs
+
+
+def _raw_configs() -> dict[str, CrawlConfig]:
     return {
         # spec/upton_spec.rb:43-67
         "basic": CrawlConfig(
