@@ -439,7 +439,13 @@ class Crawler:
 
             from upton_ray.fetch import make_group_walker
 
-            sharded = frontier.map_batches(add_shard, batch_format="pyarrow")
+            # map_groups parallelism is bounded by the shuffled BLOCK count,
+            # not the group count: a small-block frontier would serialize the
+            # per-shard walks. The frontier rows are tiny (url + ints), so a
+            # pre-groupby repartition is cheap insurance.
+            sharded = (frontier
+                       .map_batches(add_shard, batch_format="pyarrow")
+                       .repartition(cfg.fetch_concurrency * 2))
             token = f"hostwalk-{os.getpid()}-{id(self)}"
             fetched = sharded.groupby("host_shard").map_groups(
                 make_group_walker(token, *walker_args, drop=("host_shard",),

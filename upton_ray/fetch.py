@@ -365,10 +365,13 @@ class IndexWalker:
                 st.seen.record_bad(err)
         else:
             from_resource = np.ones(n, dtype=bool)
-        if cfg.real_sleep and st.sched.delay:
-            for u, fr in zip(urls, from_resource):
-                if fr:
-                    st.sched.wait_turn(host_of(u))
+        if cfg.real_sleep and st.sched.delay and n:
+            # EDF order across the block's chains: one chain's politeness
+            # wait absorbs the others' fetches, so the block costs its
+            # longest chain's floor, not the sum of chains
+            for j in st.sched.order_batch(urls):
+                if from_resource[j]:
+                    st.sched.wait_turn(host_of(urls[j]))
 
         # vectorized body fetch; forced-empty rows look up "" (never present)
         lookup_urls = np.where(np.array(rows["force_empty"], dtype=bool), "", urls)             if n else urls
