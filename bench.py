@@ -126,11 +126,60 @@ def timed(fn, *args):
     return time.time() - t0
 
 
+def polite():
+    """Politeness-bound regime: real per-host pacing at 0.05 s/page.
+    The theoretical floor is the zipf-largest host's serial time
+    (pages_of_max_host x delay) — NOT hosts/delay, which skew makes
+    unreachable. Reports achieved fraction of that floor."""
+    import ray
+
+    from upton_ray import synth
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+
+    delay = float(os.environ.get("GRAFT_POLITE_DELAY", "0.05"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    p = synth_params()
+    path, _ = ensure_corpus(p)
+    cfg = CrawlConfig(
+        index_selector="section#river section h1 a",
+        extractor="css:h1.article-title",
+        paginated=True, pagination_param="p", pagination_max_pages=100_000,
+        sleep_time_between_requests=delay, real_sleep=True, max_sleep=delay,
+        debug=True, index_debug=True,
+        num_seen_shards=4, fetch_concurrency=min(NUM_CPUS, 16),
+        fetch_batch_size=2048, host_sharded_fetch=True)
+    seeds = [(h, synth.index_url(p, h), cfg.index_selector)
+             for h in range(p.n_hosts)]
+    crawler = Crawler(cfg, ("parquet", path, WEB_BUCKETS), seeds=seeds)
+    t0 = time.time()
+    n = crawler.crawl().records.count()
+    dt = time.time() - t0
+    per_host = [p.n_articles(h) + p.n_index_pages(h) + 1
+                for h in range(p.n_hosts)]
+    pages, floor = sum(per_host), max(per_host) * delay
+    crawler.shutdown()
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "politeness-bound crawl vs skew floor",
+        "value": round(dt, 3), "unit": "sec",
+        "queries": {"polite_crawl": round(dt, 3)},
+        "num_cpus": NUM_CPUS, "records": n,
+        "pages_per_sec": round(pages / dt, 1),
+        "skew_floor_sec": round(floor, 1),
+        "fraction_of_floor": round(floor / dt, 3),
+        "delay_per_host_sec": delay,
+    }))
+
+
 def main():
     import ray
 
     if "--scaling" in sys.argv:
         return scaling()
+    if "--polite" in sys.argv:
+        return polite()
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")

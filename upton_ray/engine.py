@@ -27,6 +27,14 @@ Scale notes (10^10-URL design point, tested single-node):
   host-affinity (politeness) uses a host_shard groupby — the one designed
   shuffle (SURVEY.md §7.3);
 * everything else is streaming ``map_batches`` over Arrow batches.
+
+The one inter-round BARRIER (round 0 completes before round 1 fetches) is
+deliberate: Upton's ``instance_index`` is a global prefix-sum over per-index-
+page link counts, and the groupby that routes fetches is itself an all-to-all.
+Under real politeness pacing this costs ~15% vs the skew floor (BASELINE.md
+"polite" row); removing it would mean assigning indices post-hoc from the
+records themselves — noted as the next optimization, not worth the
+conformance-path risk at current scale.
 """
 
 from __future__ import annotations
