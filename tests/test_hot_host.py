@@ -42,12 +42,15 @@ def test_hot_host_shares_global_budget(ray_session):
     assert t.num_rows == len(urls), "every URL yields exactly one record"
 
     assert c.pacer is not None, "a hot host must engage the shared pacer"
-    next_allowed, granted, leases = ray.get(c.pacer.state.remote())
+    _, granted, leases = ray.get(c.pacer.state.remote())
+    spans = ray.get(c.pacer.spans.remote())
     assert granted == {"big.test": len(hot_urls)}, \
         "every hot-host fetch consumes exactly one global token"
-    # the shared virtual clock advanced by the FULL budget: k sub-queues do
-    # not multiply the host's fetch rate
-    assert abs(next_allowed["big.test"] - len(hot_urls) * delay) < 1e-9
+    # the shared window spans AT LEAST the full budget (leases never overlap;
+    # scheduling gaps may stretch it): k sub-queues never multiply the
+    # host's fetch rate
+    first, last = spans["big.test"]
+    assert (last - first) >= len(hot_urls) * delay - 1e-6
     assert leases["big.test"] >= 1
     c.shutdown()
 

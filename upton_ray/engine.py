@@ -239,36 +239,7 @@ class Crawler:
         if ckpt and self._lineage_done("round0") and os.path.exists(ckpt):
             return ray.data.read_parquet(ckpt), None
 
-        seeds_t = pa.table({
-            "seed_id": pa.array([s[0] for s in self.seeds], pa.int32()),
-            "url": pa.array([s[1] for s in self.seeds], pa.string()),
-            "selector": pa.array([s[2] for s in self.seeds], pa.string()),
-        })
-        n_seeds = len(self.seeds)
-        conc = min(cfg.fetch_concurrency, max(1, n_seeds))
-        # pre-split seed blocks (block = task unit). For a bucketed parquet
-        # corpus, group seeds by their host's bucket so each task touches ONE
-        # bucket and the per-actor bucket cache actually hits (without this,
-        # every chain re-decodes a full bucket — the dominant cost at scale).
-        if isinstance(self.web_ref, tuple):
-            _, _, n_buckets = self.web_ref
-            hb = shard_hashes(hosts_of(np.array([s[1] for s in self.seeds],
-                                                dtype=object)), n_buckets)
-            order = np.lexsort((seeds_t["seed_id"].to_numpy(), hb))
-            seeds_t = seeds_t.take(pa.array(order))
-            hb_sorted = hb[order]
-            cuts = [0] + (np.flatnonzero(np.diff(hb_sorted)) + 1).tolist() + [n_seeds]
-            seed_blocks = []
-            max_chains = max(4, n_seeds // max(1, conc * 2))
-            for a, b in zip(cuts[:-1], cuts[1:]):
-                for i in range(a, b, max_chains):
-                    seed_blocks.append(seeds_t.slice(i, min(max_chains, b - i)))
-            step = max_chains
-        else:
-            n_blocks = min(n_seeds, conc * 4) or 1
-            step = (n_seeds + n_blocks - 1) // n_blocks
-            seed_blocks = [seeds_t.slice(i, step) for i in range(0, n_seeds, step)]
-        seeds_ds = ray.data.from_arrow(seed_blocks)
+        seeds_ds, step, conc = self._seed_blocks()
         pages = seeds_ds.map_batches(
             IndexWalker,
             fn_constructor_args=(cfg, self.web_ref, self.seen),
@@ -470,6 +441,41 @@ class Crawler:
             )
         return self._maybe_checkpoint_fetch(fetched)
 
+    def _seed_blocks(self):
+        """Pre-split seed blocks (block = task unit). For a bucketed parquet
+        corpus, group seeds by their host's bucket so each task touches ONE
+        bucket and the per-actor bucket cache actually hits (without this,
+        every chain re-decodes a full bucket — the dominant cost at scale).
+        Returns (seeds_ds, batch_step, pool_concurrency)."""
+        cfg = self.cfg
+        seeds_t = pa.table({
+            "seed_id": pa.array([s[0] for s in self.seeds], pa.int32()),
+            "url": pa.array([s[1] for s in self.seeds], pa.string()),
+            "selector": pa.array([s[2] for s in self.seeds], pa.string()),
+        })
+        n_seeds = len(self.seeds)
+        conc = min(cfg.fetch_concurrency, max(1, n_seeds))
+        if isinstance(self.web_ref, tuple):
+            _, _, n_buckets = self.web_ref
+            hb = shard_hashes(hosts_of(np.array([s[1] for s in self.seeds],
+                                                dtype=object)), n_buckets)
+            order = np.lexsort((seeds_t["seed_id"].to_numpy(), hb))
+            seeds_t = seeds_t.take(pa.array(order))
+            hb_sorted = hb[order]
+            cuts = [0] + (np.flatnonzero(np.diff(hb_sorted)) + 1).tolist() + [n_seeds]
+            seed_blocks = []
+            max_chains = max(4, n_seeds // max(1, conc * 2))
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                for i in range(a, b, max_chains):
+                    seed_blocks.append(seeds_t.slice(i, min(max_chains, b - i)))
+            step = max_chains
+        else:
+            n_blocks = min(n_seeds, conc * 4) or 1
+            step = (n_seeds + n_blocks - 1) // n_blocks
+            seed_blocks = [seeds_t.slice(i, step)
+                           for i in range(0, n_seeds, step)]
+        return ray.data.from_arrow(seed_blocks), step, conc
+
     @staticmethod
     def _find_hot_hosts(frontier, threshold: int) -> frozenset:
         """Per-host frontier counts via streamed partial aggregates; only the
@@ -614,6 +620,97 @@ class Crawler:
         self._dump_seen()
         return CrawlResult(records=rt, index_urls=index_urls, sleeps=sleeps,
                            fetched_urls=fetched_urls, metrics=metrics)
+
+    # ------------------------------------------------- overlapped streaming
+
+    _SEED_SHIFT, _PAGE_SHIFT = 40, 20   # seed < 2^23, page < 2^20, dom < 2^20
+
+    def crawl_overlapped(self) -> CrawlResult:
+        """One continuous streaming pipeline — index chains, link extraction
+        and instance fetches OVERLAP (no inter-round barrier): while one
+        seed's pagination chain is still walking, other seeds' discovered
+        instances are already fetching.
+
+        How the barrier is removed:
+        * ``instance_index`` is fetched-through as a bit-packed
+          ``(seed_id, page_no, dom_pos)`` surrogate whose lexicographic order
+          EQUALS Upton's sequential order, then rank-remapped to the dense
+          prefix-sum value at finalize (every link yields >= 1 record row,
+          so the rank domain is complete);
+        * politeness (when real) needs no host-affinity shuffle: every host
+          leases its fetch windows from the shared HostPacer token-bucket
+          actor, so global pacing holds regardless of which worker fetches.
+
+        Checkpoint / trace / url_array runs use :meth:`crawl` (the surrogate
+        would leak into their artifacts).
+
+        Measured tradeoff (192-host zipf bench corpus, this sandbox): at
+        sleep=0 throughput is on par with :meth:`crawl` (the removed barrier
+        is offset by losing bucket-routed corpus decodes + the rank-remap
+        pass); under real politeness it LOSES to host-affinity (95 s vs 68 s
+        against a 58 s skew floor) because random routing fragments a hot
+        host's leased windows across workers. So :meth:`crawl` stays the
+        default for both regimes; this mode exists for pipelines that need
+        index discovery and instance processing to overlap (e.g. when the
+        extract stage, not the fetch budget, dominates).
+        """
+        cfg = self.cfg
+        assert cfg.url_array is None and not cfg.stash_folder, \
+            "overlapped mode: index-driven, stash-less crawls only"
+        seeds_ds, step, conc = self._seed_blocks()
+        pages = seeds_ds.map_batches(
+            IndexWalker, fn_constructor_args=(cfg, self.web_ref, self.seen),
+            batch_size=step, batch_format="pyarrow", concurrency=conc,
+            num_cpus=0.5)
+        links = pages.map_batches(extract_links_batch, batch_format="pyarrow")
+
+        sh_s, sh_p = self._SEED_SHIFT, self._PAGE_SHIFT
+
+        def pack(b: pa.Table) -> pa.Table:
+            s = b["seed_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = b["page_no"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["dom_pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "url": b["url"],
+                "instance_index": pa.array((s << sh_s) | (p << sh_p) | d,
+                                           pa.int64()),
+            })
+
+        frontier = links.map_batches(pack, batch_format="pyarrow")
+        pacer = None
+        hot: object = frozenset()
+        if cfg.real_sleep and cfg.sleep_time_between_requests > 0:
+            from upton_ray.frontier import make_host_pacer
+
+            self.pacer = pacer = make_host_pacer()
+            hot = None           # sentinel: ALL hosts lease from the pacer
+        fetched = frontier.map_batches(
+            InstanceWalker,
+            fn_constructor_args=(cfg, self.web_ref, self.seen, pacer, hot),
+            batch_size=cfg.fetch_batch_size, batch_format="pyarrow",
+            concurrency=cfg.fetch_concurrency, num_cpus=0.5)
+        records = self.extract_records(fetched).materialize()
+        # rank-remap: surrogate -> dense index. The distinct-key set is one
+        # entry per LINK (records/row_no-fold smaller than the crawl); at
+        # 10^10 scale this becomes a distributed sort-rank, same contract.
+        def uniq(b: pa.Table) -> pa.Table:
+            return pa.table({"s": pc.unique(b["instance_index"])})
+
+        keys_t = collect(records.map_batches(uniq, batch_format="pyarrow"),
+                         pa.schema([("s", pa.int64())]))
+        keys = np.unique(keys_t["s"].to_numpy(zero_copy_only=False))
+        keys_ref = ray.put(keys)
+
+        def remap(b: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            vals = b["instance_index"].to_numpy(zero_copy_only=False)
+            return b.set_column(
+                b.column_names.index("instance_index"), "instance_index",
+                pa.array(np.searchsorted(k, vals), pa.int64()))
+
+        out = records.map_batches(remap, batch_format="pyarrow") \
+            .sort(["instance_index", "pagination_index", "row_no"])
+        return CrawlResult(records=out)
 
     def _index_fetch_urls(self, pages_t: pa.Table) -> list[str]:
         """Reconstruct the index-page URLs that hit the network (trace only)."""

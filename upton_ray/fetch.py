@@ -201,9 +201,15 @@ class _FetchState:
         self.robots = RobotsCache(cfg.robots if cfg.respect_robots else {})
         self.statuses = cfg.status_overlay or {}
         # skew handling: hosts split into salted sub-queues share ONE global
-        # token bucket (HostPacer actor) instead of this worker's local heap
+        # token bucket (HostPacer actor) instead of this worker's local heap.
+        # hot_hosts=None means ALL hosts lease from the pacer (the overlapped
+        # streaming mode, where no host-affinity shuffle exists).
         self.pacer = pacer
-        self.hot_hosts = hot_hosts
+        self.hot_all = hot_hosts is None
+        self.hot_hosts = hot_hosts if hot_hosts is not None else frozenset()
+
+    def is_hot(self, host: str) -> bool:
+        return self.hot_all or host in self.hot_hosts
 
     def fetch_one(self, url, stash: bool):
         """Sequential-path fetch (index chains, continuations).
@@ -432,10 +438,13 @@ class InstanceWalker:
             from upton_ray.urlops import hosts_of as _hosts_of
 
             fetch_hosts = _hosts_of(furls) if len(furls) else np.array([], object)
-            if st.pacer is not None and st.hot_hosts:
-                # hot hosts: lease from the GLOBAL bucket, one RPC per host
-                # per batch (their sub-queues live on several workers, so the
-                # local heap can't be authoritative); capped local wait
+            if st.pacer is not None and (st.hot_all or st.hot_hosts):
+                # pacer-governed hosts: lease this batch's window from the
+                # GLOBAL bucket (one RPC per host per batch — their queues
+                # may live on several workers, so the local heap alone can't
+                # be authoritative), then seed the local EDF deadlines at the
+                # leased start so the ordinary wait_turn loop below paces the
+                # window honestly in wall-clock
                 import time as _time
 
                 from collections import Counter
@@ -443,21 +452,26 @@ class InstanceWalker:
                 import ray as _ray
 
                 cnt = Counter(h for j, h in enumerate(fetch_hosts)
-                              if from_res[j] and h in st.hot_hosts)
+                              if from_res[j] and st.is_hot(h))
                 if cnt:
                     items = list(cnt.items())
-                    _ray.get([st.pacer.lease.remote(h, c, st.sched.host_delay(h))
-                              for h, c in items])
-                    for h, c in items:
-                        _time.sleep(min(c * st.sched.host_delay(h),
-                                        cfg.max_sleep))
-            # cold hosts: earliest-deadline-first over this worker's heap
+                    now_wall = _time.time()
+                    starts = _ray.get([
+                        st.pacer.lease.remote(h, c, st.sched.host_delay(h),
+                                              now_wall)
+                        for h, c in items])
+                    mono = _time.monotonic()
+                    for (h, _c), start in zip(items, starts):
+                        st.sched.next_allowed[h] = max(
+                            st.sched.next_allowed[h],
+                            mono + (start - now_wall))
+            # earliest-deadline-first over this worker's heap (pacer-governed
+            # hosts start at their leased window; others at their local state)
             for j in st.sched.order_batch(furls):
                 if from_res[j]:
                     u = furls[j]
                     statuses[fetchable[j]] = st.statuses.get(u, 200)
-                    if fetch_hosts[j] not in st.hot_hosts:
-                        st.sched.wait_turn(host_of(u))
+                    st.sched.wait_turn(host_of(u))
                     slept[fetchable[j]] = True
         else:
             fr_rows = fetchable[from_res]

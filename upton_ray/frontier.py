@@ -66,13 +66,16 @@ class HostScheduler:
 
     def wait_turn(self, host: str) -> float:
         """Advance the host's deadline; really sleep only when configured.
-        Returns the (virtual) wait imposed."""
+        Real mode waits out the FULL deadline (in ``max_sleep`` chunks, so a
+        shutdown isn't stuck in one long sleep) — an under-slept wait would
+        break the politeness guarantee wall-clock. Returns the wait imposed."""
         d = self.host_delay(host)
         now = time.monotonic() if self.real_sleep else self.virtual_clock
         wait = max(0.0, self.next_allowed[host] - now)
-        if self.real_sleep and wait > 0:
-            time.sleep(min(wait, self.max_sleep))
-            now = time.monotonic()
+        if self.real_sleep:
+            while now < self.next_allowed[host]:
+                time.sleep(min(self.next_allowed[host] - now, self.max_sleep))
+                now = time.monotonic()
         self.virtual_clock = max(self.virtual_clock, now) + 0.0
         self.next_allowed[host] = max(now, self.next_allowed[host]) + d
         self.total_slept += wait
@@ -99,11 +102,17 @@ def make_host_pacer():
 
         def __init__(self):
             self.next_allowed: dict[str, float] = {}
+            self.first_start: dict[str, float] = {}
             self.granted: dict[str, int] = {}
             self.leases: dict[str, int] = {}
 
-        def lease(self, host: str, n: int, delay: float) -> float:
-            start = self.next_allowed.get(host, 0.0)
+        def lease(self, host: str, n: int, delay: float,
+                  now: float = 0.0) -> float:
+            """Grant a window of n fetches; ``now`` is the caller's wall
+            clock (0.0 = pure virtual accounting). Windows never overlap, so
+            the host's global rate stays <= 1/delay across all workers."""
+            start = max(self.next_allowed.get(host, now), now)
+            self.first_start.setdefault(host, start)
             self.next_allowed[host] = start + n * delay
             self.granted[host] = self.granted.get(host, 0) + n
             self.leases[host] = self.leases.get(host, 0) + 1
@@ -112,6 +121,12 @@ def make_host_pacer():
         def state(self):
             return (dict(self.next_allowed), dict(self.granted),
                     dict(self.leases))
+
+        def spans(self):
+            """Per-host (first_start, next_allowed): the busy window — its
+            length always equals granted x delay."""
+            return {h: (self.first_start[h], self.next_allowed[h])
+                    for h in self.first_start}
 
     return HostPacer.remote()
 
