@@ -79,3 +79,47 @@ class TestRobotsCache:
         rc = RobotsCache({"x.com": ["/"]})
         urls = np.array(["http://x.com"], dtype=object)
         assert rc.allowed_mask(urls).tolist() == [False]
+
+
+def test_parse_robots_txt_groups_and_delay():
+    from upton_ray.frontier import parse_robots_txt
+
+    body = """
+# comment
+User-agent: googlebot
+Disallow: /private
+Crawl-delay: 2
+
+User-agent: upton
+User-agent: *
+Disallow: /secret   # trailing comment
+Disallow: /tmp
+Crawl-delay: 0.5
+"""
+    dis, delay = parse_robots_txt(body)                     # falls to *
+    assert dis == ["/secret", "/tmp"] and delay == 0.5
+    dis_g, delay_g = parse_robots_txt(body, agent="googlebot")
+    assert dis_g == ["/private"] and delay_g == 2.0
+    dis_u, delay_u = parse_robots_txt(body, agent="upton")  # shared group
+    assert dis_u == ["/secret", "/tmp"] and delay_u == 0.5
+    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], None)
+
+
+def test_robots_txt_drives_fetch_state():
+    """robots.txt bodies parse into disallow rules + per-host crawl delays
+    inside the fetch state (T3 + per-host T2)."""
+    from upton_ray.config import CrawlConfig
+    from upton_ray.fetch import _FetchState
+
+    cfg = CrawlConfig(
+        respect_robots=True, sleep_time_between_requests=1.0,
+        robots_txt={"a.test": "User-agent: *\nDisallow: /no\nCrawl-delay: 5",
+                    "b.test": "User-agent: *\nDisallow:"},
+        debug=False, index_debug=False)
+    st = _FetchState(cfg, {}, None)
+    ok = st.robots.allowed_mask(np.array(
+        ["http://a.test/no/x", "http://a.test/yes", "http://b.test/no"],
+        dtype=object))
+    assert ok.tolist() == [False, True, True]
+    assert st.sched.host_delay("a.test") == 5.0, "Crawl-delay overrides"
+    assert st.sched.host_delay("b.test") == 1.0, "default politeness delay"

@@ -35,6 +35,7 @@ class CrawlConfig:
 
     # --- engine extensions (absent in the reference; north_rule requirements) ---
     robots: dict = field(default_factory=dict)   # host -> list of disallowed prefixes
+    robots_txt: dict = field(default_factory=dict)  # host -> raw robots.txt body
     respect_robots: bool = False
     status_overlay: dict = field(default_factory=dict)  # url -> http status (fault injection)
     max_retries: int = 3               # bounded (reference retries forever, T4)

@@ -195,10 +195,21 @@ class _FetchState:
             web_source = ray.get(web_source)   # broadcast corpus: fetched once per actor
         self.store = make_store(web_source)
         self.seen = seen_handle           # SeenSet handle or None
+        rules = dict(cfg.robots) if cfg.respect_robots else {}
+        per_host_delay: dict = {}
+        if cfg.respect_robots and cfg.robots_txt:
+            from upton_ray.frontier import parse_robots_txt
+
+            for h, body in cfg.robots_txt.items():
+                dis, delay = parse_robots_txt(body)
+                rules.setdefault(h, []).extend(dis)
+                if delay is not None:
+                    per_host_delay[h] = delay
         self.sched = HostScheduler(
             cfg.sleep_time_between_requests,
-            real_sleep=cfg.real_sleep, max_sleep=cfg.max_sleep)
-        self.robots = RobotsCache(cfg.robots if cfg.respect_robots else {})
+            real_sleep=cfg.real_sleep, max_sleep=cfg.max_sleep,
+            per_host_delay=per_host_delay)
+        self.robots = RobotsCache(rules)
         self.statuses = cfg.status_overlay or {}
         # skew handling: hosts split into salted sub-queues share ONE global
         # token bucket (HostPacer actor) instead of this worker's local heap.

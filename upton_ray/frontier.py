@@ -151,6 +151,47 @@ def salt_hot_hosts(hosts: np.ndarray, counts_threshold: int, num_salts: int,
     return out
 
 
+def parse_robots_txt(text: str, agent: str = "*") -> tuple[list, float | None]:
+    """Minimal robots.txt parser (the reference has no robots handling at
+    all — engine extension T3): returns (disallow_prefixes, crawl_delay) for
+    the best-matching User-agent group, falling back to ``*``.
+
+    Understands the de-facto format: ``User-agent`` lines open a group
+    (consecutive agent lines share one group), ``Disallow`` adds a path
+    prefix (empty value = allow all), ``Crawl-delay`` sets seconds between
+    fetches, ``#`` comments anywhere."""
+    groups: dict[str, tuple[list, float | None]] = {}
+    cur: list[str] = []
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_rules:
+                cur = []
+                in_rules = False
+            a = val.lower() or "*"
+            cur.append(a)
+            groups.setdefault(a, ([], None))
+        elif key in ("disallow", "crawl-delay") and cur:
+            in_rules = True
+            for a in cur:
+                dis, delay = groups[a]
+                if key == "disallow":
+                    if val:
+                        dis.append(val)
+                else:
+                    try:
+                        delay = float(val)
+                    except ValueError:
+                        pass
+                groups[a] = (dis, delay)
+    return groups.get(agent.lower()) or groups.get("*") or ([], None)
+
+
 class RobotsCache:
     """Per-worker robots.txt decisions (engine extension; absent in reference —
     SURVEY.md §2.4 T3). Rules come from a broadcast {host: [disallow_prefix]}
