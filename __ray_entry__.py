@@ -106,6 +106,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from upton_ray import datapipe
     from upton_ray.docweb import crawl_documents
 
+    def url_canonical(sf_dir: str):
+        """Run the real canonicalizer over deterministically-messy URLs built
+        from doc columns; the oracle derives the expected canonical form
+        independently in SQL."""
+        import pyarrow as pa
+        import ray.data
+
+        from upton_ray.urlops import canonicalize_urls
+
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            srcs = b["source"].to_pylist()
+            messy = [f"HTTP://WWW.{s.upper()}.TEST:80/Article/{i}"
+                     f"?b=2&a=1&z={i}#top" for i, s in zip(ids, srcs)]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "canon": pa.array(canonicalize_urls(messy), pa.string()),
+            })
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "source"],
+                                     override_num_blocks=8) \
+            .map_batches(f, batch_format="pyarrow")
+
     def url_parts(sf_dir: str):
         import pyarrow as pa
         import ray.data
@@ -163,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots": lambda sf: _fixture_crawl("robots"),
         "crawl_continuation": lambda sf: _fixture_crawl("continuation"),
         "url_parts": url_parts,
+        "url_canonical": url_canonical,
         "pagination_successor": pagination_successor,
         # --- training-data pipeline extras ---
         "dedup_exact": datapipe.dedup_exact,
@@ -208,6 +233,14 @@ def oracle_sql() -> dict[str, str]:
                    {_DOC_URL} AS url,
                    'src' || substr(source, 4) || '.docs.example' AS host,
                    CAST(doc_id AS VARCHAR) AS slug
+            FROM documents
+        """,
+        "url_canonical": """
+            SELECT doc_id,
+                   'http://www.' || lower(source) || '.test/Article/' || doc_id
+                   || '?' || array_to_string(
+                        list_sort(string_split('b=2&a=1&z=' || doc_id, '&')),
+                        '&') AS canon
             FROM documents
         """,
         "pagination_successor": """

@@ -141,3 +141,15 @@ class TestFilenamesAndHashes:
 
     def test_hosts_of(self):
         assert urlops.host_of("https://Sub.Example.COM/x?y#z") == "sub.example.com"
+
+
+def test_canonicalize_url():
+    from upton_ray.urlops import canonicalize_url as c
+
+    assert c("HTTP://WWW.Ex.COM:80/A/b?z=1&a=2#frag") == \
+        "http://www.ex.com/A/b?a=2&z=1"
+    assert c("https://h.test:443/x") == "https://h.test/x"
+    assert c("https://h.test:8443/x?b=2") == "https://h.test:8443/x?b=2"
+    assert c("http://h.test/p") == "http://h.test/p"
+    # no percent-decoding: encoded atoms sort as raw strings
+    assert c("http://h.test/p?%62=1&a=2") == "http://h.test/p?%62=1&a=2"

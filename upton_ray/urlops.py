@@ -192,3 +192,25 @@ def readable_filename(url: str, cache_location: str) -> str:
     clean_max = MAX_FILENAME_LENGTH - len("html") - len(cache_location)
     clean = re.sub(r"[^A-Za-z0-9\-_]", "", url)[:clean_max]
     return f"{clean}.html"
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical URL form for seen-set/dedup keys: lowercase scheme+host,
+    strip default ports (http:80 / https:443), drop the fragment, sort query
+    parameters (lexicographic on the raw k=v atoms — no percent-decoding, so
+    canonicalization never changes what the server would see)."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    s = urlsplit(url)
+    scheme = s.scheme.lower()
+    host = s.hostname.lower() if s.hostname else ""
+    port = s.port
+    if port and not ((scheme == "http" and port == 80)
+                     or (scheme == "https" and port == 443)):
+        host = f"{host}:{port}"
+    query = "&".join(sorted(s.query.split("&"))) if s.query else ""
+    return urlunsplit((scheme, host, s.path, query, ""))
+
+
+def canonicalize_urls(urls) -> list[str]:
+    return [canonicalize_url(u) for u in urls]
