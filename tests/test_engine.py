@@ -106,3 +106,25 @@ def test_seen_set_survives_large_batches(ray_session):
     assert s.size() == len(set(urls))
     assert s.contains(np.array(["http://h0.org/p0", "http://nope.org/x"],
                                dtype=object)).tolist() == [True, False]
+
+
+def test_canonicalize_seen_merges_query_orderings(ray_session):
+    """Opt-in canonical seen keys: ?a=1&b=2 and ?b=2&a=1 share one fetch;
+    reference default keeps them distinct (upton_downloader_spec: distinct
+    query strings are distinct cache keys)."""
+    span = [{"kind": "html body h1.article-title", "text": "t",
+             "media_ref": "", "offset": 0}]
+    web = {"http://h.test/p?a=1&b=2": span, "http://h.test/p?b=2&a=1": span}
+    urls = list(web)
+
+    from upton_ray.config import CrawlConfig
+
+    for canon, expected_fetches in ((False, 2), (True, 1)):
+        cfg = CrawlConfig(url_array=urls, extractor="css:h1.article-title",
+                          sleep_time_between_requests=0,
+                          canonicalize_seen=canon, num_seen_shards=2,
+                          fetch_concurrency=2)
+        res = Crawler(cfg, web).crawl(trace=True)
+        m = res.metrics.to_pylist()[0]
+        assert m["fetched"] == expected_fetches, f"canonicalize_seen={canon}"
+        assert res.records_table().num_rows == 2, "rows always kept"

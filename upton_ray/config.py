@@ -39,6 +39,10 @@ class CrawlConfig:
     respect_robots: bool = False
     status_overlay: dict = field(default_factory=dict)  # url -> http status (fault injection)
     max_retries: int = 3               # bounded (reference retries forever, T4)
+    canonicalize_seen: bool = False    # key the seen set by canonical URL form
+                                       # (reference semantics: raw URL keys —
+                                       # distinct query-string orderings are
+                                       # distinct cache entries)
     real_sleep: bool = False           # tests/bench count sleeps instead of sleeping
     max_sleep: float = 0.05            # cap on actual sleep when real_sleep
 

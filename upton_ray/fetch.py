@@ -222,6 +222,16 @@ class _FetchState:
     def is_hot(self, host: str) -> bool:
         return self.hot_all or host in self.hot_hosts
 
+    def seen_key(self, urls):
+        """Seen-set keys: raw URLs (reference-exact) or canonical form when
+        cfg.canonicalize_seen — so http://h/p?a=1&b=2 and ?b=2&a=1 share one
+        fetch."""
+        if not self.cfg.canonicalize_seen:
+            return urls
+        from upton_ray.urlops import canonicalize_urls
+
+        return canonicalize_urls(urls)
+
     def fetch_one(self, url, stash: bool):
         """Sequential-path fetch (index chains, continuations).
         Returns (spans, from_resource, slept, status, robots_blocked)."""
@@ -231,7 +241,7 @@ class _FetchState:
             return EMPTY_SPANS, False, False, 0, True
         from_resource = True
         if stash and self.seen is not None:
-            from_resource = bool(self.seen.check_and_add([url])[0])
+            from_resource = bool(self.seen.check_and_add(self.seen_key([url]))[0])
         slept = False
         status = 200
         if from_resource:
@@ -243,9 +253,9 @@ class _FetchState:
             slept = True           # politeness applies to error/empty fetches too (Q8)
             if status != 200:
                 if stash and self.seen is not None:
-                    self.seen.record_bad([url])   # error page stashed as empty body
+                    self.seen.record_bad(self.seen_key([url]))   # error page stashed as empty body
                 return EMPTY_SPANS, True, slept, status, False
-        elif self.seen is not None and self.seen.bad_mask([url])[0]:
+        elif self.seen is not None and self.seen.bad_mask(self.seen_key([url]))[0]:
             return EMPTY_SPANS, False, False, 200, False  # cached empty body
         body = self.store.lookup_one(url)
         return (body or EMPTY_SPANS), from_resource, slept, status, False
@@ -375,11 +385,11 @@ class IndexWalker:
         n = len(urls)
         # stash accounting: one batched RPC, in walk order (fetch-once)
         if cfg.index_debug and st.seen is not None and n:
-            from_resource = st.seen.check_and_add(urls)
+            from_resource = st.seen.check_and_add(st.seen_key(urls))
             err = [u for u, fe, stt in zip(urls, rows["force_empty"], rows["status"])
                    if stt != 200]
             if err:
-                st.seen.record_bad(err)
+                st.seen.record_bad(st.seen_key(err))
         else:
             from_resource = np.ones(n, dtype=bool)
         if cfg.real_sleep and st.sched.delay and n:
@@ -439,7 +449,7 @@ class InstanceWalker:
 
         # stash gate: batched check_and_add preserves fetch-once semantics
         if cfg.debug and st.seen is not None:
-            from_res = st.seen.check_and_add(furls)
+            from_res = st.seen.check_and_add(st.seen_key(furls))
         else:
             from_res = np.ones(len(furls), dtype=bool)
 
@@ -496,10 +506,10 @@ class InstanceWalker:
         if cfg.debug and st.seen is not None:
             err_urls = urls[(statuses != 200) & (statuses != 0)]
             if len(err_urls):
-                st.seen.record_bad(err_urls)
+                st.seen.record_bad(st.seen_key(err_urls))
             hit_rows = fetchable[~from_res]
             if len(hit_rows):
-                bad_hits = st.seen.bad_mask(urls[hit_rows])
+                bad_hits = st.seen.bad_mask(st.seen_key(urls[hit_rows]))
                 statuses[hit_rows[bad_hits]] = -1   # cached empty body
 
         # vectorized body lookup for every fetchable row
