@@ -80,3 +80,35 @@ def test_overlapped_synth_corpus_and_politeness(ray_session, tmp_path):
         assert (last - first) >= g * delay - 1e-6, \
             "busy window shorter than the politeness budget"
     c2.shutdown()
+
+
+def test_overlapped_continuations_consume_pacer_tokens(ray_session):
+    """Instance-continuation fetches in overlapped mode also lease from the
+    shared budget (no politeness bypass on the sequential path)."""
+    from upton_ray.config import CrawlConfig
+
+    span = [{"kind": "body/h1.article-title", "text": "t",
+             "media_ref": "", "offset": 0}]
+    web = {"http://s.test/index": [
+               {"kind": "section#river/section/h1/a", "text": "x",
+                "media_ref": "http://s.test/a.html", "offset": 0}],
+           "http://s.test/a.html": span,
+           "http://s.test/a_page_1.html": span}
+    cfg = CrawlConfig(
+        index_url="http://s.test/index",
+        index_selector="section#river section h1 a",
+        extractor="css:h1.article-title",
+        next_instance_page_url=lambda url, i: url.replace(
+            ".html", f"_page_{i}.html") if i <= 1 and "_page_" not in url
+            else "",
+        sleep_time_between_requests=0.001, real_sleep=True, max_sleep=0.002,
+        debug=True, index_debug=True, num_seen_shards=1, fetch_concurrency=1)
+    c = Crawler(cfg, web)
+    res = c.crawl_overlapped()
+    t = res.records_table()
+    assert t.num_rows == 2   # instance + its continuation page
+    assert c.pacer is not None
+    _, granted, _ = ray.get(c.pacer.state.remote())
+    # both the instance fetch and the continuation fetch consumed tokens
+    assert granted.get("s.test", 0) == 2
+    c.shutdown()

@@ -249,6 +249,20 @@ class _FetchState:
             if status == 408:      # bounded retry (reference loops forever, T4)
                 for _ in range(self.cfg.max_retries):
                     pass           # sandbox: status is static; retries exhaust
+            h = host_of(url)
+            if self.pacer is not None and self.is_hot(h) and self.cfg.real_sleep:
+                # pacer-governed host: even singleton (continuation) fetches
+                # consume a global token and honor the leased window
+                import time as _time
+
+                import ray as _ray
+
+                now_wall = _time.time()
+                start = _ray.get(self.pacer.lease.remote(
+                    h, 1, self.sched.host_delay(h), now_wall))
+                self.sched.next_allowed[h] = max(
+                    self.sched.next_allowed[h],
+                    _time.monotonic() + (start - now_wall))
             self.sched.wait_turn(host_of(url))
             slept = True           # politeness applies to error/empty fetches too (Q8)
             if status != 200:
