@@ -198,8 +198,19 @@ def main():
     queries["winnow_fingerprint"] = round(
         timed(datapipe.winnow_fingerprint, SF_DIR), 3)
     queries["events_window"] = round(timed(datapipe.events_window, SF_DIR), 3)
+    queries["sessionize"] = round(timed(datapipe.sessionize, SF_DIR), 3)
     queries["quality_score"] = round(timed(datapipe.quality_score, SF_DIR), 3)
+    queries["lang_id"] = round(timed(datapipe.lang_id, SF_DIR), 3)
+    queries["simhash"] = round(timed(datapipe.simhash, SF_DIR), 3)
+    queries["embedding_dedup"] = round(
+        timed(datapipe.embedding_dedup, SF_DIR), 3)
+    queries["crawl_bfs"] = round(timed(datapipe.crawl_bfs, SF_DIR), 3)
+    queries["lineitem_pricing"] = round(
+        timed(datapipe.lineitem_pricing, SF_DIR), 3)
+    queries["nation_revenue"] = round(timed(datapipe.nation_revenue, SF_DIR), 3)
+    queries["frontier_topk"] = round(timed(datapipe.frontier_topk, SF_DIR), 3)
     queries["media_decode"] = round(timed(datapipe.media_decode, SF_DIR), 3)
+    queries["frame_sample"] = round(timed(datapipe.frame_sample, SF_DIR), 3)
 
     out = {
         "metric": "crawl+extract throughput and pipeline wall-times",
