@@ -54,6 +54,7 @@ class CrawlConfig:
     seen_exact: bool = True   # False = filters-only membership (10^10-URL
                               # memory config; a filter FP may skip a fetch)
     num_seen_shards: int = 8
+    seen_capacity_per_shard: int = 1_000_000   # filter sizing (bloom/cuckoo)
     fetch_concurrency: int = 4         # fetch actor pool size
     fetch_batch_size: int = 256
     host_sharded_fetch: Optional[bool] = None  # None = auto (politeness>0 or robots)

@@ -144,6 +144,7 @@ class Crawler:
         self.seen: Optional[SeenSet] = None
         if cfg.debug or cfg.index_debug:
             self.seen = SeenSet(cfg.num_seen_shards,
+                                capacity_per_shard=cfg.seen_capacity_per_shard,
                                 approximate=not cfg.seen_exact)
             self._restore_seen()
 
