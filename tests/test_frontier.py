@@ -3,7 +3,7 @@
 
 import numpy as np
 
-from upton_ray.frontier import HostScheduler, RobotsCache, salt_hot_hosts
+from upton_ray.frontier import HostScheduler, RobotsCache, salt_hosts
 
 
 def hosts(urls):
@@ -44,21 +44,21 @@ class TestHostScheduler:
         assert s.next_allowed["slow.com"] >= 100.0
 
 
-class TestSaltHotHosts:
+class TestSaltHosts:
     def test_only_hot_hosts_salted(self):
         hs = np.array(["hot.com"] * 10 + ["cold.com"] * 2, dtype=object)
-        out = salt_hot_hosts(hs, counts_threshold=5, num_salts=3)
-        assert all(h.startswith("hot.com#salt-") for h in out[:10])
+        out = salt_hosts(hs, frozenset({"hot.com"}), num_salts=3)
+        assert all(h.startswith("hot.com#s") for h in out[:10])
         assert list(out[10:]) == ["cold.com", "cold.com"]
 
     def test_salts_spread_round_robin(self):
         hs = np.array(["hot.com"] * 9, dtype=object)
-        out = salt_hot_hosts(hs, counts_threshold=5, num_salts=3)
+        out = salt_hosts(hs, frozenset({"hot.com"}), num_salts=3)
         assert len(set(out)) == 3
 
     def test_no_hot_hosts_is_identity(self):
         hs = np.array(["a.com", "b.com"], dtype=object)
-        out = salt_hot_hosts(hs, counts_threshold=5, num_salts=3)
+        out = salt_hosts(hs, frozenset(), num_salts=3)
         assert out is hs
 
 

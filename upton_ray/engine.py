@@ -405,14 +405,10 @@ class Crawler:
             salts = max(1, cfg.hot_host_salts)
 
             def add_shard(batch: pa.Table) -> pa.Table:
+                from upton_ray.frontier import salt_hosts
+
                 urls = batch["url"].to_numpy(zero_copy_only=False)
-                hs = hosts_of(urls)
-                keys = hs
-                if hot_hosts:
-                    keys = hs.copy()
-                    idx = np.flatnonzero(np.isin(hs, list(hot_hosts)))
-                    for j, i in enumerate(idx):   # round-robin sub-queues
-                        keys[i] = f"{hs[i]}#s{j % salts}"
+                keys = salt_hosts(hosts_of(urls), hot_hosts, salts)
                 return batch.append_column(
                     "host_shard",
                     pa.array(shard_hashes(keys, cfg.fetch_concurrency), pa.int32()))

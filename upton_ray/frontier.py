@@ -131,22 +131,20 @@ def make_host_pacer():
     return HostPacer.remote()
 
 
-def salt_hot_hosts(hosts: np.ndarray, counts_threshold: int, num_salts: int,
-                   rng_base: int = 0x9E37) -> np.ndarray:
-    """Skew handling: return a routing key per row — host, or host#salt-i for
-    hosts that exceed the threshold in this batch (north_rule hot-host
-    splitting). Salted sub-queues of one host still share that host's token
-    bucket in the scheduler (keyed by the true host)."""
-    vals, counts = np.unique(hosts, return_counts=True)
-    hot = set(vals[counts > counts_threshold].tolist())
-    if not hot:
+def salt_hosts(hosts: np.ndarray, hot_hosts, num_salts: int) -> np.ndarray:
+    """Skew handling: the routing key per row — the host itself, or
+    ``host#s<i>`` (round-robin over ``num_salts`` sub-queues) for hosts in
+    the globally-detected hot set (north_rule hot-host splitting). Salted
+    sub-queues of one host still share that host's token bucket: pacing goes
+    through the HostPacer actor keyed by the TRUE host, never the salted key."""
+    if not hot_hosts:
         return hosts
     out = hosts.copy()
     salt_counter: dict[str, int] = defaultdict(int)
     for i, h in enumerate(hosts):
-        if h in hot:
+        if h in hot_hosts:
             c = salt_counter[h]
-            out[i] = f"{h}#salt-{c % num_salts}"
+            out[i] = f"{h}#s{c % num_salts}"
             salt_counter[h] = c + 1
     return out
 
