@@ -204,6 +204,8 @@ def main():
     queries["simhash"] = round(timed(datapipe.simhash, SF_DIR), 3)
     queries["embedding_dedup"] = round(
         timed(datapipe.embedding_dedup, SF_DIR), 3)
+    queries["embedding_dedup_lsh"] = round(
+        timed(datapipe.embedding_dedup_lsh, SF_DIR), 3)
     queries["crawl_bfs"] = round(timed(datapipe.crawl_bfs, SF_DIR), 3)
     queries["lineitem_pricing"] = round(
         timed(datapipe.lineitem_pricing, SF_DIR), 3)
