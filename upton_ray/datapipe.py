@@ -986,15 +986,16 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
 
 
 def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
-                        n_bits: int = 32, band_bits: int = 4,
+                        n_bits: int = 64, band_bits: int = 8,
                         seed: int = 42) -> pa.Table:
     """Embedding near-dup via sign-random-projection LSH — the scale path
     promised by :func:`embedding_dedup`: signatures -> banded buckets ->
     within-bucket candidates -> exact cosine verification, so no stage ever
-    forms the O(n^2) pair space. With cos >= 0.95 (angle <= 18.2°) each
-    4-bit band collides w.p. ~0.66, so 8 bands give ~0.9998 recall; every
-    emitted pair is exactly verified, so output ⊆ brute force with
-    near-certain equality — the gate shares embedding_dedup's SQL oracle.
+    forms the O(n^2) pair space. Band sizing balances bucket occupancy
+    (256 buckets/band keeps candidate pairs ~linear) against recall: ~0.99
+    at cos = 0.95 exactly, ->1 as similarity ->1 (true near-dups sit far
+    above threshold). Every emitted pair is exactly verified, so output ⊆
+    brute force — the gate shares embedding_dedup's SQL oracle.
     """
     import pyarrow.parquet as pq
 
