@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_lsh": datapipe.embedding_dedup_lsh,
         "events_window": datapipe.events_window,
         "sessionize": datapipe.sessionize,
+        "events_sliding": datapipe.events_sliding,
         "crawl_bfs": datapipe.crawl_bfs,
         "lineitem_pricing": datapipe.lineitem_pricing,
         "nation_revenue": datapipe.nation_revenue,
@@ -371,6 +372,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH w AS (
+              SELECT event_type, value,
+                     unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                             date_trunc('hour', ts)]) AS window_start
+              FROM events)
+            SELECT event_type, window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM w GROUP BY 1, 2
         """,
         "sessionize": """
             WITH o AS (

@@ -234,3 +234,26 @@ def test_embedding_dedup_lsh_matches_exact(ray_session, dup_dir):
     expect = set(zip(exact["vec_a"].to_pylist(), exact["vec_b"].to_pylist()))
     assert pairs == expect and (0, 1) in pairs, \
         "LSH must find the planted near-dup and nothing spurious"
+
+
+def test_events_sliding_fanout(ray_session, tmp_path):
+    """Each event lands in exactly the two hop windows covering it."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 30)
+    t = pa.table({
+        "event_id": pa.array([0], pa.int64()),
+        "ts": pa.array([base], pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["x"]),
+        "value": pa.array([2.5], pa.float64()),
+        "props": pa.array(["{}"]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = _collect(datapipe.events_sliding(str(tmp_path)),
+                   ("event_type", pa.string()),
+                   ("window_start", pa.timestamp("us")),
+                   ("n_events", pa.int64()), ("sum_value", pa.float64()))
+    rows = sorted((r["window_start"].hour, r["n_events"], r["sum_value"])
+                  for r in out.to_pylist())
+    assert rows == [(9, 1, 2.5), (10, 1, 2.5)]

@@ -1052,3 +1052,40 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
     out = df[sims >= threshold].sort_values(["vec_a", "vec_b"])
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def events_sliding(sf_dir: str):
+    """Sliding-window aggregate (2 h windows hopping by 1 h): each event is
+    fanned out to the windows containing it inside map_batches (combiner
+    included), so the groupby again moves one row per (window, type) per
+    block — the same partial-aggregate discipline as events_window, with the
+    window fan-out factor (2) paid locally, never in the shuffle."""
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]")
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        one_h = np.timedelta64(1, "h")
+        # a 2h window starting at H covers events in [H, H+2h): event at
+        # hour E belongs to windows starting at E-1h and E
+        df = pd.DataFrame({
+            "event_type": np.concatenate([et, et]),
+            "w": np.concatenate([hours - one_h, hours]).astype("datetime64[us]"),
+            "value": np.concatenate([val, val]),
+        })
+        g = df.groupby(["event_type", "w"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"],
+                               override_num_blocks=8)
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "w"]).sum(["n_events", "sum_value"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "window_start": b["w"],
+            "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+            "sum_value": pc.round(b["sum(sum_value)"], ndigits=6),
+        }), batch_format="pyarrow")
