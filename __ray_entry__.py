@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": datapipe.events_window,
         "sessionize": datapipe.sessionize,
         "events_sliding": datapipe.events_sliding,
+        "term_frequencies": datapipe.term_frequencies,
+        "approx_distinct_users": datapipe.approx_distinct_users,  # rows-only
         "crawl_bfs": datapipe.crawl_bfs,
         "lineitem_pricing": datapipe.lineitem_pricing,
         "nation_revenue": datapipe.nation_revenue,
@@ -372,6 +374,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "term_frequencies": f"""
+            WITH tok AS (
+              SELECT unnest(string_split({_NORM}, ' ')) AS term
+              FROM documents),
+            c AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY term)
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT)
+                     AS rank, term, n
+            FROM c ORDER BY n DESC, term LIMIT 20
         """,
         "events_sliding": """
             WITH w AS (

@@ -257,3 +257,29 @@ def test_events_sliding_fanout(ray_session, tmp_path):
     rows = sorted((r["window_start"].hour, r["n_events"], r["sum_value"])
                   for r in out.to_pylist())
     assert rows == [(9, 1, 2.5), (10, 1, 2.5)]
+
+
+def test_hll_accuracy_and_merge():
+    from upton_ray.datapipe import HyperLogLog
+    import pandas as pd_
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000_000, size=60_000)
+    true = len(np.unique(vals))
+    h = pd_.util.hash_array(vals.astype(np.int64), categorize=False)
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_hashes(h[:30_000]); b.add_hashes(h[30_000:])
+    merged = a.merge(b)
+    est = merged.estimate()
+    assert abs(est - true) / true < 0.05, f"HLL error too high: {est} vs {true}"
+
+
+def test_approx_distinct_users_close_to_exact(ray_session):
+    sf = "/root/testdata/sf0.001"
+    import duckdb
+
+    true = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    est = datapipe.approx_distinct_users(sf)["approx_distinct"][0].as_py()
+    assert abs(est - true) / true < 0.05, f"{est} vs exact {true}"

@@ -1089,3 +1089,92 @@ def events_sliding(sf_dir: str):
             "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
             "sum_value": pc.round(b["sum(sum_value)"], ndigits=6),
         }), batch_format="pyarrow")
+
+
+def term_frequencies(sf_dir: str, k: int = 20) -> pa.Table:
+    """Global top-k terms (heavy hitters): per-batch Counter partials ->
+    groupby-sum over the (bounded-vocabulary) term key -> small driver-side
+    top-k. The shuffle moves one row per distinct term per block, never a
+    row per token occurrence."""
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in _norm_text(batch["text"]).to_pylist():
+            c.update(t.split())
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = (_docs(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("term").sum("n"))
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
+    t = pa.concat_tables(parts)
+    df = t.to_pandas().rename(columns={"sum(n)": "n"})
+    df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
+    df["rank"] = range(1, len(df) + 1)
+    return pa.Table.from_pandas(df[["rank", "term", "n"]].reset_index(drop=True),
+                                preserve_index=False)
+
+
+class HyperLogLog:
+    """Plain-numpy HLL sketch (Flajolet et al.): 2^p registers of leading-
+    zero ranks; union = elementwise max — the mergeable distinct-count
+    sketch for corpus-scale cardinalities where exact sets don't fit."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1, vectorized via
+        # float64 exponent extraction (exact for this bit width)
+        nz = rest != 0
+        ranks = np.ones(len(h), dtype=np.uint8)
+        bits = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        ranks[nz] = np.clip(bits + 1, 1, 64 - self.p).astype(np.uint8)
+        np.maximum.at(self.registers, idx, ranks)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -self.registers.astype(np.float64)))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)      # small-range correction
+        return float(est)
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT user_id) via HLL: one sketch per block
+    (map_batches), register-max merge on the driver — ~(2^p) bytes of state
+    per block regardless of cardinality. Approximate ⇒ rows-only gate;
+    accuracy (±~1.6% at p=12) pinned in tests."""
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch["user_id"].to_numpy(zero_copy_only=False), categorize=False)
+        hll = HyperLogLog(p)
+        hll.add_hashes(h)
+        return pa.table({"registers": pa.array([hll.registers.tobytes()],
+                                               pa.binary())})
+
+    parts = [t for t in ray.get(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"],
+                              override_num_blocks=8)
+        .map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0]
+    merged = HyperLogLog(p)
+    for t in parts:
+        for blob in t["registers"].to_pylist():
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+            merged.merge(other)
+    return pa.table({"approx_distinct": pa.array([int(round(merged.estimate()))],
+                                                 pa.int64())})
