@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": datapipe.sessionize,
         "events_sliding": datapipe.events_sliding,
         "term_frequencies": datapipe.term_frequencies,
+        "value_quantiles": datapipe.value_quantiles,
         "approx_distinct_users": datapipe.approx_distinct_users,  # rows-only
         "crawl_bfs": datapipe.crawl_bfs,
         "lineitem_pricing": datapipe.lineitem_pricing,
@@ -374,6 +375,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "value_quantiles": """
+            WITH a AS (
+              SELECT quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS v
+              FROM events)
+            SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q, unnest(v) AS val
+            FROM a
         """,
         "term_frequencies": f"""
             WITH tok AS (

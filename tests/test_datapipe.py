@@ -283,3 +283,15 @@ def test_approx_distinct_users_close_to_exact(ray_session):
     ).fetchone()[0]
     est = datapipe.approx_distinct_users(sf)["approx_distinct"][0].as_py()
     assert abs(est - true) / true < 0.05, f"{est} vs exact {true}"
+
+
+def test_value_quantiles_exact(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    t = datapipe.value_quantiles(sf)
+    exact = duckdb.sql(
+        f"WITH a AS (SELECT quantile_cont(value, [0.25,0.5,0.9,0.99]) v "
+        f"FROM '{sf}/events.parquet') SELECT unnest(v) FROM a").fetchall()
+    assert t["val"].to_pylist() == [r[0] for r in exact], \
+        "two-pass quantiles must be bit-identical to a full sort"

@@ -1178,3 +1178,87 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
             merged.merge(other)
     return pa.table({"approx_distinct": pa.array([int(round(merged.estimate()))],
                                                  pa.int64())})
+
+
+def value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pa.Table:
+    """EXACT distributed quantiles (linear interpolation, DuckDB
+    ``quantile_cont`` semantics) without a global sort: pass 1 streams
+    per-block histograms (count/min/max + 2048 fixed bins); the driver
+    locates, for each target order statistic, the bin containing it; pass 2
+    streams a filter for just those bins' rows (~n/2048 each — at larger
+    scale, recurse the same histogram step inside the bin instead of
+    collecting it). Only candidate-bin rows and tiny histograms ever reach
+    the driver."""
+    from upton_ray.engine import collect
+
+    n_bins = 2048
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"],
+                               override_num_blocks=8)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())], pa.float64()),
+                         "hi": pa.array([float(v.max())], pa.float64())})
+
+    st = collect(ds.map_batches(stats, batch_format="pyarrow"),
+                 pa.schema([("n", pa.int64()), ("lo", pa.float64()),
+                            ("hi", pa.float64())]))
+    n = int(pc.sum(st["n"]).as_py())
+    lo, hi = float(pc.min(st["lo"]).as_py()), float(pc.max(st["hi"]).as_py())
+    width = (hi - lo) / n_bins or 1.0
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins)
+        return pa.table({"bin": pa.array(np.arange(n_bins), pa.int32()),
+                         "count": pa.array(counts, pa.int64())})
+
+    ht = collect(ds.map_batches(hist, batch_format="pyarrow"),
+                 pa.schema([("bin", pa.int32()), ("count", pa.int64())]))
+    counts = np.zeros(n_bins, dtype=np.int64)
+    np.add.at(counts, ht["bin"].to_numpy(), ht["count"].to_numpy())
+    cum = np.concatenate([[0], np.cumsum(counts)])
+
+    # order statistics needed: floor and ceil of (n-1)*q for each q
+    need: set[int] = set()
+    for q in qs:
+        idx = (n - 1) * q
+        need.add(int(np.floor(idx)))
+        need.add(min(int(np.floor(idx)) + 1, n - 1))
+    need_bins = sorted({int(np.searchsorted(cum, k, side="right") - 1)
+                        for k in need})
+    nb = np.array(need_bins, dtype=np.int64)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        keep = np.isin(b, nb)
+        return pa.table({"value": pa.array(v[keep], pa.float64()),
+                         "bin": pa.array(b[keep], pa.int32())})
+
+    cand = collect(ds.map_batches(grab, batch_format="pyarrow"),
+                   pa.schema([("value", pa.float64()), ("bin", pa.int32())]))
+    by_bin = {}
+    cv = cand["value"].to_numpy()
+    cb = cand["bin"].to_numpy()
+    for b in need_bins:
+        by_bin[b] = np.sort(cv[cb == b])
+
+    def order_stat(k: int) -> float:
+        b = int(np.searchsorted(cum, k, side="right") - 1)
+        return float(by_bin[b][k - cum[b]])
+
+    rows = {"q": [], "val": []}
+    for q in qs:
+        idx = (n - 1) * q
+        k = int(np.floor(idx))
+        frac = idx - k
+        v_lo = order_stat(k)
+        v_hi = order_stat(min(k + 1, n - 1))
+        rows["q"].append(q)
+        # duckdb quantile_cont interpolation: lo*(1-frac) + hi*frac
+        rows["val"].append(v_lo * (1 - frac) + v_hi * frac)
+    return pa.table({"q": pa.array(rows["q"], pa.float64()),
+                     "val": pa.array(rows["val"], pa.float64())})
