@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": datapipe.fingerprint,
         "winnow_fingerprint": datapipe.winnow_fingerprint,  # rows-only gate
         "token_count": datapipe.token_count,
+        "token_pieces": datapipe.token_pieces,
         "quality_score": datapipe.quality_score,
         "lang_id": datapipe.lang_id,
         "simhash": datapipe.simhash,
@@ -264,6 +265,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "token_pieces": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all({_NORM},
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces
             FROM documents
         """,
         "quality_score": rf"""

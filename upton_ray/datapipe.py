@@ -1262,3 +1262,24 @@ def value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pa.Table:
         rows["val"].append(v_lo * (1 - frac) + v_hi * frac)
     return pa.table({"q": pa.array(rows["q"], pa.float64()),
                      "val": pa.array(rows["val"], pa.float64())})
+
+
+_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_pieces(sf_dir: str):
+    """BPE-ish piece counting: normalized text split into letter runs, digit
+    runs, and single punctuation marks (the pre-tokenization shape of
+    BPE-family tokenizers). One vectorized regex kernel per batch; the
+    pattern has non-overlapping alternatives so Python re and DuckDB's RE2
+    count identically."""
+    def f(batch: pa.Table) -> pa.Table:
+        norm = _norm_text(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_pieces": pc.cast(
+                pc.count_substring_regex(norm, pattern=_PIECE_RE), pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
