@@ -16,8 +16,12 @@ Operators:
 * exact source-blocked n-gram Jaccard (incidence-matrix matmul per block)
 * winnowing rolling-hash fingerprints (Rabin–Karp k-grams + window-min)
 * language-ID (marker-token heuristic), quality scoring, token counting
-* tumbling-window aggregation and gap-based sessionization over events
+  (whitespace + BPE-style pieces), heavy-hitter term frequencies
+* tumbling/sliding-window aggregation and gap-based sessionization over
+  events; EXACT distributed quantiles (two-pass candidate-bin, no global
+  sort); HyperLogLog approximate distinct counts (mergeable sketch)
 * per-host top-k (frontier-priority shape: window/top-k over a key)
+* frontier BFS (multi-round discover/dedup loop, recursive-CTE oracle)
 * relational patterns: partial-aggregate groupby (TPC-H-Q1 shape) and
   broadcast join (small side via ray.put, zero fact-table shuffle)
 * multimodal decode/resize/frame-sample stubs: the Ray-side plumbing
