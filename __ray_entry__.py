@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": datapipe.events_sliding,
         "term_frequencies": datapipe.term_frequencies,
         "value_quantiles": datapipe.value_quantiles,
+        "asof_join_events": datapipe.asof_join_events,
         "approx_distinct_users": datapipe.approx_distinct_users,  # rows-only
         "crawl_bfs": datapipe.crawl_bfs,
         "lineitem_pricing": datapipe.lineitem_pricing,
@@ -382,6 +383,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join_events": """
+            WITH r AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'
+              QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id) = 1),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS matched_event_id, r.ts AS matched_ts
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
         """,
         "value_quantiles": """
             WITH a AS (

@@ -295,3 +295,32 @@ def test_value_quantiles_exact(ray_session):
         f"FROM '{sf}/events.parquet') SELECT unnest(v) FROM a").fetchall()
     assert t["val"].to_pylist() == [r[0] for r in exact], \
         "two-pass quantiles must be bit-identical to a full sort"
+
+
+def test_asof_join_semantics(ray_session, tmp_path):
+    """Planted stream: each purchase matches the latest click at-or-before
+    its ts for the same user; ties on click ts resolve to the lowest
+    event_id; purchases with no prior click are dropped (inner as-of)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [  # (event_id, minutes, user, type)
+        (0, 0, 1, "click"), (1, 0, 1, "click"),      # tie at t0 -> id 0 wins
+        (2, 5, 1, "purchase"),                        # matches t0 click id 0
+        (3, 10, 1, "click"),
+        (4, 10, 1, "purchase"),                       # at-or-before: id 3
+        (5, 1, 2, "purchase"),                        # user 2: no click -> drop
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([b + dt.timedelta(minutes=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = datapipe.asof_join_events(str(tmp_path))
+    got = {r["event_id"]: r["matched_event_id"] for r in out.to_pylist()}
+    assert got == {2: 0, 4: 3}

@@ -1287,3 +1287,59 @@ def token_pieces(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def asof_join_events(sf_dir: str) -> pa.Table:
+    """AS-OF join — the canonical operator Ray Data lacks (see brief):
+    for every 'purchase' event, the most recent 'click' by the same user at
+    or before the purchase time.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    both sides shuffle ONCE on the join key (user_id) via a single
+    ``groupby(user_id).map_groups``; inside a group the match is one
+    ``np.searchsorted`` over the sorted right side — no per-row loops, no
+    quadratic pair space. Ties on the right timestamp resolve to the
+    smallest event_id (the right side is deduped to one row per (user, ts)),
+    matching the SQL oracle's QUALIFY dedup. Inner join: purchases with no
+    prior click are dropped (NULL-timestamp rows would be ambiguous under
+    the value-hash gate)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"],
+                               override_num_blocks=8)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        left = np.flatnonzero(et == "purchase")
+        right = np.flatnonzero(et == "click")
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "ts": pa.array([], pa.timestamp("us")),
+                          "matched_event_id": pa.array([], pa.int64()),
+                          "matched_ts": pa.array([], pa.timestamp("us"))})
+        if len(left) == 0:
+            return empty
+        # right side: sort by (ts, event_id), dedupe to first event_id per ts
+        r_order = np.lexsort((eid[right], ts[right]))
+        r_ts, r_eid = ts[right][r_order], eid[right][r_order]
+        if len(r_ts):
+            first = np.r_[True, r_ts[1:] != r_ts[:-1]]
+            r_ts, r_eid = r_ts[first], r_eid[first]
+        idx = np.searchsorted(r_ts, ts[left], side="right") - 1
+        have = idx >= 0
+        left, idx = left[have], idx[have]      # inner as-of: matched only
+        return pa.table({
+            "event_id": pa.array(eid[left], pa.int64()),
+            "user_id": pa.array(uid[left], pa.int64()),
+            "ts": pa.array(ts[left], pa.timestamp("us")),
+            "matched_event_id": pa.array(r_eid[idx], pa.int64()),
+            "matched_ts": pa.array(r_ts[idx], pa.timestamp("us")),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns > 0]
+    t = pa.concat_tables(parts)
+    return t.sort_by([("event_id", "ascending")])
