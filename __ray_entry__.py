@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": datapipe.term_frequencies,
         "value_quantiles": datapipe.value_quantiles,
         "asof_join_events": datapipe.asof_join_events,
+        "range_join_events": datapipe.range_join_events,
         "approx_distinct_users": datapipe.approx_distinct_users,  # rows-only
         "crawl_bfs": datapipe.crawl_bfs,
         "lineitem_pricing": datapipe.lineitem_pricing,
@@ -383,6 +384,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "range_join_events": """
+            WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+                              max(ts) AS tmax FROM events),
+            c AS (SELECT k AS campaign_id,
+                         t0 + k * 5 * INTERVAL 1 HOUR AS s,
+                         t0 + (k * 5 + 2) * INTERVAL 1 HOUR AS e
+                  FROM b, unnest(range(0, 10000)) AS u(k)
+                  WHERE t0 + k * 5 * INTERVAL 1 HOUR <= tmax)
+            SELECT ev.event_id, CAST(c.campaign_id AS BIGINT) AS campaign_id
+            FROM events ev JOIN c ON ev.ts >= c.s AND ev.ts < c.e
+            ORDER BY ev.event_id
         """,
         "asof_join_events": """
             WITH r AS (

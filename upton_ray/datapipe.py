@@ -1343,3 +1343,46 @@ def asof_join_events(sf_dir: str) -> pa.Table:
     parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns > 0]
     t = pa.concat_tables(parts)
     return t.sort_by([("event_id", "ascending")])
+
+
+def range_join_events(sf_dir: str) -> pa.Table:
+    """Range join — events matched to the campaign interval containing them.
+    Campaign windows are derived from the data (2 h every 5 h from the first
+    event hour), so the small side is computed once on the driver and
+    BROADCAST; each batch resolves containment with pure arithmetic (regular
+    intervals; irregular ones would binary-search sorted starts instead).
+    No shuffle at all — the canonical small-side range-join pattern."""
+    from upton_ray.engine import collect
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"],
+                               override_num_blocks=8)
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([t.min()], pa.timestamp("us")),
+                         "hi": pa.array([t.max()], pa.timestamp("us"))})
+
+    bt = collect(ds.map_batches(bounds, batch_format="pyarrow"),
+                 pa.schema([("lo", pa.timestamp("us")),
+                            ("hi", pa.timestamp("us"))]))
+    t0 = np.min(bt["lo"].to_numpy()).astype("datetime64[h]").astype("datetime64[us]")
+
+    five_h = np.timedelta64(5 * 3600, "s")
+    two_h = np.timedelta64(2 * 3600, "s")
+
+    def match(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        off = ts - t0
+        k = (off // five_h).astype(np.int64)
+        inside = (off >= np.timedelta64(0, "s")) & (off - k * five_h < two_h)
+        return pa.table({
+            "event_id": pa.array(eid[inside], pa.int64()),
+            "campaign_id": pa.array(k[inside], pa.int64()),
+        })
+
+    out = collect(ds.map_batches(match, batch_format="pyarrow"),
+                  pa.schema([("event_id", pa.int64()),
+                             ("campaign_id", pa.int64())]))
+    return out.sort_by("event_id")
