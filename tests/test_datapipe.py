@@ -215,8 +215,8 @@ def test_sessionize_gap_semantics(ray_session, tmp_path):
 
 
 def test_crawl_bfs_min_depth(ray_session):
-    t = datapipe.crawl_bfs("/root/testdata/sf0.001")
-    d = dict(zip(t["doc_id"].to_pylist(), t["depth"].to_pylist()))
+    df = datapipe.crawl_bfs("/root/testdata/sf0.001").to_pandas()
+    d = dict(zip(df["doc_id"], df["depth"]))
     assert d[0] == 0 and d[1] == 0 and d[2] == 0
     # children of seed 1 -> depth 1; grandchildren -> depth 2
     assert d[4] == 1 and d[3*4+1] == 2
@@ -324,3 +324,62 @@ def test_asof_join_semantics(ray_session, tmp_path):
     out = datapipe.asof_join_events(str(tmp_path))
     got = {r["event_id"]: r["matched_event_id"] for r in out.to_pylist()}
     assert got == {2: 0, 4: 3}
+
+
+def test_term_frequencies_partition_topk_is_exact(ray_session, dup_dir):
+    """Per-partition top-k before the driver merge loses nothing: terms are
+    hash-partitioned by the groupby, so each term's GLOBAL count lives in one
+    partition and the global top-k ⊆ union of per-partition top-k's."""
+    import collections
+
+    t = datapipe.term_frequencies(dup_dir, k=5)
+    texts = pq.read_table(f"{dup_dir}/documents.parquet")["text"].to_pylist()
+    c = collections.Counter()
+    for x in texts:
+        c.update(" ".join(x.lower().split()).split())
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(t["term"].to_pylist(), t["n"].to_pylist()))
+    assert got == expect
+    assert t["rank"].to_pylist() == [1, 2, 3, 4, 5]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    """300 identical docs + 300 identical embeddings: every LSH bucket is one
+    giant cluster — the quadratic-blowup worst case the bucket cap bounds."""
+    d = tmp_path_factory.mktemp("degen")
+    n = 300
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["same exact text for every single document here"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["src0"] * n),
+        "n_chars": pa.array([46] * n, pa.int64()),
+    })
+    pq.write_table(docs, d / "documents.parquet")
+    v = np.random.RandomState(3).randn(16).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v))] * n, pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    })
+    pq.write_table(emb, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(ray_session, degenerate_dir):
+    """With the cap, an all-identical corpus emits ZERO pairs from oversized
+    buckets (dropped + logged) instead of O(n^2) per band; with the cap above
+    the cluster size, the full pair set comes back."""
+    capped = datapipe.minhash_dedup(degenerate_dir, threshold=0.5, max_bucket=16)
+    assert capped.num_rows == 0
+    full = datapipe.minhash_dedup(degenerate_dir, threshold=0.5, max_bucket=1024)
+    assert full.num_rows == 300 * 299 // 2
+
+
+def test_embedding_lsh_bucket_cap_bounds_degenerate_corpus(
+        ray_session, degenerate_dir):
+    capped = datapipe.embedding_dedup_lsh(degenerate_dir, max_bucket=16)
+    assert capped.num_rows == 0
+    full = datapipe.embedding_dedup_lsh(degenerate_dir, max_bucket=1024)
+    assert full.num_rows == 300 * 299 // 2

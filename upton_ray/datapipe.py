@@ -360,7 +360,8 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+def minhash_dedup(sf_dir: str, threshold: float = 0.8,
+                  max_bucket: int = 1024) -> pa.Table:
     """Near-dup pairs by MinHash+LSH, verified with exact shingle-Jaccard.
 
     Pipeline: shingle->minhash (map_batches) -> band->bucket (flat emit +
@@ -369,7 +370,13 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     Output: (doc_a, doc_b, jacc) for pairs with jacc >= threshold, doc_a <
     doc_b — equal to the O(n^2) oracle because band parameters put LSH recall
     at ~1 for j >= threshold.
+
+    Buckets larger than ``max_bucket`` (a degenerate signature cluster, e.g.
+    empty-text docs) are dropped with a logged count instead of emitting
+    O(bucket^2) pairs — at corpus scale one such bucket would dominate the
+    whole run; its members still pair through their other (finer) bands.
     """
+    import logging
     a, b = _perm_params()
 
     def sig_batch(batch: pa.Table) -> pa.Table:
@@ -395,10 +402,13 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]]
-        return pa.table({"doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                         "doc_b": pa.array([p[1] for p in pairs], pa.int64())})
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) > max_bucket:   # degenerate bucket: marker row, no pairs
+            return pa.table({"doc_a": pa.array([-1], pa.int64()),
+                             "doc_b": pa.array([len(ids)], pa.int64())})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[i], pa.int64()),
+                         "doc_b": pa.array(ids[j], pa.int64())})
 
     cand = buckets.groupby(["band", "bucket"]).map_groups(
         emit_pairs, batch_format="pyarrow")
@@ -411,7 +421,17 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     cand_t = pa.concat_tables(cand_parts)
     if cand_t.num_rows == 0:
         return empty
-    cand_df = cand_t.to_pandas().drop_duplicates().reset_index(drop=True)
+    cand_df = cand_t.to_pandas()
+    over = cand_df["doc_a"] < 0
+    if over.any():
+        logging.getLogger(__name__).warning(
+            "minhash_dedup: dropped %d oversized buckets (largest %d rows "
+            "> max_bucket=%d)", int(over.sum()),
+            int(cand_df.loc[over, "doc_b"].max()), max_bucket)
+        cand_df = cand_df[~over]
+        if len(cand_df) == 0:
+            return empty
+    cand_df = cand_df.drop_duplicates().reset_index(drop=True)
 
     # exact verification: broadcast the candidate docs' shingle sets
     # (candidate set << corpus; pruned with a vectorized is_in scan)
@@ -455,11 +475,10 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
 def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> pa.Table:
     """Brute-force cosine top-k: queries broadcast once (ray.put), each batch
     computes a (batch x q) matmul and emits its local top-k per query; the
-    driver merges the tiny per-block candidate sets. Ties break by vec_id."""
-    import pyarrow.parquet as pq
-
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"]).slice(0, n_queries)
+    driver merges the tiny per-block candidate sets. Ties break by vec_id.
+    The query rows come from ``take_batch`` (limit-pushdown read of the first
+    rows) — never a driver-side read of the full table."""
+    qt = _emb(sf_dir).take_batch(n_queries, batch_format="pyarrow")
     Q = _emb_matrix(qt)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ref = ray.put(Q)
@@ -522,16 +541,17 @@ def ann_ivf(sf_dir: str, n_queries: int = 4, k: int = 10, n_cells: int = 8,
     driver. With ``nprobe == n_cells`` this degrades to exact brute force —
     the property the unit test pins. Approximate for ``nprobe < n_cells``, so
     the driver gate checks rows-only (no SQL oracle), like simhash.
-    """
-    import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    sample = _emb_matrix(full.slice(0, train_sample))
+    The quantizer trains on a bounded ``take_batch(train_sample)`` sample
+    (limit-pushdown read of the leading rows — at corpus scale, point it at a
+    seeded sample shard); the driver never reads the full table.
+    """
+    head = _emb(sf_dir).take_batch(train_sample, batch_format="pyarrow")
+    sample = _emb_matrix(head)
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     cents = _kmeans_cosine(sample, n_cells)
 
-    qt = full.slice(0, n_queries)
+    qt = head.slice(0, n_queries)
     q = _emb_matrix(qt)
     q = q / np.linalg.norm(q, axis=1, keepdims=True)
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (q, nprobe)
@@ -584,41 +604,62 @@ def ann_ivf(sf_dir: str, n_queries: int = 4, k: int = 10, n_cells: int = 8,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+@ray.remote
+def _norm_block(t: pa.Table):
+    """L2-normalize one embedding block -> (matrix, vec_ids). Runs as a Ray
+    task so the driver only ever holds object refs, never the matrices."""
+    if t.num_rows == 0:
+        return None, None
+    m = _emb_matrix(t)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return m, t["vec_id"].to_numpy(zero_copy_only=False)
+
+
+@ray.remote
+def _block_pair_sims(left, right, same: bool, threshold: float) -> pa.Table:
+    """Emit (vec_a < vec_b) pairs with cosine >= threshold between two
+    normalized blocks (one matmul); ``same`` = the diagonal block."""
+    A, aids = left
+    B, bids = right
+    if A is None or B is None:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64())})
+    sims = A @ B.T
+    ai, bj = np.nonzero(sims >= threshold)
+    a, b = aids[ai], bids[bj]
+    if same:
+        keep = a < b
+        a, b = a[keep], b[keep]
+    else:  # blocks are disjoint in vec_id -> orient each hit once
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"vec_a": pa.array(a, pa.int64()),
+                     "vec_b": pa.array(b, pa.int64())})
+
+
+def embedding_dedup(sf_dir: str, threshold: float = 0.95,
+                    n_blocks: int = 8) -> pa.Table:
     """Embedding near-dup pairs (cosine >= threshold, a < b).
 
-    Exact blockwise implementation: the L2-normalized corpus matrix is
-    broadcast once (small side: n x d floats) and each batch emits its pairs
-    — at true scale, replace the broadcast with sign-random-projection
-    bucketing + within-bucket matmul (same emit contract)."""
-    import pyarrow.parquet as pq
-
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    M = _emb_matrix(full)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ids = full["vec_id"].to_numpy(zero_copy_only=False)
-    m_ref = ray.put((M, ids))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        Mm, all_ids = ray.get(m_ref)
-        B = _emb_matrix(batch)
-        B = B / np.linalg.norm(B, axis=1, keepdims=True)
-        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = B @ Mm.T
-        bi, mj = np.nonzero(sims >= threshold)
-        a = bids[bi]
-        b = all_ids[mj]
-        keep = a < b
-        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
-                         "vec_b": pa.array(b[keep], pa.int64())})
-
-    out = _emb(sf_dir).map_batches(pairs, batch_format="pyarrow", batch_size=4096)
-    t = pa.concat_tables([x for x in ray.get(out.to_arrow_refs())
-                          if x.num_columns > 0])
-    return t.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")]) \
-        if t.num_rows else pa.table({"vec_a": pa.array([], pa.int64()),
-                                     "vec_b": pa.array([], pa.int64())})
+    Exact all-pairs, computed as a distributed block-pair cross product:
+    the corpus is read into ``n_blocks`` blocks, each block is L2-normalized
+    in a task, and one task per block pair (i <= j) runs a single matmul and
+    emits its above-threshold pairs.  Raw Ray tasks because the Dataset API
+    has no cross join; the driver holds only object refs and the (tiny)
+    surviving pair tables — never an embedding matrix.  The quadratic cost is
+    inherent to EXACT all-pairs and is paid across B(B+1)/2 parallel tasks;
+    :func:`embedding_dedup_lsh` is the sub-quadratic scale path."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"],
+                               override_num_blocks=n_blocks)
+    prepped = [_norm_block.remote(r) for r in ds.to_arrow_refs()]
+    futs = [_block_pair_sims.remote(prepped[i], prepped[j], i == j, threshold)
+            for i in range(len(prepped)) for j in range(i, len(prepped))]
+    parts = [t for t in ray.get(futs) if t.num_rows]
+    if not parts:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by(
+        [("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 # ------------------------------------------------------------------- events
@@ -937,10 +978,13 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
     kept only where the child doc exists) so the DuckDB oracle is an exact
     recursive CTE.
 
-    Distribution shape: each round is one streamed map_batches expansion over
-    the current frontier; the URL-seen actors gate re-visits (min-depth
-    guarantee comes from strict round sequencing, like the engine's round
-    loop); only (doc_id, depth) rows ever reach the driver."""
+    Distribution shape: the frontier LIVES AS A DATASET between rounds (like
+    the engine's own round loop) — each round is one streamed map_batches
+    expansion whose batch fn both expands and gates through the URL-seen
+    shard actors (first claimer wins; min-depth comes from strict round
+    sequencing).  The round barrier is a ``materialize()`` of the new
+    frontier; the driver holds only Dataset handles and a per-round count,
+    never the frontier ids."""
     import pyarrow.parquet as pq
 
     from upton_ray.seen import SeenSet
@@ -952,46 +996,50 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
     exists_ref = ray.put(exists)
 
     seen = SeenSet(num_shards=2)
-    frontier = np.array([s for s in seeds if s <= max_id and exists[s]],
+    seed_ids = np.array([s for s in seeds if s <= max_id and exists[s]],
                         dtype=np.int64)
-    frontier = frontier[seen.check_and_add([str(d) for d in frontier])]
-    out_ids = [frontier]
-    out_depths = [np.zeros(len(frontier), dtype=np.int64)]
+    seed_ids = seed_ids[seen.check_and_add([str(d) for d in seed_ids])]
+    frontier = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(seed_ids, pa.int64()),
+        "depth": pa.array(np.zeros(len(seed_ids), dtype=np.int64), pa.int64()),
+    })).materialize()
+    rounds = [frontier]
 
-    def expand(batch: pa.Table) -> pa.Table:
+    def expand_gate(batch: pa.Table, *, d: int) -> pa.Table:
+        """Expand one frontier block and claim the children in the seen set
+        (the SeenSet handle pickles into the task; one batched RPC per
+        shard per block)."""
         ex = ray.get(exists_ref)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False)
-        kids = (d[:, None] * branching
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        kids = (doc[:, None] * branching
                 + np.arange(1, branching + 1)[None, :]).ravel()
         kids = np.unique(kids[(kids < len(ex)) & ex[np.clip(kids, 0, len(ex) - 1)]])
-        return pa.table({"doc_id": pa.array(kids, pa.int64())})
+        if len(kids):
+            kids = kids[seen.check_and_add([str(k) for k in kids])]
+        return pa.table({"doc_id": pa.array(kids, pa.int64()),
+                         "depth": pa.array(np.full(len(kids), d, dtype=np.int64),
+                                           pa.int64())})
 
-    depth = 0
-    while len(frontier) and depth < max_depth:
+    import functools
+
+    depth, n_frontier = 0, len(seed_ids)
+    while n_frontier and depth < max_depth:
         depth += 1
-        ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(frontier)}))
-        kids_parts = [t for t in ray.get(
-            ds.map_batches(expand, batch_format="pyarrow").to_arrow_refs())
-            if t.num_columns > 0]
-        kids = (np.unique(np.concatenate(
-            [t["doc_id"].to_numpy() for t in kids_parts]))
-            if kids_parts else np.zeros(0, dtype=np.int64))
-        if len(kids) == 0:
-            break
-        new = seen.check_and_add([str(k) for k in kids])
-        frontier = kids[new]
-        out_ids.append(frontier)
-        out_depths.append(np.full(len(frontier), depth, dtype=np.int64))
+        frontier = frontier.map_batches(
+            functools.partial(expand_gate, d=depth),
+            batch_format="pyarrow").materialize()
+        n_frontier = frontier.count()   # metadata count on materialized blocks
+        if n_frontier:
+            rounds.append(frontier)
+    out = rounds[0].union(*rounds[1:]) if len(rounds) > 1 else rounds[0]
+    out = out.sort("doc_id").materialize()   # blocks no longer need the actors
     seen.kill()
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
-        "depth": pa.array(np.concatenate(out_depths), pa.int64()),
-    }).sort_by("doc_id")
+    return out
 
 
 def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
                         n_bits: int = 64, band_bits: int = 8,
-                        seed: int = 42) -> pa.Table:
+                        seed: int = 42, max_bucket: int = 1024) -> pa.Table:
     """Embedding near-dup via sign-random-projection LSH — the scale path
     promised by :func:`embedding_dedup`: signatures -> banded buckets ->
     within-bucket candidates -> exact cosine verification, so no stage ever
@@ -1000,37 +1048,41 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
     at cos = 0.95 exactly, ->1 as similarity ->1 (true near-dups sit far
     above threshold). Every emitted pair is exactly verified, so output ⊆
     brute force — the gate shares embedding_dedup's SQL oracle.
-    """
-    import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    m = _emb_matrix(full)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ids = full["vec_id"].to_numpy(zero_copy_only=False)
-    planes = np.random.RandomState(seed).randn(m.shape[1], n_bits)
-    side_ref = ray.put((m, ids, planes))
+    Driver discipline: only the (d x n_bits) projection planes are broadcast;
+    signatures stream per block, buckets over ``max_bucket`` rows are dropped
+    with a logged count (a degenerate bucket — e.g. a constant vector cluster
+    — would otherwise go quadratic), and exact verification reads back ONLY
+    the candidate-involved vectors by filtering the embeddings Dataset
+    against the broadcast candidate-id set (candidates << corpus).
+    """
+    import logging
+
+    probe = _emb(sf_dir).take_batch(1, batch_format="pyarrow")
+    dim = len(probe["embedding"][0])
+    planes = np.random.RandomState(seed).randn(dim, n_bits)
+    planes_ref = ray.put(planes)
     n_bands = n_bits // band_bits
 
     def signatures(batch: pa.Table) -> pa.Table:
-        mm, _, pl = ray.get(side_ref)
+        pl = ray.get(planes_ref)
         b = _emb_matrix(batch)
         b = b / np.linalg.norm(b, axis=1, keepdims=True)
         bits = (b @ pl) > 0                                   # (n, n_bits)
         weights = (1 << np.arange(band_bits)).astype(np.int64)
         vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-        rows = {"band": [], "bucket": [], "vec_id": []}
-        for band in range(n_bands):
-            key = bits[:, band * band_bits:(band + 1) * band_bits] @ weights
-            rows["band"].extend([band] * len(vid))
-            rows["bucket"].extend(key.tolist())
-            rows["vec_id"].extend(vid.tolist())
-        return pa.table({"band": pa.array(rows["band"], pa.int32()),
-                         "bucket": pa.array(rows["bucket"], pa.int64()),
-                         "vec_id": pa.array(rows["vec_id"], pa.int64())})
+        n = len(vid)
+        keys = bits.reshape(n, n_bands, band_bits) @ weights  # (n, n_bands)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+            "bucket": pa.array(keys.ravel(), pa.int64()),
+            "vec_id": pa.array(np.repeat(vid, n_bands), pa.int64())})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         vid = np.sort(group["vec_id"].to_numpy(zero_copy_only=False))
+        if len(vid) > max_bucket:   # degenerate bucket: marker row, no pairs
+            return pa.table({"vec_a": pa.array([-1], pa.int64()),
+                             "vec_b": pa.array([len(vid)], pa.int64())})
         i, j = np.triu_indices(len(vid), k=1)
         return pa.table({"vec_a": pa.array(vid[i], pa.int64()),
                          "vec_b": pa.array(vid[j], pa.int64())})
@@ -1044,12 +1096,31 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
                       "vec_b": pa.array([], pa.int64())})
     if not parts:
         return empty
-    df = pa.concat_tables(parts).to_pandas().drop_duplicates()
+    df = pa.concat_tables(parts).to_pandas()
+    over = df["vec_a"] < 0
+    if over.any():
+        logging.getLogger(__name__).warning(
+            "embedding_dedup_lsh: dropped %d oversized buckets "
+            "(largest %d rows > max_bucket=%d)",
+            int(over.sum()), int(df.loc[over, "vec_b"].max()), max_bucket)
+        df = df[~over]
+    df = df.drop_duplicates()
     if len(df) == 0:
         return empty
-    # exact verification of the (small) candidate set
-    mm, all_ids, _ = (m, ids, planes)
-    pos = {int(v): k for k, v in enumerate(all_ids)}
+    # exact verification: pull ONLY the involved vectors back (distributed
+    # filter against the broadcast candidate-id set — minhash_dedup's trick)
+    involved = pa.array(sorted(set(df["vec_a"]).union(df["vec_b"])), pa.int64())
+
+    def grab(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["vec_id"], value_set=involved))
+
+    sub = pa.concat_tables(
+        [t for t in ray.get(_emb(sf_dir).map_batches(grab, batch_format="pyarrow")
+                            .to_arrow_refs()) if t.num_rows])
+    mm = _emb_matrix(sub)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    pos = {int(v): k for k, v in enumerate(
+        sub["vec_id"].to_numpy(zero_copy_only=False))}
     a = np.array([pos[int(x)] for x in df["vec_a"]])
     b = np.array([pos[int(x)] for x in df["vec_b"]])
     sims = np.einsum("ij,ij->i", mm[a], mm[b])
@@ -1097,9 +1168,15 @@ def events_sliding(sf_dir: str):
 
 def term_frequencies(sf_dir: str, k: int = 20) -> pa.Table:
     """Global top-k terms (heavy hitters): per-batch Counter partials ->
-    groupby-sum over the (bounded-vocabulary) term key -> small driver-side
-    top-k. The shuffle moves one row per distinct term per block, never a
-    row per token occurrence."""
+    groupby-sum over the term key -> PER-PARTITION top-k -> tiny driver
+    merge. The shuffle moves one row per distinct term per block (never a
+    row per token occurrence), and the driver sees at most k rows per
+    output partition — bounded even when the web-scale vocabulary is not.
+
+    Exactness: the groupby hash-partitions terms, so each term's GLOBAL
+    count lives wholly in one partition; the global top-k is therefore a
+    subset of the union of per-partition top-k's (per-partition k >= global
+    k) — the property tests/test_datapipe.py pins."""
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
@@ -1109,12 +1186,17 @@ def term_frequencies(sf_dir: str, k: int = 20) -> pa.Table:
         return pa.table({"term": pa.array(list(c.keys()), pa.string()),
                          "n": pa.array(list(c.values()), pa.int64())})
 
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().rename(columns={"sum(n)": "n"})
+        df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     agg = (_docs(sf_dir, ["text"])
            .map_batches(partial, batch_format="pyarrow")
-           .groupby("term").sum("n"))
+           .groupby("term").sum("n")
+           .map_batches(block_topk, batch_format="pyarrow"))
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
-    t = pa.concat_tables(parts)
-    df = t.to_pandas().rename(columns={"sum(n)": "n"})
+    df = pa.concat_tables(parts).to_pandas()
     df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
     df["rank"] = range(1, len(df) + 1)
     return pa.Table.from_pandas(df[["rank", "term", "n"]].reset_index(drop=True),
