@@ -59,6 +59,48 @@ def _fixture_crawl(name: str):
         crawler.shutdown()
 
 
+def _csv_crawl():
+    """S5/S6 driver gate: crawl two fixture scenarios, write through the real
+    CSV/TSV sinks (row-explosion dispatch + compaction + output order,
+    lib/upton.rb:169-199), read the files back and return one row per output
+    line — so the golden oracle checks the SINK, not just the records."""
+    import csv
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from upton_ray import sinks
+    from upton_ray.engine import Crawler
+    from upton_ray.scenarios import scenario_configs
+    from upton_ray.synth import fixture_web
+
+    cfgs = scenario_configs()
+    rows: list[tuple[str, int, str]] = []
+    for which, name, delim in (("table_csv", "table", ","),
+                               ("basic_tsv", "basic", "\t")):
+        crawler = Crawler(cfgs[name], fixture_web())
+        try:
+            res = crawler.crawl(trace=False)
+            fd, path = tempfile.mkstemp(suffix=".csv")
+            os.close(fd)
+            if delim == ",":
+                sinks.write_csv(res.records, path)
+            else:
+                sinks.write_tsv(res.records, path)
+            with open(path, newline="") as fh:
+                for i, row in enumerate(csv.reader(fh, delimiter=delim)):
+                    rows.append((which, i, "|".join(row)))
+            os.unlink(path)
+        finally:
+            crawler.shutdown()
+    return pa.table({
+        "which": pa.array([r[0] for r in rows], pa.string()),
+        "line_no": pa.array([r[1] for r in rows], pa.int64()),
+        "rec": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
 def _values_sql(rows: list[tuple[int, int, int, str]]) -> str:
     vals = ",\n  ".join(
         f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({c} AS BIGINT), "
@@ -89,6 +131,18 @@ def _fixture_goldens() -> dict[str, str]:
     # instance continuation (P4/Q5): the stateless successor caps at depth 2 —
     # page 2 (webinar_page_1.html) doesn't exist -> empty record at depth 1
     continuation = [(0, 0, 0, HEADLINES["webinar"]), (0, 1, 0, "")]
+    # CSV/TSV sink golden (S5/S6): the files' lines in Upton output order —
+    # table documents explode to one CSV row per inner list (incl. the Q6
+    # empty header row), scalar documents are single rows
+    csv_lines = ([("table_csv", i, rec) for i, rec in enumerate(
+        ["|".join(EAST_TIMOR_HEADER + ["1", "2", "3", "4"]), ""]
+        + ["|".join(row) for row in EAST_TIMOR_ROWS])]
+        + [("basic_tsv", i, rec) for i, rec in enumerate(
+            [HEADLINES["webinar"], "", HEADLINES["prosecutor"],
+             HEADLINES["sixfacts"]])])
+    csv_vals = ",\n  ".join(
+        f"('{w}', CAST({i} AS BIGINT), '{r.replace(chr(39), chr(39) * 2)}')"
+        for w, i, r in csv_lines)
     return {
         "crawl_basic": _values_sql(basic),
         "crawl_list": _values_sql(lst),
@@ -96,6 +150,11 @@ def _fixture_goldens() -> dict[str, str]:
         "crawl_paginated": _values_sql(paginated),
         "crawl_robots": _values_sql(robots),
         "crawl_continuation": _values_sql(continuation),
+        "crawl_csv": ("SELECT * FROM (VALUES\n  " + csv_vals +
+                      ") AS t(which, line_no, rec)"),
+        # widened selector model: child combinator + attribute-selector index,
+        # XPath extractor — must reproduce the basic golden exactly
+        "crawl_selectors": _values_sql(basic),
     }
 
 
@@ -186,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_paginated": lambda sf: _fixture_crawl("paginated"),
         "crawl_robots": lambda sf: _fixture_crawl("robots"),
         "crawl_continuation": lambda sf: _fixture_crawl("continuation"),
+        "crawl_csv": lambda sf: _csv_crawl(),
+        "crawl_selectors": lambda sf: _fixture_crawl("css_adv"),
         "url_parts": url_parts,
         "url_canonical": url_canonical,
         "pagination_successor": pagination_successor,

@@ -120,3 +120,75 @@ class TestPageExtractors:
         ms = match_spans(spans, "#jamb.wNarrow #most-commented li a")
         offs = [s["offset"] for s in ms]
         assert offs == sorted(offs)
+
+
+class TestWidenedSelectors:
+    """Child combinators, attribute selectors, :nth-of-type, general XPath
+    (Nokogiri accepts all of these: lib/upton.rb:283, utils.rb:21,36)."""
+
+    def test_child_combinator_requires_adjacency(self):
+        assert match_kind("section#river/section/h1/a",
+                          "section#river > section > h1 > a")
+        assert not match_kind("section#river/div/section/h1/a",
+                              "section#river > section > h1 > a")
+        # descendant still allows gaps
+        assert match_kind("section#river/div/section/h1/a",
+                          "section#river section h1 a")
+
+    def test_attribute_selectors_map_to_class_and_id(self):
+        assert match_kind("a.title-link", "a[class~=title-link]")
+        # class order is irrelevant (Nokogiri semantics)
+        assert match_kind("a.other.title-link", "a[class~=title-link]")
+        assert match_kind("section#river/h1/a", "section[id=river] h1 a")
+        assert match_kind("a.title-link", 'a[class="title-link"]')
+        assert not match_kind("a.title-linkx", "a[class~=title-link]")
+
+    def test_unsupported_attribute_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            selector_regex("a[href]")
+        with pytest.raises(ValueError):
+            selector_regex("a[data-x=1]")
+
+    def test_nth_of_type_is_kind_ordinal(self):
+        assert match_kind("table.wikitable[2]/tr[3]/td[1]",
+                          "tr:nth-of-type(3) > td")
+        assert not match_kind("table.wikitable[2]/tr[4]/td[1]",
+                              "tr:nth-of-type(3) > td")
+
+    def test_general_xpath_axes(self):
+        assert match_kind("table.wikitable[2]/tr[3]/td[1]", "//table//td")
+        assert match_kind("table.wikitable[2]/tr[3]/td[1]", "//table/tr/td")
+        assert not match_kind("table.wikitable[2]/tr[3]/td[1]", "//table/td")
+        assert match_kind("table.wikitable[2]/tr[3]/td[1]", "//table/tr[3]/td")
+        assert match_kind("h1.article-title",
+                          "//h1[contains(@class, 'article-title')]")
+        assert match_kind("section#river/h1", "//section[@id='river']/h1")
+
+    def test_rooted_xpath_anchors_at_path_start(self):
+        assert match_kind("body/div/p", "/body/div/p")
+        assert not match_kind("x/body/div/p", "/body/div/p")
+        assert match_kind("x/body/div/p", "//body/div/p")
+
+    def test_wildcard(self):
+        assert match_kind("li.x", "*")
+        assert match_kind("li.x/a", "* > a")
+
+    def test_legacy_wikitable_idiom_still_compiles(self):
+        sel = ('//table[contains(concat(" ", normalize-space(@class), " "),'
+               ' " wikitable ")][2]')
+        assert match_kind("table.wikitable[2]", sel)
+        assert not match_kind("table.wikitable[1]", sel)
+        assert match_kind("table.wikitable[2]/tr[3]/td[1]", sel, prefix=True)
+
+
+def test_css_adv_scenario_matches_basic_golden(ray_session, fixture_web):
+    """End-to-end: the widened-selector crawl reproduces the basic golden."""
+    from upton_ray.engine import Crawler
+    from upton_ray.scenarios import scenario_configs
+    from upton_ray.synth import HEADLINES
+
+    res = Crawler(scenario_configs()["css_adv"], fixture_web).crawl(trace=True)
+    assert res.documents() == [HEADLINES["webinar"], "",
+                               HEADLINES["prosecutor"], HEADLINES["sixfacts"]]

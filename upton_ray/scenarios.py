@@ -53,6 +53,14 @@ def _raw_configs() -> dict[str, CrawlConfig]:
             extractor="css:h1.article-title",
             paginated=True, pagination_param="p", pagination_max_pages=3,
             sleep_time_between_requests=0),
+        # widened selector model: child combinators + attribute selectors on
+        # the index, general XPath on the extractor — behavior-equal to
+        # "basic" on this fixture web (same golden)
+        "css_adv": CrawlConfig(
+            index_url=BASE + "propublica.html",
+            index_selector="section[id=river] > section > h1 > a",
+            extractor="css://h1[contains(@class, 'article-title')]",
+            sleep_time_between_requests=0),
         # quirk Q7: an HTTP-error index page terminates pagination
         "paginated_error": CrawlConfig(
             index_url=BASE + "propublica_search.html",
