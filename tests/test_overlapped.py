@@ -67,14 +67,16 @@ def test_overlapped_synth_corpus_and_politeness(ray_session, tmp_path):
     over = c2.crawl_overlapped()
     assert _rows(over) == base
 
-    # global politeness: every instance fetch consumed a pacer token, and
-    # each host's busy window spans its full budget (windows never overlap,
-    # so the wall-clock rate is bounded by 1/delay regardless of workers)
+    # global politeness: every network fetch — index pages (incl. the empty
+    # terminator) AND instances — consumed a pacer token, and each host's
+    # busy window spans its full budget (windows never overlap, so the
+    # wall-clock rate is bounded by 1/delay regardless of workers)
     assert c2.pacer is not None
     _, granted, _ = ray.get(c2.pacer.state.remote())
     spans = ray.get(c2.pacer.spans.remote())
-    n_instances = sum(p.n_articles(h) for h in range(p.n_hosts))
-    assert sum(granted.values()) == n_instances
+    n_fetches = sum(p.n_articles(h) + p.n_index_pages(h) + 1
+                    for h in range(p.n_hosts))
+    assert sum(granted.values()) == n_fetches
     for h, g in granted.items():
         first, last = spans[h]
         assert (last - first) >= g * delay - 1e-6, \
@@ -109,6 +111,6 @@ def test_overlapped_continuations_consume_pacer_tokens(ray_session):
     assert t.num_rows == 2   # instance + its continuation page
     assert c.pacer is not None
     _, granted, _ = ray.get(c.pacer.state.remote())
-    # both the instance fetch and the continuation fetch consumed tokens
-    assert granted.get("s.test", 0) == 2
+    # index page, instance fetch AND continuation fetch each consumed a token
+    assert granted.get("s.test", 0) == 3
     c.shutdown()

@@ -122,3 +122,23 @@ def test_approximate_mode_intra_batch_duplicates(ray_session):
                            "http://a.test/y"])
     assert new.tolist() == [True, False, True]
     s.kill()
+
+
+def test_cuckoo_overfull_spills_never_false_negative():
+    """Inserts past table capacity land in the spill set: membership stays
+    complete (no permanent-refetch false negatives), saturation is visible
+    via n_spilled, and spilled entries delete correctly."""
+    from upton_ray.seen import Cuckoo, _hash2
+
+    c = Cuckoo(capacity=64)   # tiny: 32 buckets hold at most 128 slots
+    urls = np.array([f"http://h.test/{i}" for i in range(400)], dtype=object)
+    h1, h2 = _hash2(urls)
+    spilled = c.add(h1, h2)
+    assert spilled > 0, "a 4x-overfull table must spill"
+    assert c.n_spilled == spilled
+    assert c.contains(h1, h2).all(), \
+        "every added key must still test positive (spill set backs the table)"
+    # deleting a spilled key forgets it
+    deleted = c.delete(h1, h2)
+    assert deleted.all()
+    assert c.n_spilled == 0

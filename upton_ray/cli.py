@@ -87,9 +87,11 @@ def cmd_crawl(args) -> int:
     from upton_ray.config import CrawlConfig
     from upton_ray.engine import Crawler
 
-    if not ray.is_initialized():   # under `ray job submit` the session exists
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+    if not ray.is_initialized():
+        # no explicit address: honor RAY_ADDRESS (set by `ray job submit` /
+        # a cluster launcher) and attach to that cluster; only when no
+        # address is available does Ray fall back to starting a local one
+        ray.init(include_dashboard=False, logging_level="ERROR")
 
     seeds_urls = list(args.seed)
     if args.seeds_file:

@@ -757,11 +757,15 @@ class MediaDecoder:
     typed feature columns out — is the real production shape.
 
     Fake decode: width/height derived from the media ref string length — a
-    stand-in that oracle SQL can mirror. A real build replaces `_decode`
-    with PIL/ffmpeg and nothing else changes.
+    stand-in that oracle SQL can mirror.  The decoder is an INJECTION SEAM:
+    pass ``decode_fn`` (ref -> (width, height)) at construction — e.g.
+    ``map_batches(MediaDecoder, fn_constructor_kwargs={"decode_fn": pil_probe})``
+    — and a real PIL/ffmpeg decoder drops in with ZERO pipeline changes
+    (tests/test_datapipe.py pins this).
     """
 
-    def __init__(self):
+    def __init__(self, decode_fn=None):
+        self.decode_fn = decode_fn or self._decode   # once per actor
         self.decoded = 0   # per-actor state initialized once
 
     @staticmethod
@@ -771,7 +775,7 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
-        dims = [self._decode(r) for r in refs]
+        dims = [self.decode_fn(r) for r in refs]
         self.decoded += len(refs)
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -808,12 +812,13 @@ class MediaResizer:
     the Ray plumbing — callable class, per-actor init, vector batches — is
     the production shape."""
 
-    def __init__(self, box: int = 256):
+    def __init__(self, box: int = 256, decode_fn=None):
         self.box = box
+        self.decode_fn = decode_fn or MediaDecoder._decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
-        dims = [MediaDecoder._decode(r) for r in refs]
+        dims = [self.decode_fn(r) for r in refs]
         box = self.box
         out = []
         for w, h in dims:
@@ -841,8 +846,9 @@ class FrameSampler:
     row-explosion contract of a real ffmpeg keyframe sampler, with the decode
     stubbed deterministically (no media libs in this container)."""
 
-    def __init__(self, step_s: int = 10):
+    def __init__(self, step_s: int = 10, duration_fn=None):
         self.step_s = step_s
+        self.duration_fn = duration_fn or self._duration_s   # injection seam
 
     @staticmethod
     def _duration_s(ref: str) -> int:
@@ -853,7 +859,7 @@ class FrameSampler:
         rows = {"doc_id": [], "media_ref": [], "frame_no": [], "t_s": []}
         for doc_id, ref in zip(batch["doc_id"].to_pylist(),
                                batch["media_ref"].to_pylist()):
-            dur = self._duration_s(ref)
+            dur = self.duration_fn(ref)
             for fno, t in enumerate(range(0, dur, step)):
                 rows["doc_id"].append(doc_id)
                 rows["media_ref"].append(ref)

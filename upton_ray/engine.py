@@ -635,8 +635,9 @@ class Crawler:
           prefix-sum value at finalize (every link yields >= 1 record row,
           so the rank domain is complete);
         * politeness (when real) needs no host-affinity shuffle: every host
-          leases its fetch windows from the shared HostPacer token-bucket
-          actor, so global pacing holds regardless of which worker fetches.
+          — index chains AND instance fetches — leases its fetch windows
+          from the shared HostPacer token-bucket actor, so global pacing
+          holds regardless of which worker fetches.
 
         Checkpoint / trace / url_array runs use :meth:`crawl` (the surrogate
         would leak into their artifacts).
@@ -654,9 +655,17 @@ class Crawler:
         cfg = self.cfg
         assert cfg.url_array is None and not cfg.stash_folder, \
             "overlapped mode: index-driven, stash-less crawls only"
+        pacer = None
+        hot: object = frozenset()
+        if cfg.real_sleep and cfg.sleep_time_between_requests > 0:
+            from upton_ray.frontier import make_host_pacer
+
+            self.pacer = pacer = make_host_pacer()
+            hot = None           # sentinel: ALL hosts lease from the pacer
         seeds_ds, step, conc = self._seed_blocks()
         pages = seeds_ds.map_batches(
-            IndexWalker, fn_constructor_args=(cfg, self.web_ref, self.seen),
+            IndexWalker,
+            fn_constructor_args=(cfg, self.web_ref, self.seen, pacer, hot),
             batch_size=step, batch_format="pyarrow", concurrency=conc,
             num_cpus=0.5)
         links = pages.map_batches(extract_links_batch, batch_format="pyarrow")
@@ -674,13 +683,6 @@ class Crawler:
             })
 
         frontier = links.map_batches(pack, batch_format="pyarrow")
-        pacer = None
-        hot: object = frozenset()
-        if cfg.real_sleep and cfg.sleep_time_between_requests > 0:
-            from upton_ray.frontier import make_host_pacer
-
-            self.pacer = pacer = make_host_pacer()
-            hot = None           # sentinel: ALL hosts lease from the pacer
         fetched = frontier.map_batches(
             InstanceWalker,
             fn_constructor_args=(cfg, self.web_ref, self.seen, pacer, hot),

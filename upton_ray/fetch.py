@@ -222,6 +222,35 @@ class _FetchState:
     def is_hot(self, host: str) -> bool:
         return self.hot_all or host in self.hot_hosts
 
+    def lease_batch(self, urls, from_resource) -> None:
+        """Seed the local EDF deadlines from the GLOBAL pacer for this
+        batch's pacer-governed hosts (one RPC per host per batch — their
+        queues may live on several workers, so the local heap alone can't be
+        authoritative).  The pacer returns a clock-domain-free WAIT; the
+        ordinary wait_turn loop then paces the leased window honestly in
+        this worker's wall-clock."""
+        if self.pacer is None or not (self.hot_all or self.hot_hosts):
+            return
+        import time as _time
+        from collections import Counter
+
+        import ray as _ray
+
+        from upton_ray.urlops import hosts_of as _hosts_of
+
+        hosts = _hosts_of(np.asarray(urls, dtype=object))
+        cnt = Counter(h for j, h in enumerate(hosts)
+                      if from_resource[j] and self.is_hot(h))
+        if not cnt:
+            return
+        items = list(cnt.items())
+        waits = _ray.get([self.pacer.lease.remote(h, c, self.sched.host_delay(h))
+                          for h, c in items])
+        mono = _time.monotonic()
+        for (h, _c), wait in zip(items, waits):
+            self.sched.next_allowed[h] = max(self.sched.next_allowed[h],
+                                             mono + wait)
+
     def seen_key(self, urls):
         """Seen-set keys: raw URLs (reference-exact) or canonical form when
         cfg.canonicalize_seen — so http://h/p?a=1&b=2 and ?b=2&a=1 share one
@@ -257,12 +286,10 @@ class _FetchState:
 
                 import ray as _ray
 
-                now_wall = _time.time()
-                start = _ray.get(self.pacer.lease.remote(
-                    h, 1, self.sched.host_delay(h), now_wall))
+                wait = _ray.get(self.pacer.lease.remote(
+                    h, 1, self.sched.host_delay(h)))
                 self.sched.next_allowed[h] = max(
-                    self.sched.next_allowed[h],
-                    _time.monotonic() + (start - now_wall))
+                    self.sched.next_allowed[h], _time.monotonic() + wait)
             self.sched.wait_turn(host_of(url))
             slept = True           # politeness applies to error/empty fetches too (Q8)
             if status != 200:
@@ -348,8 +375,10 @@ class IndexWalker:
     per task — no per-page RPCs or python span materialization.
     """
 
-    def __init__(self, cfg: CrawlConfig, web_source, seen_handle=None):
-        self.st = _FetchState(cfg, web_source, seen_handle)
+    def __init__(self, cfg: CrawlConfig, web_source, seen_handle=None,
+                 pacer=None, hot_hosts: frozenset = frozenset()):
+        self.st = _FetchState(cfg, web_source, seen_handle,
+                              pacer=pacer, hot_hosts=hot_hosts)
         self.cfg = cfg
         # error pages are stashed as empty bodies; the bad set is static
         # within a run (statuses come from cfg) so snapshot it once per actor
@@ -407,6 +436,10 @@ class IndexWalker:
         else:
             from_resource = np.ones(n, dtype=bool)
         if cfg.real_sleep and st.sched.delay and n:
+            # pacer-governed hosts (overlapped mode: all of them) lease the
+            # chain's window from the global bucket first, so same-host
+            # seeds split across blocks/actors can't exceed the polite rate
+            st.lease_batch(urls, from_resource)
             # EDF order across the block's chains: one chain's politeness
             # wait absorbs the others' fetches, so the block costs its
             # longest chain's floor, not the sum of chains
@@ -470,36 +503,7 @@ class InstanceWalker:
         statuses = np.full(n, 0, dtype=np.int32)
         slept = np.zeros(n, dtype=bool)
         if st.sched.delay and cfg.real_sleep:
-            from upton_ray.urlops import hosts_of as _hosts_of
-
-            fetch_hosts = _hosts_of(furls) if len(furls) else np.array([], object)
-            if st.pacer is not None and (st.hot_all or st.hot_hosts):
-                # pacer-governed hosts: lease this batch's window from the
-                # GLOBAL bucket (one RPC per host per batch — their queues
-                # may live on several workers, so the local heap alone can't
-                # be authoritative), then seed the local EDF deadlines at the
-                # leased start so the ordinary wait_turn loop below paces the
-                # window honestly in wall-clock
-                import time as _time
-
-                from collections import Counter
-
-                import ray as _ray
-
-                cnt = Counter(h for j, h in enumerate(fetch_hosts)
-                              if from_res[j] and st.is_hot(h))
-                if cnt:
-                    items = list(cnt.items())
-                    now_wall = _time.time()
-                    starts = _ray.get([
-                        st.pacer.lease.remote(h, c, st.sched.host_delay(h),
-                                              now_wall)
-                        for h, c in items])
-                    mono = _time.monotonic()
-                    for (h, _c), start in zip(items, starts):
-                        st.sched.next_allowed[h] = max(
-                            st.sched.next_allowed[h],
-                            mono + (start - now_wall))
+            st.lease_batch(furls, from_res)
             # earliest-deadline-first over this worker's heap (pacer-governed
             # hosts start at their leased window; others at their local state)
             for j in st.sched.order_batch(furls):

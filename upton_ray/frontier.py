@@ -108,15 +108,22 @@ def make_host_pacer():
 
         def lease(self, host: str, n: int, delay: float,
                   now: float = 0.0) -> float:
-            """Grant a window of n fetches; ``now`` is the caller's wall
-            clock (0.0 = pure virtual accounting). Windows never overlap, so
-            the host's global rate stays <= 1/delay across all workers."""
-            start = max(self.next_allowed.get(host, now), now)
+            """Grant a window of n fetches and return the WAIT (seconds, a
+            clock-domain-free duration) until it opens.  All window
+            arithmetic runs on the PACER'S OWN clock — worker clocks on a
+            multi-node cluster can skew, and windows computed in mixed
+            domains could overlap; ``now`` is accepted for compatibility but
+            ignored.  Windows never overlap, so the host's global rate stays
+            <= 1/delay across all workers."""
+            import time
+
+            t = time.time()           # one clock domain: this actor's
+            start = max(self.next_allowed.get(host, t), t)
             self.first_start.setdefault(host, start)
             self.next_allowed[host] = start + n * delay
             self.granted[host] = self.granted.get(host, 0) + n
             self.leases[host] = self.leases.get(host, 0) + 1
-            return start
+            return start - t
 
         def state(self):
             return (dict(self.next_allowed), dict(self.granted),

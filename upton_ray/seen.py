@@ -82,6 +82,13 @@ class Cuckoo:
         self.m = n_buckets                      # power of two -> mask indexing
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         self.count = 0
+        # overfull-table safety net: fingerprints _insert_one couldn't place
+        # (MAX_KICKS exhausted) land here so membership NEVER false-negatives
+        # on an added key — a dropped insert would mean a permanent refetch
+        # loop in approximate mode.  Bounded: non-empty only past ~95% load,
+        # where the filter should have been sized larger anyway (n_spilled
+        # makes saturation visible to operators).
+        self.spill: set[tuple[int, int]] = set()   # (bucket1, fp)
 
     def _fp_and_buckets(self, h1: np.ndarray, h2: np.ndarray):
         fp = (h2 % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
@@ -96,14 +103,23 @@ class Cuckoo:
         return i ^ int(np.uint64(fp) * np.uint64(0x5BD1E995)
                        & np.uint64(self.m - 1))
 
-    def _insert_one(self, i1: int, i2: int, fp: int, rng: np.random.Generator) -> bool:
+    def _spill_key(self, i: int, fp: int) -> tuple[int, int]:
+        """Canonical (bucket, fp) key: the lower of the two candidate
+        buckets, so lookups from either bucket find the spilled entry."""
+        return (min(i, self._alt(i, fp)), fp)
+
+    def _insert_one(self, i1: int, i2: int, fp: int,
+                    rng: np.random.Generator) -> tuple[int, int] | None:
+        """None on success; on an overfull table, the HOMELESS (bucket, fp)
+        — note kicks displace OTHER fingerprints, so the unplaced one is
+        generally not the one being inserted."""
         for i in (i1, i2):
             row = self.table[i]
             empty = np.flatnonzero(row == 0)
             if len(empty):
                 row[empty[0]] = fp
                 self.count += 1
-                return True
+                return None
         i = i1
         for _ in range(self.MAX_KICKS):
             slot = int(rng.integers(self.SLOTS))
@@ -114,26 +130,49 @@ class Cuckoo:
             if len(empty):
                 row[empty[0]] = fp
                 self.count += 1
-                return True
-        return False      # table overfull — caller falls back to exact set
+                return None
+        return (i, fp)    # table overfull — add() spills this fingerprint
 
-    def add(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> int:
+        """Insert all items; unplaceable fingerprints go to the spill set so
+        membership stays complete. Returns the number spilled."""
         fp, i1, i2 = self._fp_and_buckets(h1, h2)
         rng = np.random.default_rng(0xC0FFEE ^ self.count)
+        spilled = 0
         for a, b, f in zip(i1, i2, fp):
-            self._insert_one(int(a), int(b), int(f), rng)
+            homeless = self._insert_one(int(a), int(b), int(f), rng)
+            if homeless is not None:
+                self.spill.add(self._spill_key(*homeless))
+                self.count += 1
+                spilled += 1
+        return spilled
+
+    @property
+    def n_spilled(self) -> int:
+        return len(self.spill)
 
     def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         fp, i1, i2 = self._fp_and_buckets(h1, h2)
         f = fp[:, None]
-        return ((self.table[i1] == f).any(axis=1)
-                | (self.table[i2] == f).any(axis=1))
+        out = ((self.table[i1] == f).any(axis=1)
+               | (self.table[i2] == f).any(axis=1))
+        if self.spill:
+            for n in np.flatnonzero(~out):
+                if (min(int(i1[n]), int(i2[n])), int(fp[n])) in self.spill:
+                    out[n] = True
+        return out
 
     def delete(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Remove one copy of each item's fingerprint; True where found."""
         fp, i1, i2 = self._fp_and_buckets(h1, h2)
         out = np.zeros(len(fp), dtype=bool)
         for n, (a, b, f) in enumerate(zip(i1, i2, fp)):
+            key = (min(int(a), int(b)), int(f))
+            if key in self.spill:
+                self.spill.discard(key)
+                self.count -= 1
+                out[n] = True
+                continue
             for i in (int(a), int(b)):
                 row = self.table[i]
                 hit = np.flatnonzero(row == f)

@@ -198,16 +198,23 @@ def canonicalize_url(url: str) -> str:
     """Canonical URL form for seen-set/dedup keys: lowercase scheme+host,
     strip default ports (http:80 / https:443), drop the fragment, sort query
     parameters (lexicographic on the raw k=v atoms — no percent-decoding, so
-    canonicalization never changes what the server would see)."""
+    canonicalization never changes what the server would see).  IPv6 literal
+    hosts keep their brackets and userinfo is preserved (URLs that differ
+    only in credentials must not collapse to one seen key)."""
     from urllib.parse import urlsplit, urlunsplit
 
     s = urlsplit(url)
     scheme = s.scheme.lower()
     host = s.hostname.lower() if s.hostname else ""
+    if ":" in host:                     # IPv6 literal: re-bracket
+        host = f"[{host}]"
     port = s.port
     if port and not ((scheme == "http" and port == 80)
                      or (scheme == "https" and port == 443)):
         host = f"{host}:{port}"
+    if s.username:
+        cred = s.username + (f":{s.password}" if s.password else "")
+        host = f"{cred}@{host}"
     query = "&".join(sorted(s.query.split("&"))) if s.query else ""
     return urlunsplit((scheme, host, s.path, query, ""))
 
