@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": datapipe.media_decode,
         "media_resize": datapipe.media_resize,
         "frame_sample": datapipe.frame_sample,
+        "redact_pii": datapipe.redact_pii,
+        "dedup_keep_best": datapipe.dedup_keep_best,
+        "ann_range_search": datapipe.ann_range_search,
+        "doc_length_histogram": datapipe.doc_length_histogram,
     }
     return q
 
@@ -625,5 +629,42 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
     }
+    email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+    phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"
+    sql["redact_pii"] = (
+        "SELECT doc_id,\n"
+        "  regexp_replace(regexp_replace(text, '" + email_re
+        + "', '<EMAIL>', 'g'), '" + phone_re
+        + "', '<PHONE>', 'g') AS text_redacted,\n"
+        "  CAST(len(regexp_extract_all(text, '" + email_re
+        + "')) AS BIGINT) AS n_emails,\n"
+        "  CAST(len(regexp_extract_all(regexp_replace(text, '" + email_re
+        + "', '<EMAIL>', 'g'), '" + phone_re
+        + "')) AS BIGINT) AS n_phones\n"
+        "FROM documents")
+    sql["dedup_keep_best"] = f"""
+        WITH f AS (
+          SELECT md5({_NORM}) AS fp, doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 row_number() OVER (PARTITION BY md5({_NORM})
+                                    ORDER BY length(text) DESC, doc_id) AS rn
+          FROM documents)
+        SELECT fp, doc_id, n_chars FROM f WHERE rn = 1
+    """
+    sql["ann_range_search"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 4)
+        SELECT q.query_id, e.vec_id
+        FROM q CROSS JOIN embeddings e
+        WHERE list_cosine_similarity(q.qe, e.embedding) >= 0.3
+        ORDER BY 1, 2
+    """
+    sql["doc_length_histogram"] = """
+        SELECT n_chars // 100 AS bucket,
+               (n_chars // 100) * 100 AS lo,
+               (n_chars // 100 + 1) * 100 AS hi,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    """
     sql.update(_fixture_goldens())
     return sql

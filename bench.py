@@ -234,19 +234,22 @@ def scaling():
     """Same crawl, same input, fresh processes, num_cpus=N then 4N ->
     throughput scaling efficiency (BASELINE.md protocol).
 
-    Default pair is N=2 vs 4N=8: a multiprocessing probe on this sandbox
-    shows the 8->32 vCPU range is hardware-capped at ~0.7 efficiency (SMT /
-    hypervisor throttling), so 2->8 — within physical cores — is the honest
-    range for measuring SOFTWARE scaling. Override with GRAFT_SCALING_N.
-    Uses a larger, heavier web than the default bench so compute dominates
-    fixed overhead; the corpus is pre-generated here at full parallelism so
-    the subprocesses only crawl."""
-    n = int(os.environ.get("GRAFT_SCALING_N", "2"))
-    pair = (n, 4 * n)
+    BOTH pairs are measured and reported: 2->8 (within physical cores — the
+    honest software-scaling range) AND 8->32 (the full vCPU span, which a
+    multiprocessing probe shows is hardware-capped at ~0.7 by SMT /
+    hypervisor throttling on this sandbox).  The headline `value` is the
+    physical-core pair; the 8->32 numbers sit alongside so the claim never
+    rests on a builder-chosen pair alone.  GRAFT_SCALING_N=<n> restricts to
+    the single pair (n, 4n).  Uses a larger, heavier web than the default
+    bench so compute dominates fixed overhead; the corpus is pre-generated
+    here at full parallelism so the subprocesses only crawl."""
+    env_n = os.environ.get("GRAFT_SCALING_N")
+    pairs = ([(int(env_n), 4 * int(env_n))] if env_n
+             else [(2, 8), (8, 32)])
     size = dict(GRAFT_CRAWL_HOSTS=os.environ.get("GRAFT_SCALING_HOSTS", "640"),
                 GRAFT_CRAWL_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "1600"),
                 GRAFT_CRAWL_SPANS=os.environ.get("GRAFT_SCALING_SPANS", "48"))
-    # pre-generate the corpus at full parallelism (excluded from both timings)
+    # pre-generate the corpus at full parallelism (excluded from all timings)
     import ray
 
     for k, v in size.items():
@@ -260,27 +263,32 @@ def scaling():
     ray.shutdown()
 
     results = {}
-    for cpus in pair:
+    for cpus in sorted({c for p in pairs for c in p}):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), **size)
         r = subprocess.run([sys.executable, __file__, "--crawl-only"],
                            env=env, capture_output=True, text=True, timeout=1800)
         line = [ln for ln in r.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    thr_n = results[pair[0]]["pages_per_sec"]
-    thr_4n = results[pair[1]]["pages_per_sec"]
-    eff = (thr_4n / thr_n) / 4.0
-    print(json.dumps({
-        "metric": f"scaling efficiency N->4N (num_cpus {pair[0]} vs {pair[1]}, fresh processes)",
-        "value": round(eff, 3),
+
+    out = {
+        "metric": ("scaling efficiency N->4N (fresh processes; pairs "
+                   + ", ".join(f"{a}->{b}" for a, b in pairs) + ")"),
         "unit": "efficiency",
-        f"pages_per_sec_{pair[0]}": round(thr_n, 1),
-        f"pages_per_sec_{pair[1]}": round(thr_4n, 1),
-        "queries": {f"crawl@{pair[0]}cpus": results[pair[0]]["queries"]["synthetic_crawl"],
-                    f"crawl@{pair[1]}cpus": results[pair[1]]["queries"]["synthetic_crawl"]},
+        "queries": {},
         "sf": SF_DIR,
-        "num_cpus": pair[1],
-    }))
+        "num_cpus": max(c for p in pairs for c in p),
+    }
+    for a, b in pairs:
+        thr_a, thr_b = results[a]["pages_per_sec"], results[b]["pages_per_sec"]
+        eff = (thr_b / thr_a) / (b / a)
+        out[f"efficiency_{a}to{b}"] = round(eff, 3)
+        out[f"pages_per_sec_{a}"] = round(thr_a, 1)
+        out[f"pages_per_sec_{b}"] = round(thr_b, 1)
+        out["queries"][f"crawl@{a}cpus"] = results[a]["queries"]["synthetic_crawl"]
+        out["queries"][f"crawl@{b}cpus"] = results[b]["queries"]["synthetic_crawl"]
+    out["value"] = out[f"efficiency_{pairs[0][0]}to{pairs[0][1]}"]
+    print(json.dumps(out))
 
 
 def crawl_only():

@@ -57,6 +57,13 @@ class CrawlConfig:
     seen_capacity_per_shard: int = 1_000_000   # filter sizing (bloom/cuckoo)
     fetch_concurrency: int = 4         # fetch actor pool size
     fetch_batch_size: int = 256
+    # CPU reservation per bucket-walk task (group-routed fetch): each task
+    # decodes a whole corpus bucket into heap, so capping concurrent decodes
+    # bounds memory + IO thrash.  None = auto rule max(1, cluster_cpus/16):
+    # ~16 concurrent decodes at 32 cpus (measured 26s -> 5s on the 1M-page
+    # bench — one decode per vCPU starves the object store), full fan-out on
+    # small clusters where decodes fit comfortably
+    bucket_walk_num_cpus: float | None = None
     host_sharded_fetch: Optional[bool] = None  # None = auto (politeness>0 or robots)
 
     def needs_host_affinity(self) -> bool:

@@ -315,10 +315,13 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     generation, pairs are enumerated only WITHIN a blocking key (``source``) —
     the standard way to bound the O(n^2) pair space at corpus scale (cross-
     block pairs are the LSH path's job). One ``groupby(source).map_groups``
-    per block; inside a block the pairwise intersection is one integer matmul
-    over the doc x shingle incidence matrix (no Python pair loop). Division
-    is float64 on exact integer counts, so values match the SQL oracle
-    bit-for-bit.
+    per block; inside a block the pairwise intersections come from a SPARSE
+    postings-list sweep — (doc, shingle) incidences sorted by shingle, pair
+    counts accumulated with ``np.unique`` over packed pair keys — so memory
+    is O(incidences + co-occurring pairs), never the dense doc x vocab
+    matrix (which explodes on a big block: 10^5 docs x 10^6 shingles of
+    int64 is 800 GB dense, a few MB sparse). Division is float64 on exact
+    integer counts, so values match the SQL oracle bit-for-bit.
     """
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
 
@@ -326,23 +329,58 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         order = pc.sort_indices(group["doc_id"])
         group = group.take(order)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
         texts = _norm_text(group["text"]).to_pylist()
         sets = [set(shingles(t)) for t in texts]
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
         vocab: dict = {}
-        for s in sets:
-            for x in s:
-                vocab.setdefault(x, len(vocab))
-        m = np.zeros((len(ids), max(len(vocab), 1)), dtype=np.int64)
+        doc_idx, sh_idx = [], []
         for r, s in enumerate(sets):
             for x in s:
-                m[r, vocab[x]] = 1
-        inter = m @ m.T
-        sizes = m.sum(axis=1)
-        union = sizes[:, None] + sizes[None, :] - inter
-        i, j = np.triu_indices(len(ids), k=1)
-        ok = union[i, j] > 0
-        i, j = i[ok], j[ok]
-        jac = inter[i, j].astype(np.float64) / union[i, j]
+                doc_idx.append(r)
+                sh_idx.append(vocab.setdefault(x, len(vocab)))
+        empty_t = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "jacc": pa.array([], pa.float64())})
+        if not doc_idx:
+            return empty_t
+        d = np.asarray(doc_idx, dtype=np.int64)
+        s = np.asarray(sh_idx, dtype=np.int64)
+        o = np.lexsort((d, s))          # postings: docs grouped per shingle
+        d = d[o]
+        bounds = np.flatnonzero(np.r_[True, np.diff(s[o]) != 0, True])
+        pair_keys = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a >= 2:              # shingles shared by >= 2 docs only
+                docs_here = d[a:b]
+                i, j = np.triu_indices(b - a, k=1)
+                pair_keys.append(docs_here[i] * n + docs_here[j])
+        if pair_keys:
+            keys, inter = np.unique(np.concatenate(pair_keys),
+                                    return_counts=True)
+        else:
+            keys = np.zeros(0, dtype=np.int64)
+            inter = np.zeros(0, dtype=np.int64)
+        if threshold <= 0:
+            # zero-intersection pairs qualify too: enumerate the block's
+            # full (bounded) pair space and scatter in the counted overlaps
+            i, j = np.triu_indices(n, k=1)
+            fkeys = i * n + j
+            inter_full = np.zeros(len(fkeys), dtype=np.int64)
+            if len(keys):
+                p = np.searchsorted(keys, fkeys)
+                hit = (p < len(keys)) & (keys[np.minimum(p, len(keys) - 1)]
+                                         == fkeys)
+                inter_full[hit] = inter[p[hit]]
+            inter = inter_full
+        else:
+            if not len(keys):
+                return empty_t
+            i, j = keys // n, keys % n
+        union = sizes[i] + sizes[j] - inter
+        ok = union > 0
+        i, j, inter, union = i[ok], j[ok], inter[ok], union[ok]
+        jac = inter.astype(np.float64) / union
         keep = jac >= threshold
         return pa.table({"doc_a": pa.array(ids[i[keep]], pa.int64()),
                          "doc_b": pa.array(ids[j[keep]], pa.int64()),
@@ -671,15 +709,17 @@ def events_window(sf_dir: str):
     moves one row per (window, type) per block, not per event."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
-            "w": batch["ts"].to_numpy(zero_copy_only=False)
-                 .astype("datetime64[h]").astype("datetime64[us]"),
-            "value": batch["value"].to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["event_type", "w"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        w = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype("datetime64[us]")
+        g = pa.table({
+            "event_type": batch["event_type"],
+            "w": pa.array(w, pa.timestamp("us")),
+            "value": batch["value"],
+        }).group_by(["event_type", "w"]).aggregate(
+            [("value", "sum"), ("value", "count")])  # Arrow-native combiner
+        return pa.table({"event_type": g["event_type"], "w": g["w"],
+                         "n_events": pc.cast(g["value_count"], pa.int64()),
+                         "sum_value": g["value_sum"]})
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
@@ -889,18 +929,28 @@ def lineitem_pricing(sf_dir: str, cutoff: str = "1998-09-02"):
     def partial(batch: pa.Table) -> pa.Table:
         ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
         keep = ship <= cut
-        df = pd.DataFrame({
-            "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False)[keep],
-            "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False)[keep],
-            "qty": batch["l_quantity"].to_numpy(zero_copy_only=False)[keep],
-            "price": batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
-        })
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
-        df["disc_price"] = df["price"] * (1.0 - disc)
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"), sum_base_price=("price", "sum"),
-            sum_disc_price=("disc_price", "sum"), count_order=("qty", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table({
+            "l_returnflag": pc.array_filter(batch["l_returnflag"],
+                                            pa.array(keep)),
+            "l_linestatus": pc.array_filter(batch["l_linestatus"],
+                                            pa.array(keep)),
+            "qty": pa.array(batch["l_quantity"]
+                            .to_numpy(zero_copy_only=False)[keep]),
+            "price": pa.array(price),
+            "disc_price": pa.array(price * (1.0 - disc)),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
+             ("qty", "count")])   # Arrow-native combiner, no pandas copy
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["qty_sum"],
+            "sum_base_price": g["price_sum"],
+            "sum_disc_price": g["disc_price_sum"],
+            "count_order": pc.cast(g["qty_count"], pa.int64()),
+        })
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -948,13 +998,14 @@ def nation_revenue(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         c2n_m, names_m = ray.get(side_ref)
         nk = c2n_m[batch["o_custkey"].to_numpy(zero_copy_only=False)]
-        df = pd.DataFrame({
-            "n_name": [names_m[int(k)] for k in nk],
-            "revenue": batch["o_totalprice"].to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby("n_name", as_index=False).agg(
-            revenue=("revenue", "sum"), n_orders=("revenue", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table({
+            "n_name": pa.array([names_m[int(k)] for k in nk], pa.string()),
+            "revenue": batch["o_totalprice"],
+        }).group_by("n_name").aggregate(
+            [("revenue", "sum"), ("revenue", "count")])  # Arrow combiner
+        return pa.table({"n_name": g["n_name"],
+                         "revenue": g["revenue_sum"],
+                         "n_orders": pc.cast(g["revenue_count"], pa.int64())})
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"],
@@ -1144,19 +1195,20 @@ def events_sliding(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         hours = batch["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[h]")
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        val = batch["value"].to_numpy(zero_copy_only=False)
         one_h = np.timedelta64(1, "h")
         # a 2h window starting at H covers events in [H, H+2h): event at
         # hour E belongs to windows starting at E-1h and E
-        df = pd.DataFrame({
-            "event_type": np.concatenate([et, et]),
-            "w": np.concatenate([hours - one_h, hours]).astype("datetime64[us]"),
-            "value": np.concatenate([val, val]),
-        })
-        g = df.groupby(["event_type", "w"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        fan = [pa.table({
+            "event_type": batch["event_type"],
+            "w": pa.array((hours - off).astype("datetime64[us]"),
+                          pa.timestamp("us")),
+            "value": batch["value"],
+        }) for off in (one_h, np.timedelta64(0, "h"))]
+        g = pa.concat_tables(fan).group_by(["event_type", "w"]).aggregate(
+            [("value", "sum"), ("value", "count")])  # Arrow-native combiner
+        return pa.table({"event_type": g["event_type"], "w": g["w"],
+                         "n_events": pc.cast(g["value_count"], pa.int64()),
+                         "sum_value": g["value_sum"]})
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"],
@@ -1474,3 +1526,123 @@ def range_join_events(sf_dir: str) -> pa.Table:
                   pa.schema([("event_id", pa.int64()),
                              ("campaign_id", pa.int64())]))
     return out.sort_by("event_id")
+
+
+# ------------------------------------------------- text scrubbing & curation
+
+
+# RE2-compatible (pyarrow) AND DuckDB-identical (DuckDB is RE2 too), so the
+# oracle replays the exact same automaton
+EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"
+
+
+def redact_pii(sf_dir: str):
+    """PII scrub — the standard pre-training text-curation pass: emails then
+    phone numbers replaced with typed placeholders, plus per-doc match
+    counts.  One streaming map_batches; both substitutions are vectorized
+    RE2 kernels (pc.replace_substring_regex), no Python row loop."""
+    def f(b: pa.Table) -> pa.Table:
+        n_emails = pc.count_substring_regex(b["text"], pattern=EMAIL_RE)
+        t = pc.replace_substring_regex(b["text"], pattern=EMAIL_RE,
+                                       replacement="<EMAIL>")
+        n_phones = pc.count_substring_regex(t, pattern=PHONE_RE)
+        t = pc.replace_substring_regex(t, pattern=PHONE_RE,
+                                       replacement="<PHONE>")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text_redacted": t,
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_phones": pc.cast(n_phones, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _best_per_fp(t: pa.Table) -> pa.Table:
+    """One row per fp: max n_chars, ties to the lowest doc_id (sort + first —
+    works both as the per-block combiner and the per-group reducer)."""
+    t = t.sort_by([("fp", "ascending"), ("n_chars", "descending"),
+                   ("doc_id", "ascending")])
+    fps = np.asarray(t["fp"].to_pylist(), dtype=object)
+    first = np.r_[True, fps[1:] != fps[:-1]] if len(fps) else \
+        np.zeros(0, dtype=bool)
+    return t.filter(pa.array(first))
+
+
+def dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup: for each normalized-text fingerprint keep
+    the BEST representative (longest raw text, ties to lowest doc_id) — what
+    a curation pipeline actually wants, vs dedup_exact's first-wins.
+
+    Same shuffle discipline as dedup_exact: a per-block combiner reduces to
+    one candidate row per fp BEFORE the fp-hash shuffle, and the per-group
+    reducer applies the identical argmax — associative, so block boundaries
+    can't change the winner."""
+    def partial(b: pa.Table) -> pa.Table:
+        fp = _md5_hex(_norm_text(b["text"]).to_pylist())
+        return _best_per_fp(pa.table({
+            "fp": pa.array(fp, pa.string()),
+            "doc_id": b["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        }))
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("fp")
+            .map_groups(_best_per_fp, batch_format="pyarrow"))
+
+
+def ann_range_search(sf_dir: str, n_queries: int = 4,
+                     threshold: float = 0.3) -> pa.Table:
+    """Range similarity search: ALL vectors with cosine >= threshold of each
+    query (the retrieval-dedup sibling of top-k).  Queries broadcast once
+    (ray.put), one matmul per streamed block, only (query_id, vec_id) id
+    pairs ever leave a task."""
+    qt = _emb(sf_dir).take_batch(n_queries, batch_format="pyarrow")
+    Q = _emb_matrix(qt)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    q_ref = ray.put((Q, qids))
+
+    def f(batch: pa.Table) -> pa.Table:
+        Qm, qid = ray.get(q_ref)
+        M = _emb_matrix(batch)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ Qm.T                       # (n, q)
+        mi, qi = np.nonzero(sims >= threshold)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"query_id": pa.array(qid[qi], pa.int64()),
+                         "vec_id": pa.array(ids[mi], pa.int64())})
+
+    out = _emb(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=4096)
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by(
+        [("query_id", "ascending"), ("vec_id", "ascending")])
+
+
+def doc_length_histogram(sf_dir: str, width: int = 100):
+    """Corpus length histogram (fixed-width buckets over n_chars): the
+    canonical profiling aggregate — per-block Arrow combiner, then a
+    bucket-keyed groupby that moves one row per bucket per block."""
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = b["n_chars"].to_numpy(zero_copy_only=False) // width
+        g = pa.table({"bucket": pa.array(bucket, pa.int64())}) \
+            .group_by("bucket").aggregate([([], "count_all")])
+        return pa.table({"bucket": g["bucket"],
+                         "n_docs": pc.cast(g["count_all"], pa.int64())})
+
+    agg = (_docs(sf_dir, ["n_chars"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").sum("n_docs"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "bucket": b["bucket"],
+            "lo": pc.multiply(b["bucket"], width),
+            "hi": pc.multiply(pc.add(b["bucket"], 1), width),
+            "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
+        }), batch_format="pyarrow")

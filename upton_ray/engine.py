@@ -266,12 +266,11 @@ class Crawler:
         # link counts — per-block partial counts (no all-to-all), one row per
         # index page collected on the driver (small)
         def _page_counts(b: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = pd.DataFrame({"seed_id": b["seed_id"].to_numpy(zero_copy_only=False),
-                               "page_no": b["page_no"].to_numpy(zero_copy_only=False)})
-            g = df.groupby(["seed_id", "page_no"], as_index=False).size()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            g = b.select(["seed_id", "page_no"]) \
+                .group_by(["seed_id", "page_no"]) \
+                .aggregate([([], "count_all")])   # Arrow-native, no pandas
+            return pa.table({"seed_id": g["seed_id"], "page_no": g["page_no"],
+                             "size": pc.cast(g["count_all"], pa.int64())})
 
         counts = collect(links.map_batches(_page_counts, batch_format="pyarrow"),
                          pa.schema([("seed_id", pa.int32()),
@@ -354,9 +353,14 @@ class Crawler:
                     return b.filter(pa.array(keep))
 
                 bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow")
+            walk_ncpu = cfg.bucket_walk_num_cpus
+            if walk_ncpu is None:   # auto: bound concurrent decodes at ~16
+                total = int(ray.cluster_resources().get("CPU", 8))
+                walk_ncpu = max(1.0, total / 16.0)
             walked = bucketed.groupby("bucket").map_groups(
                 make_group_walker(token, *walker_args, ckpt_dir=ckpt),
-                batch_format="pyarrow")
+                batch_format="pyarrow",
+                num_cpus=walk_ncpu)
             if not ckpt:
                 return walked
             # With a checkpoint, the walkers write page data straight to

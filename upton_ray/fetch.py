@@ -169,13 +169,34 @@ class ParquetWebStore:
         return None if i is None else int(lens[i])
 
 
+class LanceWebStore(ParquetWebStore):
+    """Point lookups into a Lance corpus (north_rule's preferred format):
+    identical layout contract to the parquet store — same logical schema,
+    same host-hash ``bucket`` column — with Lance's scanner doing the bucket
+    filter.  ``lance.dataset(...).to_table(columns=…, filter=…)`` accepts
+    the same pyarrow expression the parquet path uses, so the bucket-pool /
+    LRU machinery is shared wholesale.  Requires the ``lance`` package
+    (absent in this sandbox; tests/test_sinks_lance.py importorskips)."""
+
+    def __init__(self, path: str, num_buckets: int, cache_buckets: int = 4):
+        import lance
+
+        self.ds = lance.dataset(path)
+        self.num_buckets = num_buckets
+        self._cache = {}
+        self._cache_max = cache_buckets
+
+
 def make_store(web_source):
-    """web_source: dict | synth.ScaleParams | ("parquet", path, num_buckets)."""
+    """web_source: dict | synth.ScaleParams |
+    ("parquet" | "lance", path, num_buckets)."""
     if isinstance(web_source, dict):
         return DictWebStore(web_source)
     if isinstance(web_source, synth.ScaleParams):
         return GeneratorWebStore(web_source)
     kind, path, buckets = web_source
+    if kind == "lance":
+        return LanceWebStore(path, buckets)
     assert kind == "parquet"
     return ParquetWebStore(path, buckets)
 

@@ -59,26 +59,40 @@ def write_records_parquet(records_ds, path: str) -> None:
     records_ds.write_parquet(path)
 
 
-def write_web(web_ds, path: str, *, num_buckets: int = 16) -> None:
-    """Corpus writer for ParquetWebStore: hash-bucket by host (hive
-    partitioning on ``bucket``) so fetch point-lookups prune to one bucket.
-    Lance would be the preferred format per the design (BASELINE.json); the
-    sandbox lacks the lance package, so parquet with the same logical schema
-    stands in (same layout contract either way)."""
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        hs = hosts_of(batch["doc_id"].to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "bucket", pa.array(shard_hashes(hs, num_buckets), pa.int32()))
-
-    os.makedirs(path, exist_ok=True)
-    web_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["bucket"])
-
-
 try:  # optional lance support (gated: not installed in this sandbox)
     import lance  # noqa: F401
 
     HAVE_LANCE = True
 except ImportError:
     HAVE_LANCE = False
+
+
+def write_web(web_ds, path: str, *, num_buckets: int = 16,
+              fmt: str = "parquet") -> None:
+    """Corpus writer for the web store: hash-bucket by host so fetch
+    point-lookups prune to one bucket.
+
+    ``fmt="lance"`` writes a Lance dataset (the preferred format per the
+    design / BASELINE.json north_rule) via ``Dataset.write_lance``;
+    ``fmt="parquet"`` writes hive-partitioned parquet on the ``bucket``
+    column.  Both carry the SAME logical schema + bucket column, so
+    :class:`upton_ray.fetch.ParquetWebStore` / ``LanceWebStore`` share one
+    layout contract.  The sandbox lacks the lance package, so the lance
+    branch is exercised only where it's installed
+    (tests/test_sinks_lance.py importorskips)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hs = hosts_of(batch["doc_id"].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "bucket", pa.array(shard_hashes(hs, num_buckets), pa.int32()))
+
+    bucketed = web_ds.map_batches(add_bucket, batch_format="pyarrow")
+    if fmt == "lance":
+        if not HAVE_LANCE:
+            raise NotImplementedError(
+                "lance is not installed in this environment; "
+                "use fmt='parquet' (same layout contract)")
+        bucketed.write_lance(path)
+        return
+    os.makedirs(path, exist_ok=True)
+    bucketed.write_parquet(path, partition_cols=["bucket"])
