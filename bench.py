@@ -213,6 +213,14 @@ def main():
     queries["frontier_topk"] = round(timed(datapipe.frontier_topk, SF_DIR), 3)
     queries["media_decode"] = round(timed(datapipe.media_decode, SF_DIR), 3)
     queries["frame_sample"] = round(timed(datapipe.frame_sample, SF_DIR), 3)
+    queries["redact_pii"] = round(timed(datapipe.redact_pii, SF_DIR), 3)
+    queries["dedup_keep_best"] = round(
+        timed(datapipe.dedup_keep_best, SF_DIR), 3)
+    queries["ann_range_search"] = round(
+        timed(datapipe.ann_range_search, SF_DIR), 3)
+    queries["term_frequencies"] = round(
+        timed(datapipe.term_frequencies, SF_DIR), 3)
+    queries["events_sliding"] = round(timed(datapipe.events_sliding, SF_DIR), 3)
 
     out = {
         "metric": "crawl+extract throughput and pipeline wall-times",

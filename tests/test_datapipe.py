@@ -419,3 +419,57 @@ def test_frame_sampler_injection_seam(ray_session, dup_dir):
     # 25 s at 10 s step -> frames at t = 0, 10, 20 for every doc
     per_doc = t.to_pandas().groupby("doc_id")["t_s"].apply(list).to_dict()
     assert all(v == [0, 10, 20] for v in per_doc.values())
+
+
+def test_redact_pii_planted(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "contact alice.smith+spam@mail-host.example.org now",
+            "call 555-123-4567 or +1 555 987 6543 today",
+            "no pii here at all",
+        ]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["src0"] * 3),
+        "n_chars": pa.array([1, 1, 1], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = _collect(datapipe.redact_pii(str(tmp_path)),
+                 ("doc_id", pa.int64()), ("text_redacted", pa.string()),
+                 ("n_emails", pa.int64()), ("n_phones", pa.int64())) \
+        .sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert rows[0]["text_redacted"] == "contact <EMAIL> now"
+    assert rows[0]["n_emails"] == 1
+    # "+1 555 987 6543" matches on its trailing "555 987 6543" window
+    assert rows[1]["text_redacted"] == "call <PHONE> or +1 <PHONE> today"
+    assert rows[1]["n_phones"] == 2
+    assert rows[2]["text_redacted"] == "no pii here at all"
+
+
+def test_dedup_keep_best_prefers_longest_then_lowest_id(ray_session, dup_dir):
+    t = _collect(datapipe.dedup_keep_best(dup_dir),
+                 ("fp", pa.string()), ("doc_id", pa.int64()),
+                 ("n_chars", pa.int64()))
+    # docs 0 and 1 share a fingerprint; doc 1 has the LONGER raw text
+    # ("  " + upper + "  ") so it wins — the opposite of dedup_exact's
+    # first-wins, which is the point
+    winners = set(t["doc_id"].to_pylist())
+    assert 1 in winners and 0 not in winners
+    assert t.num_rows == 4
+
+
+def test_ann_range_search_finds_planted_pair(ray_session, dup_dir):
+    t = datapipe.ann_range_search(dup_dir, n_queries=2, threshold=0.95)
+    pairs = set(zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()))
+    # each query matches itself, and queries 0/1 are planted near-dups
+    assert {(0, 0), (0, 1), (1, 0), (1, 1)} <= pairs
+
+
+def test_doc_length_histogram_buckets(ray_session, dup_dir):
+    t = _collect(datapipe.doc_length_histogram(dup_dir),
+                 ("bucket", pa.int64()), ("lo", pa.int64()),
+                 ("hi", pa.int64()), ("n_docs", pa.int64()))
+    assert sum(t["n_docs"].to_pylist()) == 5
+    for r in t.to_pylist():
+        assert r["hi"] - r["lo"] == 100 and r["lo"] == r["bucket"] * 100

@@ -8,25 +8,37 @@ returns a Dataset or Arrow table whose columns match the DuckDB oracle SQL in
 ``__ray_entry__`` exactly (names included).
 
 Operators:
-* exact dedup (hash-partitioned first-wins) and document fingerprinting
-* MinHash+LSH near-dup with exact shingle-Jaccard verification
+* exact dedup (hash-partitioned first-wins), quality-aware keep-best dedup,
+  and document fingerprinting
+* MinHash+LSH near-dup with exact shingle-Jaccard verification and a
+  degenerate-bucket cap (oversized signature clusters drop + log)
 * SimHash fingerprints
-* embedding near-dup (cosine) and brute-force ANN top-k over a broadcast
-  query matrix (+ an IVF-bucketed variant for the scale path)
-* exact source-blocked n-gram Jaccard (incidence-matrix matmul per block)
+* embedding near-dup: exact distributed block-pair cross product, and the
+  SRP-LSH scale path (projection planes are the ONLY broadcast; candidates
+  verified via a distributed id-set filter); brute-force ANN top-k over a
+  broadcast query matrix, an IVF-bucketed variant, and range similarity
+  search
+* exact source-blocked n-gram Jaccard (sparse postings-list intersection —
+  never a dense doc x vocab matrix)
 * winnowing rolling-hash fingerprints (Rabin–Karp k-grams + window-min)
-* language-ID (marker-token heuristic), quality scoring, token counting
-  (whitespace + BPE-style pieces), heavy-hitter term frequencies
+* language-ID (marker-token heuristic), quality scoring, PII redaction
+  (vectorized RE2 scrub), token counting (whitespace + BPE-style pieces),
+  heavy-hitter term frequencies (per-partition top-k before the merge),
+  corpus length histograms
 * tumbling/sliding-window aggregation and gap-based sessionization over
   events; EXACT distributed quantiles (two-pass candidate-bin, no global
-  sort); HyperLogLog approximate distinct counts (mergeable sketch)
+  sort); HyperLogLog approximate distinct counts (mergeable sketch);
+  as-of and interval-range joins
 * per-host top-k (frontier-priority shape: window/top-k over a key)
-* frontier BFS (multi-round discover/dedup loop, recursive-CTE oracle)
-* relational patterns: partial-aggregate groupby (TPC-H-Q1 shape) and
-  broadcast join (small side via ray.put, zero fact-table shuffle)
+* frontier BFS (multi-round discover/dedup loop with a Dataset-native
+  frontier, recursive-CTE oracle)
+* relational patterns: partial-aggregate groupby (TPC-H-Q1 shape, Arrow
+  TableGroupBy combiners) and broadcast join (small side via ray.put, zero
+  fact-table shuffle)
 * multimodal decode/resize/frame-sample stubs: the Ray-side plumbing
   (schema, actor pool, batch flow, row explosion) is real; the decoders are
-  deterministic fakes because no image/audio libraries exist here.
+  deterministic fakes (no image/audio libraries here) behind a tested
+  constructor-injection seam, so a real decoder drops in unchanged.
 """
 
 from __future__ import annotations
@@ -1106,24 +1118,24 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
     above threshold). Every emitted pair is exactly verified, so output ⊆
     brute force — the gate shares embedding_dedup's SQL oracle.
 
-    Driver discipline: only the (d x n_bits) projection planes are broadcast;
-    signatures stream per block, buckets over ``max_bucket`` rows are dropped
-    with a logged count (a degenerate bucket — e.g. a constant vector cluster
-    — would otherwise go quadratic), and exact verification reads back ONLY
-    the candidate-involved vectors by filtering the embeddings Dataset
-    against the broadcast candidate-id set (candidates << corpus).
+    Driver discipline: the (d x n_bits) projection planes are DETERMINISTIC
+    (seeded), so each task regenerates them from (seed, dim) — zero
+    broadcast, no driver read of any embedding at all; signatures stream per
+    block, buckets over ``max_bucket`` rows are dropped with a logged count
+    (a degenerate bucket — e.g. a constant vector cluster — would otherwise
+    go quadratic), and exact verification reads back ONLY the
+    candidate-involved vectors by filtering the embeddings Dataset against
+    the broadcast candidate-id set (candidates << corpus).
     """
     import logging
 
-    probe = _emb(sf_dir).take_batch(1, batch_format="pyarrow")
-    dim = len(probe["embedding"][0])
-    planes = np.random.RandomState(seed).randn(dim, n_bits)
-    planes_ref = ray.put(planes)
     n_bands = n_bits // band_bits
 
     def signatures(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
         b = _emb_matrix(batch)
+        # regenerate, don't broadcast: ~dim x n_bits floats, seeded — cheaper
+        # than an object-store round trip and keeps the driver data-free
+        pl = np.random.RandomState(seed).randn(b.shape[1], n_bits)
         b = b / np.linalg.norm(b, axis=1, keepdims=True)
         bits = (b @ pl) > 0                                   # (n, n_bits)
         weights = (1 << np.arange(band_bits)).astype(np.int64)
