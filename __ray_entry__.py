@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": datapipe.dedup_keep_best,
         "ann_range_search": datapipe.ann_range_search,
         "doc_length_histogram": datapipe.doc_length_histogram,
+        "sample_stratified": datapipe.sample_stratified,
     }
     return q
 
@@ -658,6 +659,13 @@ def oracle_sql() -> dict[str, str]:
         FROM q CROSS JOIN embeddings e
         WHERE list_cosine_similarity(q.qe, e.embedding) >= 0.3
         ORDER BY 1, 2
+    """
+    sql["sample_stratified"] = """
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c USING (source)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 10000 < least(1.0, 50.0 / c.n) * 10000
     """
     sql["doc_length_histogram"] = """
         SELECT n_chars // 100 AS bucket,

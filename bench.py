@@ -221,6 +221,10 @@ def main():
     queries["term_frequencies"] = round(
         timed(datapipe.term_frequencies, SF_DIR), 3)
     queries["events_sliding"] = round(timed(datapipe.events_sliding, SF_DIR), 3)
+    queries["sample_stratified"] = round(
+        timed(datapipe.sample_stratified, SF_DIR), 3)
+    queries["doc_length_histogram"] = round(
+        timed(datapipe.doc_length_histogram, SF_DIR), 3)
 
     out = {
         "metric": "crawl+extract throughput and pipeline wall-times",

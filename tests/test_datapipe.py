@@ -473,3 +473,25 @@ def test_doc_length_histogram_buckets(ray_session, dup_dir):
     assert sum(t["n_docs"].to_pylist()) == 5
     for r in t.to_pylist():
         assert r["hi"] - r["lo"] == 100 and r["lo"] == r["bucket"] * 100
+
+
+def test_sample_stratified_balances_skew(ray_session, tmp_path):
+    """Skewed strata: the big source downsamples toward the target, the
+    small one keeps everything; the sample is deterministic."""
+    n_big, n_small = 400, 10
+    docs = pa.table({
+        "doc_id": pa.array(range(n_big + n_small), pa.int64()),
+        "text": pa.array(["x"] * (n_big + n_small)),
+        "lang": pa.array(["en"] * (n_big + n_small)),
+        "source": pa.array(["src0"] * n_big + ["src1"] * n_small),
+        "n_chars": pa.array([1] * (n_big + n_small), pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = _collect(datapipe.sample_stratified(str(tmp_path), target_per_stratum=40),
+                 ("doc_id", pa.int64()), ("source", pa.string()))
+    by_src = t.to_pandas().groupby("source").size().to_dict()
+    assert by_src["src1"] == n_small            # rate 1.0: all kept
+    assert 15 <= by_src.get("src0", 0) <= 70    # ~40 expected, binomial spread
+    t2 = _collect(datapipe.sample_stratified(str(tmp_path), target_per_stratum=40),
+                  ("doc_id", pa.int64()), ("source", pa.string()))
+    assert sorted(t["doc_id"].to_pylist()) == sorted(t2["doc_id"].to_pylist())

@@ -1677,3 +1677,31 @@ def doc_length_histogram(sf_dir: str, width: int = 100):
             "hi": pc.multiply(pc.add(b["bucket"], 1), width),
             "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def sample_stratified(sf_dir: str, target_per_stratum: int = 50,
+                      mod: int = 10000):
+    """Deterministic stratified downsampling — the curation op that balances
+    a skewed corpus: per-source rates equalize stratum sizes at
+    ``target_per_stratum`` docs (rate = min(1, target/count)).
+
+    Two passes, both cheap at any scale: (1) a groupby-count whose output is
+    ONE ROW PER STRATUM (that's all the driver ever holds), broadcast as the
+    rate table; (2) a streaming filter keeping doc_ids whose md5-derived
+    hash falls under the stratum's threshold — md5 precisely so the DuckDB
+    oracle replays the sample bit-for-bit (same trick as fingerprint)."""
+    counts = _docs(sf_dir, ["source"]).groupby("source").count().take_all()
+    rates = {r["source"]: min(1.0, target_per_stratum / r["count()"])
+             for r in counts}
+    rates_ref = ray.put(rates)
+
+    def f(b: pa.Table) -> pa.Table:
+        rt = ray.get(rates_ref)
+        ids = b["doc_id"].to_pylist()
+        hv = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                       % mod for i in ids], dtype=np.int64)
+        thr = np.array([rt[s] * mod for s in b["source"].to_pylist()])
+        return b.filter(pa.array(hv < thr))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow")

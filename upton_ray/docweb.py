@@ -86,6 +86,67 @@ def web_from_documents(sf_dir: str) -> tuple[dict, list[tuple[int, str, str]]]:
     return web, seeds
 
 
+def write_docweb_store(sf_dir: str, path: str, num_buckets: int = 16) -> None:
+    """Distributed construction of the documents-derived web as a bucketed
+    parquet corpus — the scale path for :func:`web_from_documents` (whose
+    driver-side dict is only for gate-scale tables).  Article pages stream
+    through ``map_batches``; index pages come from one ``groupby(source)``
+    (each host's pagination needs its full doc list in doc_id order); both
+    land in the same hash-bucketed store the fetch stage point-looks-up."""
+    import pyarrow as pa
+    import ray.data
+
+    from upton_ray import schema, sinks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"],
+                                 override_num_blocks=8)
+
+    def article_rows(b: pa.Table) -> pa.Table:
+        urls, spans = [], []
+        for doc_id, text, source in zip(b["doc_id"].to_pylist(),
+                                        b["text"].to_pylist(),
+                                        b["source"].to_pylist()):
+            urls.append(article_url(source, doc_id))
+            spans.append(article_spans(doc_id, text))
+        return pa.table({"doc_id": pa.array(urls, pa.string()),
+                         "spans": schema.spans_array(spans)})
+
+    def index_rows(group: pa.Table) -> pa.Table:
+        source = group["source"][0].as_py()
+        host = host_of_source(source)
+        ds = sorted(zip(group["doc_id"].to_pylist(),
+                        group["text"].to_pylist()))
+        urls, spans = [], []
+        n_pages = (len(ds) + LINKS_PER_PAGE - 1) // LINKS_PER_PAGE
+        for p in range(1, n_pages + 1):
+            chunk = ds[(p - 1) * LINKS_PER_PAGE: p * LINKS_PER_PAGE]
+            urls.append(f"http://{host}/index.html?page={p}")
+            spans.append([_sp("section#river/section/h1/a", text[:TITLE_LEN],
+                              f"d/{doc_id}.html", i)
+                          for i, (doc_id, text) in enumerate(chunk)])
+        return pa.table({"doc_id": pa.array(urls, pa.string()),
+                         "spans": schema.spans_array(spans)})
+
+    articles = docs.map_batches(article_rows, batch_format="pyarrow")
+    indexes = docs.groupby("source").map_groups(index_rows,
+                                                batch_format="pyarrow")
+    sinks.write_web(articles.union(indexes), path, num_buckets=num_buckets)
+
+
+def docweb_seeds(sf_dir: str) -> list[tuple[int, str, str]]:
+    """Seed list (one per host) from the distinct sources — a tiny aggregate
+    (one row per host reaches the driver, never the documents)."""
+    import ray.data
+
+    src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["source"]) \
+        .groupby("source").count().take_all()
+    hosts = sorted(int(r["source"][3:]) for r in src)
+    return [(i, f"http://src{n}.docs.example/index.html", INDEX_SELECTOR)
+            for i, n in enumerate(hosts)]
+
+
 def crawl_config() -> CrawlConfig:
     return CrawlConfig(
         index_selector=INDEX_SELECTOR,
@@ -99,18 +160,41 @@ def crawl_config() -> CrawlConfig:
     )
 
 
-def crawl_documents(sf_dir: str, *, as_dataset: bool = False):
+def crawl_documents(sf_dir: str, *, as_dataset: bool = False,
+                    use_store: bool | None = None, store_buckets: int = 16):
     """Flagship pipeline: crawl the documents-derived web end-to-end and
     return (instance_index, instance_url, title) in crawl order.
+
+    ``use_store=True`` routes through the distributed bucketed parquet store
+    (:func:`write_docweb_store` + ParquetWebStore point lookups) instead of
+    the driver-built dict; ``None`` auto-selects the store above 200k docs
+    (the dict is broadcast whole — fine only while the table is the small
+    side).  Both paths produce identical records (pinned in tests).
 
     Oracle (DuckDB): row_number over (host N, doc_id) + substring title —
     see __ray_entry__.oracle_sql()["crawl_documents"].
     """
     import pyarrow as pa
+    import pyarrow.parquet as _pq
 
     from upton_ray.engine import Crawler
 
-    web, seeds = web_from_documents(sf_dir)
+    if use_store is None:
+        use_store = _pq.read_metadata(
+            f"{sf_dir}/documents.parquet").num_rows > 200_000
+    if use_store:
+        import hashlib as _hl
+        import os as _os
+
+        key = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        path = f"/tmp/upton_ray_docweb/{key}"
+        if not _os.path.exists(_os.path.join(path, "_DONE")):
+            write_docweb_store(sf_dir, path, num_buckets=store_buckets)
+            open(_os.path.join(path, "_DONE"), "w").close()
+        web: object = ("parquet", path, store_buckets)
+        seeds = docweb_seeds(sf_dir)
+    else:
+        web, seeds = web_from_documents(sf_dir)
     crawler = Crawler(crawl_config(), web, seeds=seeds)
     try:
         res = crawler.crawl(trace=False)
