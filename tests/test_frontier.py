@@ -123,3 +123,54 @@ def test_robots_txt_drives_fetch_state():
     assert ok.tolist() == [False, True, True]
     assert st.sched.host_delay("a.test") == 5.0, "Crawl-delay overrides"
     assert st.sched.host_delay("b.test") == 1.0, "default politeness delay"
+
+
+def test_fetch_robots_from_web(ray_session):
+    """T3 completion: robots.txt bodies come from the crawled web itself
+    (distributed probe), not only from a pre-supplied table — a disallowed
+    path is blocked without fetch, and Crawl-delay feeds per-host pacing."""
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+    from upton_ray.synth import _sp
+
+    web = {
+        "http://r.test/robots.txt": [
+            _sp("pre", "User-agent: *\nDisallow: /secret\nCrawl-delay: 2", "", 0)],
+        "http://r.test/index.html": [
+            _sp("section#river/section/h1/a", "ok", "a.html", 0),
+            _sp("section#river/section/h1/a", "no", "secret/b.html", 1)],
+        "http://r.test/a.html": [_sp("h1.article-title", "Allowed", "", 0)],
+        "http://r.test/secret/b.html": [
+            _sp("h1.article-title", "Blocked", "", 0)],
+    }
+    cfg = CrawlConfig(
+        index_url="http://r.test/index.html",
+        index_selector="section#river section h1 a",
+        extractor="css:h1.article-title",
+        respect_robots=True, fetch_robots=True,
+        sleep_time_between_requests=0,
+        num_seen_shards=1, fetch_concurrency=1)
+    c = Crawler(cfg, web)
+    try:
+        res = c.crawl(trace=True)
+        # /secret blocked without fetch -> empty record kept positionally
+        assert res.documents() == ["Allowed", ""]
+        assert "http://r.test/secret/b.html" not in res.fetched_urls
+        assert cfg.robots_txt["r.test"].startswith("User-agent")
+        # pre-supplied bodies are operator overrides: not clobbered
+        cfg2 = CrawlConfig(
+            index_url="http://r.test/index.html",
+            index_selector="section#river section h1 a",
+            extractor="css:h1.article-title",
+            respect_robots=True, fetch_robots=True,
+            robots_txt={"r.test": "User-agent: *\nDisallow:"},
+            sleep_time_between_requests=0,
+            num_seen_shards=1, fetch_concurrency=1)
+        c2 = Crawler(cfg2, web)
+        try:
+            res2 = c2.crawl(trace=True)
+            assert res2.documents() == ["Allowed", "Blocked"]
+        finally:
+            c2.shutdown()
+    finally:
+        c.shutdown()

@@ -57,6 +57,8 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--real-sleep", action="store_true",
                    help="actually pace fetches (else virtual-clock accounting)")
     c.add_argument("--respect-robots", action="store_true")
+    c.add_argument("--fetch-robots", action="store_true",
+                   help="probe http://<host>/robots.txt from the web source")
     c.add_argument("--concurrency", type=int, default=8)
     c.add_argument("--batch-size", type=int, default=1024)
     c.add_argument("--seen-shards", type=int, default=8)
@@ -112,6 +114,7 @@ def cmd_crawl(args) -> int:
         sleep_time_between_requests=args.sleep,
         real_sleep=args.real_sleep,
         respect_robots=args.respect_robots,
+        fetch_robots=args.fetch_robots,
         debug=True, index_debug=True,
         num_seen_shards=args.seen_shards,
         seen_exact=not args.approx_seen,

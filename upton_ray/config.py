@@ -37,6 +37,10 @@ class CrawlConfig:
     robots: dict = field(default_factory=dict)   # host -> list of disallowed prefixes
     robots_txt: dict = field(default_factory=dict)  # host -> raw robots.txt body
     respect_robots: bool = False
+    # fetch http://<host>/robots.txt from the web source itself at crawl
+    # start (distributed probe, one result row per host) instead of — or in
+    # addition to — the pre-supplied robots/robots_txt tables
+    fetch_robots: bool = False
     status_overlay: dict = field(default_factory=dict)  # url -> http status (fault injection)
     max_retries: int = 3               # bounded (reference retries forever, T4)
     canonicalize_seen: bool = False    # key the seen set by canonical URL form

@@ -574,9 +574,55 @@ class Crawler:
 
     # ------------------------------------------------------------------ runs
 
+    def _load_robots_from_web(self) -> None:
+        """T3 completion: probe ``http://<host>/robots.txt`` for every seed
+        host THROUGH THE WEB SOURCE (distributed map_batches over the host
+        list; one (host, body) row per host reaches the driver — the host
+        list is always the small side) and merge the bodies into
+        ``cfg.robots_txt`` for the fetch workers to parse.  Pre-supplied
+        entries win — they act as operator overrides."""
+        cfg = self.cfg
+        urls = ([s[1] for s in (self.seeds or [])]
+                + list(cfg.url_array or []))
+        hosts = sorted({h for h in hosts_of(np.array(urls, dtype=object))
+                        if h and h not in cfg.robots_txt})
+        if not hosts:
+            return
+        web_ref = self.web_ref
+
+        class RobotsProbe:
+            def __init__(self):
+                from upton_ray.fetch import make_store
+
+                src = web_ref
+                if isinstance(src, ray.ObjectRef):
+                    src = ray.get(src)
+                self.store = make_store(src)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out_h, out_b = [], []
+                for h in batch["host"].to_pylist():
+                    spans = self.store.lookup_one(f"http://{h}/robots.txt")
+                    if spans:
+                        out_h.append(h)
+                        out_b.append("\n".join(
+                            s["text"] for s in spans if s["text"]))
+                return pa.table({"host": pa.array(out_h, pa.string()),
+                                 "body": pa.array(out_b, pa.string())})
+
+        ds = ray.data.from_arrow(pa.table({"host": pa.array(hosts)}))
+        found = collect(ds.map_batches(
+            RobotsProbe, batch_format="pyarrow", batch_size=1024,
+            concurrency=min(4, max(1, len(hosts) // 256 + 1)), num_cpus=0.5),
+            pa.schema([("host", pa.string()), ("body", pa.string())]))
+        for h, b in zip(found["host"].to_pylist(), found["body"].to_pylist()):
+            cfg.robots_txt[h] = b
+
     def crawl(self, *, trace: bool = False) -> CrawlResult:
         cfg = self.cfg
         index_urls = None
+        if cfg.respect_robots and cfg.fetch_robots:
+            self._load_robots_from_web()
         if cfg.url_array is not None:
             frontier = self._frontier_from_url_array()
             trace_info = None
