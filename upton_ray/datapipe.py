@@ -412,6 +412,82 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
+def _sorted_segment_pairs(sigs, key_cols: list[str], id_col: str,
+                          max_bucket: int, a_name: str, b_name: str):
+    """(key…, id) table -> candidate id pairs per key group, WITHOUT
+    ``groupby().map_groups``: an LSH bucket table has ~1 group per 1-2 rows,
+    and map_groups pays a Python call per group (~measured 5 s for 100k
+    groups where the sort itself costs 0.15 s).  Instead: global sort by
+    key (range-partitioned, so a key's rows are contiguous), then one
+    vectorized pass per block emitting pairs for segments strictly interior
+    to the block; segments touching a block edge (which may straddle blocks)
+    are re-emitted as residual rows — a tiny table (<= 2 segments/block) —
+    and pair-expanded in a second pass through map_groups, where per-group
+    overhead is now negligible.  Oversized groups (> max_bucket) become
+    marker rows (a = -1, b = group size) for the caller to drop + log."""
+    srt = sigs.sort(key_cols).materialize()
+
+    def _seg_bounds(b: pa.Table):
+        keys = [b[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        n = len(keys[0])
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        for k in keys:
+            change[1:n] |= k[1:] != k[:-1]
+        return np.flatnonzero(change), n
+
+    def interior_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({a_name: pa.array([], pa.int64()),
+                          b_name: pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        bounds, n = _seg_bounds(b)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        outs = [empty]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if s == 0 or e == n:
+                continue                      # edge segment: residual pass
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:
+                outs.append(pa.table({a_name: pa.array([-1], pa.int64()),
+                                      b_name: pa.array([e - s], pa.int64())}))
+                continue
+            v = np.sort(ids[s:e])
+            i, j = np.triu_indices(e - s, k=1)
+            outs.append(pa.table({a_name: pa.array(v[i], pa.int64()),
+                                  b_name: pa.array(v[j], pa.int64())}))
+        return pa.concat_tables(outs)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _seg_bounds(b)
+        first_e = bounds[1]
+        last_s = bounds[-2]
+        keep = np.zeros(n, dtype=bool)
+        keep[:first_e] = True
+        keep[last_s:] = True
+        return b.filter(pa.array(keep))
+
+    def residual_group(group: pa.Table) -> pa.Table:
+        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+        if len(ids) > max_bucket:
+            return pa.table({a_name: pa.array([-1], pa.int64()),
+                             b_name: pa.array([len(ids)], pa.int64())})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pa.table({a_name: pa.array(ids[i], pa.int64()),
+                         b_name: pa.array(ids[j], pa.int64())})
+
+    pairs = srt.map_batches(interior_pairs, batch_format="pyarrow",
+                            batch_size=None)
+    resid = (srt.map_batches(edge_rows, batch_format="pyarrow",
+                             batch_size=None)
+             .groupby(key_cols)
+             .map_groups(residual_group, batch_format="pyarrow"))
+    return pairs.union(resid)
+
+
 def minhash_dedup(sf_dir: str, threshold: float = 0.8,
                   max_bucket: int = 1024) -> pa.Table:
     """Near-dup pairs by MinHash+LSH, verified with exact shingle-Jaccard.
@@ -468,19 +544,15 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
             "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64())})
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
+    # materialize the (small: n_docs x N_BANDS int rows) signature table
+    # before the groupby: Ray Data's groupby/map_groups planning probes
+    # schema(), which re-executes an unmaterialized upstream several times —
+    # measured 3 extra signature passes on this pipeline; the shuffle was
+    # going to pin these blocks anyway
+    buckets = docs.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) > max_bucket:   # degenerate bucket: marker row, no pairs
-            return pa.table({"doc_a": pa.array([-1], pa.int64()),
-                             "doc_b": pa.array([len(ids)], pa.int64())})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[i], pa.int64()),
-                         "doc_b": pa.array(ids[j], pa.int64())})
-
-    cand = buckets.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pyarrow")
+    cand = _sorted_segment_pairs(buckets, ["band", "bucket"], "doc_id",
+                                 max_bucket, "doc_a", "doc_b")
     cand_parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns > 0]
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
@@ -1166,19 +1238,10 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
             "bucket": pa.array(keys.ravel(), pa.int64()),
             "vec_id": pa.array(np.repeat(vid, n_bands), pa.int64())})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        vid = np.sort(group["vec_id"].to_numpy(zero_copy_only=False))
-        if len(vid) > max_bucket:   # degenerate bucket: marker row, no pairs
-            return pa.table({"vec_a": pa.array([-1], pa.int64()),
-                             "vec_b": pa.array([len(vid)], pa.int64())})
-        i, j = np.triu_indices(len(vid), k=1)
-        return pa.table({"vec_a": pa.array(vid[i], pa.int64()),
-                         "vec_b": pa.array(vid[j], pa.int64())})
-
-    cand = (_emb(sf_dir)
-            .map_batches(signatures, batch_format="pyarrow", batch_size=4096)
-            .groupby(["band", "bucket"])
-            .map_groups(bucket_pairs, batch_format="pyarrow"))
+    sigs = _emb(sf_dir).map_batches(signatures, batch_format="pyarrow",
+                                    batch_size=4096)
+    cand = _sorted_segment_pairs(sigs, ["band", "bucket"], "vec_id",
+                                 max_bucket, "vec_a", "vec_b")
     parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns > 0]
     empty = pa.table({"vec_a": pa.array([], pa.int64()),
                       "vec_b": pa.array([], pa.int64())})
