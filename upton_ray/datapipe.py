@@ -1654,15 +1654,8 @@ def redact_pii(sf_dir: str):
         f, batch_format="pyarrow")
 
 
-def _best_per_fp(t: pa.Table) -> pa.Table:
-    """One row per fp: max n_chars, ties to the lowest doc_id (sort + first —
-    works both as the per-block combiner and the per-group reducer)."""
-    t = t.sort_by([("fp", "ascending"), ("n_chars", "descending"),
-                   ("doc_id", "ascending")])
-    fps = np.asarray(t["fp"].to_pylist(), dtype=object)
-    first = np.r_[True, fps[1:] != fps[:-1]] if len(fps) else \
-        np.zeros(0, dtype=bool)
-    return t.filter(pa.array(first))
+_KB_SHIFT = 33
+_KB_MASK = (1 << _KB_SHIFT) - 1
 
 
 def dedup_keep_best(sf_dir: str):
@@ -1670,22 +1663,36 @@ def dedup_keep_best(sf_dir: str):
     the BEST representative (longest raw text, ties to lowest doc_id) — what
     a curation pipeline actually wants, vs dedup_exact's first-wins.
 
-    Same shuffle discipline as dedup_exact: a per-block combiner reduces to
-    one candidate row per fp BEFORE the fp-hash shuffle, and the per-group
-    reducer applies the identical argmax — associative, so block boundaries
-    can't change the winner."""
+    The argmax is a PACKED-SCORE MAX: score = (n_chars << 33) | (2^33-1 -
+    doc_id), so the group winner is a built-in ``groupby(fp).max(score)`` —
+    no per-group Python call (there is ~one group PER DOCUMENT, where
+    map_groups pays a call each), and the per-block Arrow combiner bounds
+    the shuffle at one row per fp per block.  Decode recovers (doc_id,
+    n_chars) exactly; valid for n_chars < 2^30 and doc_id < 2^33."""
     def partial(b: pa.Table) -> pa.Table:
         fp = _md5_hex(_norm_text(b["text"]).to_pylist())
-        return _best_per_fp(pa.table({
-            "fp": pa.array(fp, pa.string()),
-            "doc_id": b["doc_id"],
-            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
-        }))
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = pc.cast(pc.utf8_length(b["text"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        score = (n_chars << _KB_SHIFT) | (_KB_MASK - doc_id)
+        g = pa.table({"fp": pa.array(fp, pa.string()),
+                      "score": pa.array(score, pa.int64())}) \
+            .group_by("fp").aggregate([("score", "max")])
+        return pa.table({"fp": g["fp"], "score": g["score_max"]})
 
-    return (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("fp")
-            .map_groups(_best_per_fp, batch_format="pyarrow"))
+    agg = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("fp").max("score"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        score = b["max(score)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fp": b["fp"],
+            "doc_id": pa.array(_KB_MASK - (score & _KB_MASK), pa.int64()),
+            "n_chars": pa.array(score >> _KB_SHIFT, pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 def ann_range_search(sf_dir: str, n_queries: int = 4,
