@@ -126,20 +126,37 @@ def cmd_crawl(args) -> int:
     crawler = Crawler(cfg, ("parquet", args.corpus, args.buckets), seeds=seeds)
     t0 = time.time()
     res = crawler.crawl()
+    distinct = None
     if args.format == "parquet":
         sinks.write_records_parquet(res.records, args.out)   # already in output order
         import ray.data
 
         n = ray.data.read_parquet(args.out).count()
+        # output-integrity check: a retried write task or a re-executed
+        # upstream could silently duplicate rows; the distinct output-order
+        # key count catches it for the cost of one local scan
+        import duckdb
+
+        distinct = duckdb.sql(
+            "SELECT count(DISTINCT (instance_index, pagination_index, row_no))"
+            f" FROM read_parquet('{args.out}/*.parquet')").fetchone()[0]
+        if distinct != n:
+            print(f"warning: output has {n} rows but {distinct} distinct "
+                  "record keys — duplicated write detected; re-run or dedup "
+                  "on (instance_index, pagination_index, row_no)",
+                  file=sys.stderr)
     elif args.format == "csv":
         n = sinks.write_csv(res.records, args.out)
     else:
         n = sinks.write_tsv(res.records, args.out)
     dt = time.time() - t0
     crawler.shutdown()
-    print(json.dumps({"records": n, "sec": round(dt, 3),
-                      "records_per_sec": round(n / dt, 1) if dt else None,
-                      "out": args.out, "stash": args.stash}))
+    out = {"records": n, "sec": round(dt, 3),
+           "records_per_sec": round(n / dt, 1) if dt else None,
+           "out": args.out, "stash": args.stash}
+    if distinct is not None:
+        out["distinct_keys"] = distinct
+    print(json.dumps(out))
     return 0
 
 
