@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": datapipe.ann_range_search,
         "doc_length_histogram": datapipe.doc_length_histogram,
         "sample_stratified": datapipe.sample_stratified,
+        "dedup_clusters": datapipe.dedup_clusters,
     }
     return q
 
@@ -631,6 +632,36 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
     }
+    # connected components over the exact >= 0.8 Jaccard pair graph (the
+    # same pair definition as the minhash_dedup oracle), labels = min
+    # reachable doc_id via a recursive CTE
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(w) >= 3 THEN list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                   ELSE [] END) AS sh
+          FROM t),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN e ON e.u = cc.node)
+        SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM cc GROUP BY node
+    """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"
     sql["redact_pii"] = (

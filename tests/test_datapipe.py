@@ -495,3 +495,26 @@ def test_sample_stratified_balances_skew(ray_session, tmp_path):
     t2 = _collect(datapipe.sample_stratified(str(tmp_path), target_per_stratum=40),
                   ("doc_id", pa.int64()), ("source", pa.string()))
     assert sorted(t["doc_id"].to_pylist()) == sorted(t2["doc_id"].to_pylist())
+
+
+def test_dedup_clusters_transitive_closure(ray_session, tmp_path):
+    """A-B and B-C near-dups (A-C below threshold pairwise via B) must land
+    in ONE cluster labeled by the smallest doc_id — the property pair lists
+    alone don't give you."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mid = base.replace("theta", "thetaX")            # near A
+    far = mid.replace("alpha beta", "alphaY betaY")  # near B, farther from A
+    other = "entirely different words in this unrelated document here now"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([base, mid, far, other]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["src0"] * 4),
+        "n_chars": pa.array([len(base)] * 4, pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = datapipe.dedup_clusters(str(tmp_path), threshold=0.5)
+    got = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0, got
+    assert 3 not in got                    # singleton: not in any pair

@@ -1775,3 +1775,44 @@ def sample_stratified(sf_dir: str, target_per_stratum: int = 50,
 
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Near-dup CLUSTERS: connected components over the exact-verified
+    MinHash pair graph, labeled by the component's smallest doc_id — what a
+    dedup pipeline actually consumes (pick one representative per cluster),
+    completing the pair-finding family.
+
+    Scale shape: the distributed part is :func:`minhash_dedup` (signatures,
+    banded buckets, exact verification — nothing driver-side beyond
+    candidates).  The component labeling then runs on the PAIR GRAPH, which
+    is small by construction (near-dup pairs << corpus; it is the very
+    output the pipeline returns), via union-find with path compression —
+    O(pairs α).  If the dup graph ever outgrew memory, the same labels
+    converge with rounds of (edge, label) groupby-min propagation; the
+    union-find is the right tool while pairs fit, and they fit precisely
+    because dedup output must."""
+    pairs = minhash_dedup(sf_dir, threshold)
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_b"].to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:           # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(a, b):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:                    # union by smaller root id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array([find(n) for n in nodes], pa.int64()),
+    })
