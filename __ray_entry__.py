@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": datapipe.doc_length_histogram,
         "sample_stratified": datapipe.sample_stratified,
         "dedup_clusters": datapipe.dedup_clusters,
+        "tfidf_top_term": datapipe.tfidf_top_term,
     }
     return q
 
@@ -632,6 +633,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
     }
+    # integer-quantized tf-idf (score = tf * ((n_docs*1000) // df)) so the
+    # ranking is float-free and libm-independent; ties to the smallest term
+    sql["tfidf_top_term"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS nn FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term,
+                      tf.tf * ((n.nn * 1000) // df.df) AS score
+               FROM tf JOIN df USING (term), n),
+        r AS (SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rn
+              FROM sc)
+        SELECT doc_id, term AS top_term, CAST(score AS BIGINT) AS score
+        FROM r WHERE rn = 1
+    """
     # connected components over the exact >= 0.8 Jaccard pair graph (the
     # same pair definition as the minhash_dedup oracle), labels = min
     # reachable doc_id via a recursive CTE

@@ -518,3 +518,24 @@ def test_dedup_clusters_transitive_closure(ray_session, tmp_path):
     got = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
     assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0, got
     assert 3 not in got                    # singleton: not in any pair
+
+
+def test_tfidf_top_term_prefers_rare_terms(ray_session, tmp_path):
+    """'common' appears in every doc (df=3 -> low idf); each doc's unique
+    term wins despite tf parity; ties break to the smaller term."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["common zebra common", "common yak common",
+                          "common common xenon"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["src0"] * 3),
+        "n_chars": pa.array([1] * 3, pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = _collect(datapipe.tfidf_top_term(str(tmp_path)),
+                 ("doc_id", pa.int64()), ("top_term", pa.string()),
+                 ("score", pa.int64())).sort_by("doc_id")
+    got = dict(zip(t["doc_id"].to_pylist(), t["top_term"].to_pylist()))
+    assert got == {0: "zebra", 1: "yak", 2: "xenon"}
+    # score = tf * ((n_docs*1000)//df) = 1 * (3000//1) = 3000 for the uniques
+    assert set(t["score"].to_pylist()) == {3000}

@@ -1816,3 +1816,145 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> pa.Table:
         "doc_id": pa.array(nodes, pa.int64()),
         "cluster_id": pa.array([find(n) for n in nodes], pa.int64()),
     })
+
+
+def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
+    """Per-document top TF-IDF term (keyword extraction) — the text-analysis
+    op that needs a LARGE-LARGE join (every document's terms joined with the
+    global document-frequency table).  Ray Data has no join primitive; the
+    shape used here is SORT-SEGMENT CO-PARTITIONING: explode (doc_id, term,
+    tf) rows, range-sort by term, and compute each term's df as its segment
+    size in the same sweep that scores the rows — the "join" costs exactly
+    one shuffle.  Segments straddling block edges fall back to a tiny
+    groupby pass, as in _sorted_segment_pairs.
+
+    Scores are INTEGER-quantized — score = tf * ((n_docs * idf_scale) // df)
+    — so the DuckDB oracle ranks identically with no libm/float-ulp
+    ambiguity; ties break to the lexicographically smallest term."""
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def explode(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, terms, tfs = [], [], []
+        for doc_id, t in zip(b["doc_id"].to_pylist(),
+                             _norm_text(b["text"]).to_pylist()):
+            for term, tf in Counter(t.split()).items():
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    srt = rows.sort("term").materialize()
+
+    def _bounds(b: pa.Table):
+        k = np.asarray(b["term"].to_pylist(), dtype=object)
+        n = len(k)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= k[1:] != k[:-1]
+        return np.flatnonzero(change), n
+
+    def score_rows(t: pa.Table, df: int) -> pa.Table:
+        idf = (n_docs * idf_scale) // df
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "score": pa.array(tf * idf, pa.int64())})
+
+    def interior_scores(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "score": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        bounds, n = _bounds(b)
+        outs = [empty]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if s == 0 or e == n:
+                continue                  # edge segment: residual pass
+            outs.append(score_rows(b.slice(s, e - s), e - s))
+        return pa.concat_tables(outs)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual_scores(group: pa.Table) -> pa.Table:
+        return score_rows(group, group.num_rows)
+
+    scored = srt.map_batches(interior_scores, batch_format="pyarrow",
+                             batch_size=None).union(
+        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
+           .groupby("term").map_groups(residual_scores, batch_format="pyarrow"))
+
+    # per-doc argmax, never touching the driver: a per-block combiner keeps
+    # each doc's best (score desc, term asc) row — vectorized first-per-
+    # segment after a block-local sort, ≤ 1 row per doc per block into the
+    # shuffle — then a global sort + the same first-per-segment sweep picks
+    # the winner (edge segments via a tiny residual groupby, as above)
+    def _first_per_doc(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("doc_id", "ascending"), ("score", "descending"),
+                       ("term", "ascending")])
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, d[1:] != d[:-1]] if len(d) else \
+            np.zeros(0, dtype=bool)
+        return t.filter(pa.array(first))
+
+    cand = scored.map_batches(_first_per_doc, batch_format="pyarrow")
+    srt2 = cand.sort(["doc_id", "score", "term"],
+                     descending=[False, True, False]).materialize()
+
+    def _doc_bounds(b: pa.Table):
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= d[1:] != d[:-1]
+        return np.flatnonzero(change), n
+
+    def interior_winners(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "top_term": pa.array([], pa.string()),
+                          "score": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        bounds, n = _doc_bounds(b)
+        firsts = [s for s, e in zip(bounds[:-1], bounds[1:])
+                  if s != 0 and e != n]
+        if not firsts:
+            return empty
+        t = b.take(pa.array(np.asarray(firsts, dtype=np.int64)))
+        return pa.table({"doc_id": t["doc_id"], "top_term": t["term"],
+                         "score": t["score"]})
+
+    def doc_edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _doc_bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual_winner(group: pa.Table) -> pa.Table:
+        t = _first_per_doc(group)
+        return pa.table({"doc_id": t["doc_id"], "top_term": t["term"],
+                         "score": t["score"]})
+
+    return srt2.map_batches(interior_winners, batch_format="pyarrow",
+                            batch_size=None).union(
+        srt2.map_batches(doc_edge_rows, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("doc_id")
+            .map_groups(residual_winner, batch_format="pyarrow"))
