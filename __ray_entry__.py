@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(46 queries, 43 oracle-checked; winnow/IVF/HLL are rows-only by design)
+(48 queries, 45 oracle-checked; winnow/IVF/HLL are rows-only by design)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
 

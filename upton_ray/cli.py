@@ -173,11 +173,19 @@ def cmd_invalidate(args) -> int:
     seen_p = os.path.join(args.stash, "seen.parquet")
     n = 0
     if os.path.exists(seen_p):
-        t = pq.read_table(seen_p)
-        mask = pc.is_in(t["url"], value_set=__import__("pyarrow").array(
-            sorted(drop)))
-        n = int(pc.sum(mask).as_py() or 0)
-        pq.write_table(t.filter(pc.invert(mask)), seen_p)
+        # per-shard directory layout (or a legacy single file): each file is
+        # filtered in place, so memory stays per-shard
+        files = ([os.path.join(seen_p, f) for f in sorted(os.listdir(seen_p))
+                  if f.endswith(".parquet")] if os.path.isdir(seen_p)
+                 else [seen_p])
+        vals = __import__("pyarrow").array(sorted(drop))
+        for f in files:
+            t = pq.read_table(f)
+            mask = pc.is_in(t["url"], value_set=vals)
+            hits = int(pc.sum(mask).as_py() or 0)
+            if hits:
+                n += hits
+                pq.write_table(t.filter(pc.invert(mask)), f)
     lin = os.path.join(args.stash, "lineage.json")
     if os.path.exists(lin):
         os.remove(lin)     # rounds must re-run; restored seen set skips the rest

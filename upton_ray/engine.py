@@ -212,21 +212,32 @@ class Crawler:
                 shutil.rmtree(os.path.join(ckpt, d))
 
     def _restore_seen(self) -> None:
+        """Stream the seen checkpoint back into the shard actors one file /
+        row-group at a time — the driver never holds the full URL set (and
+        re-routing by hash means the shard count may change between runs).
+        Accepts both the per-shard directory layout and the legacy single
+        file."""
         p = self._ckpt("seen.parquet")
-        if p and os.path.exists(p) and self.seen is not None:
-            t = pq.read_table(p)
-            urls = t.filter(pc.equal(t["bad"], False))["url"].to_pylist()
-            bad = t.filter(pc.equal(t["bad"], True))["url"].to_pylist()
-            self.seen.restore(urls, bad)
+        if not (p and os.path.exists(p) and self.seen is not None):
+            return
+        files = ([os.path.join(p, f) for f in sorted(os.listdir(p))
+                  if f.endswith(".parquet")] if os.path.isdir(p) else [p])
+        for f in files:
+            pf = pq.ParquetFile(f)
+            for batch in pf.iter_batches(batch_size=65536):
+                t = pa.Table.from_batches([batch])
+                self.seen.restore(
+                    t.filter(pc.equal(t["bad"], False))["url"].to_pylist(),
+                    t.filter(pc.equal(t["bad"], True))["url"].to_pylist())
 
     def _dump_seen(self) -> None:
         p = self._ckpt("seen.parquet")
         if p and self.seen is not None:
-            urls = self.seen.dump()
-            bad = self.seen.dump_bad()
-            t = pa.table({"url": pa.array(urls + bad, pa.string()),
-                          "bad": pa.array([False] * len(urls) + [True] * len(bad))})
-            pq.write_table(t, p)
+            if os.path.isfile(p):
+                os.remove(p)   # upgrade a legacy single-file checkpoint
+            # shards write their own files in parallel — O(shard) memory
+            # everywhere, nothing URL-sized on the driver
+            self.seen.checkpoint(p)
 
     # --------------------------------------------------------------- round 0
 

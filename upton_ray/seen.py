@@ -323,6 +323,25 @@ class SeenShard:
     def dump_bad(self) -> list[str]:
         return sorted(self.bad)
 
+    def dump_parquet(self, path: str) -> int:
+        """Write this shard's (url, bad) rows to its OWN parquet file —
+        checkpointing scales with the shard, never the driver (which would
+        otherwise hold the full URL set). Atomic via tmp+rename."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        urls = sorted(self.exact)
+        bad = sorted(self.bad)
+        t = pa.table({
+            "url": pa.array(urls + bad, pa.string()),
+            "bad": pa.array([False] * len(urls) + [True] * len(bad))})
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        import os
+
+        os.replace(tmp, path)
+        return t.num_rows
+
     def restore(self, urls: list[str], bad: list[str]) -> None:
         self.add(urls)
         self.bad.update(bad)
@@ -441,6 +460,16 @@ class SeenSet:
         for part in ray.get([s.dump.remote() for s in self.shards]):
             out.extend(part)
         return out
+
+    def checkpoint(self, dir_path: str) -> int:
+        """Each shard writes its own parquet file under ``dir_path`` in
+        parallel; the driver never holds the URL set. Returns total rows."""
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        return sum(ray.get([
+            s.dump_parquet.remote(os.path.join(dir_path, f"shard-{i}.parquet"))
+            for i, s in enumerate(self.shards)]))
 
     def kill(self) -> None:
         """Release the shard actors."""
