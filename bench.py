@@ -225,6 +225,8 @@ def main():
         timed(datapipe.sample_stratified, SF_DIR), 3)
     queries["doc_length_histogram"] = round(
         timed(datapipe.doc_length_histogram, SF_DIR), 3)
+    queries["dedup_clusters"] = round(timed(datapipe.dedup_clusters, SF_DIR), 3)
+    queries["tfidf_top_term"] = round(timed(datapipe.tfidf_top_term, SF_DIR), 3)
 
     out = {
         "metric": "crawl+extract throughput and pipeline wall-times",

@@ -9,7 +9,8 @@ returns a Dataset or Arrow table whose columns match the DuckDB oracle SQL in
 
 Operators:
 * exact dedup (hash-partitioned first-wins), quality-aware keep-best dedup,
-  and document fingerprinting
+  near-dup clustering (connected components over verified pairs), and
+  document fingerprinting; deterministic stratified sampling
 * MinHash+LSH near-dup with exact shingle-Jaccard verification and a
   degenerate-bucket cap (oversized signature clusters drop + log)
 * SimHash fingerprints
@@ -24,7 +25,8 @@ Operators:
 * language-ID (marker-token heuristic), quality scoring, PII redaction
   (vectorized RE2 scrub), token counting (whitespace + BPE-style pieces),
   heavy-hitter term frequencies (per-partition top-k before the merge),
-  corpus length histograms
+  tf-idf keyword extraction (sort-segment co-partitioned join), corpus
+  length histograms
 * tumbling/sliding-window aggregation and gap-based sessionization over
   events; EXACT distributed quantiles (two-pass candidate-bin, no global
   sort); HyperLogLog approximate distinct counts (mergeable sketch);
