@@ -128,3 +128,36 @@ def test_canonicalize_seen_merges_query_orderings(ray_session):
         m = res.metrics.to_pylist()[0]
         assert m["fetched"] == expected_fetches, f"canonicalize_seen={canon}"
         assert res.records_table().num_rows == 2, "rows always kept"
+
+
+def test_custom_index_successor_hook(ray_session):
+    """P1 override (subclass hook upton.rb:149): a path-based pagination
+    successor replaces the query-param scheme entirely."""
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+    from upton_ray.synth import _sp
+
+    def link(href, i):
+        return _sp("section#river/section/h1/a", f"t{href}", href, i)
+
+    web = {
+        "http://s.test/page/1.html": [link("http://s.test/a.html", 0)],
+        "http://s.test/page/2.html": [link("http://s.test/b.html", 0)],
+        # page/3 missing -> empty fetch terminates the chain
+        "http://s.test/a.html": [_sp("h1.article-title", "A", "", 0)],
+        "http://s.test/b.html": [_sp("h1.article-title", "B", "", 0)],
+    }
+    cfg = CrawlConfig(
+        index_url="http://s.test/page/1.html",
+        index_selector="section#river section h1 a",
+        extractor="css:h1.article-title",
+        next_index_page_url=lambda url, i: f"http://s.test/page/{i}.html",
+        sleep_time_between_requests=0,
+        num_seen_shards=1, fetch_concurrency=1)
+    c = Crawler(cfg, web)
+    try:
+        res = c.crawl(trace=True)
+        assert res.documents() == ["A", "B"]
+        assert "http://s.test/page/2.html" in res.fetched_urls
+    finally:
+        c.shutdown()

@@ -32,6 +32,10 @@ class CrawlConfig:
 
     # instance-pagination successor (P3; default none — upton.rb:127-129)
     next_instance_page_url: Optional[Callable[[str, int], str]] = None
+    # index-pagination successor override (P1; subclass hook upton.rb:149 —
+    # custom index sources / nonstandard pagination). None = the standard
+    # query-param successor driven by the pagination_* fields
+    next_index_page_url: Optional[Callable[[str, int], str]] = None
 
     # --- engine extensions (absent in the reference; north_rule requirements) ---
     robots: dict = field(default_factory=dict)   # host -> list of disallowed prefixes

@@ -784,9 +784,13 @@ class Crawler:
                 continue
             seed_url = sel[row["seed_id"]]
             pidx = cfg.pagination_start_index + row["page_no"] * cfg.pagination_interval
-            nxt = next_index_page_url(seed_url, pidx, paginated=cfg.paginated,
-                                      pagination_param=cfg.pagination_param,
-                                      pagination_max_pages=cfg.pagination_max_pages)
+            if cfg.next_index_page_url is not None:   # P1 override hook
+                nxt = cfg.next_index_page_url(seed_url, pidx)
+            else:
+                nxt = next_index_page_url(
+                    seed_url, pidx, paginated=cfg.paginated,
+                    pagination_param=cfg.pagination_param,
+                    pagination_max_pages=cfg.pagination_max_pages)
             out.append(resolve_url(nxt, seed_url) if nxt else seed_url)
         return out
 

@@ -420,10 +420,13 @@ class IndexWalker:
             pagination_index = cfg.pagination_start_index
             page_no = 0
             while True:
-                nxt = next_index_page_url(
-                    seed_url, pagination_index, paginated=cfg.paginated,
-                    pagination_param=cfg.pagination_param,
-                    pagination_max_pages=cfg.pagination_max_pages)
+                if cfg.next_index_page_url is not None:   # P1 override hook
+                    nxt = cfg.next_index_page_url(seed_url, pagination_index)
+                else:
+                    nxt = next_index_page_url(
+                        seed_url, pagination_index, paginated=cfg.paginated,
+                        pagination_param=cfg.pagination_param,
+                        pagination_max_pages=cfg.pagination_max_pages)
                 if nxt == "":
                     break
                 nxt = resolve_url(nxt, seed_url)
