@@ -490,22 +490,26 @@ class Crawler:
 
     @staticmethod
     def _find_hot_hosts(frontier, threshold: int) -> frozenset:
-        """Per-host frontier counts via streamed partial aggregates; only the
-        (host, count) rollup — bounded by distinct-host count — reaches the
-        driver."""
+        """Per-host frontier counts: per-block Arrow combiner -> distributed
+        groupby-sum -> DISTRIBUTED threshold filter, so only the hosts that
+        are actually hot (few, by definition) ever reach the driver — a
+        web-scale frontier has ~10^8 distinct hosts, far too many to
+        collect."""
         def partial(b: pa.Table) -> pa.Table:
-            import pandas as pd
-
             hs = hosts_of(b["url"].to_numpy(zero_copy_only=False))
-            g = pd.DataFrame({"host": hs}).groupby("host", as_index=False).size()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            g = pa.table({"host": pa.array(hs, pa.string())}) \
+                .group_by("host").aggregate([([], "count_all")])
+            return pa.table({"host": g["host"],
+                             "size": pc.cast(g["count_all"], pa.int64())})
 
-        t = collect(frontier.map_batches(partial, batch_format="pyarrow"),
-                    pa.schema([("host", pa.string()), ("size", pa.int64())]))
-        if t.num_rows == 0:
-            return frozenset()
-        df = t.to_pandas().groupby("host", as_index=False)["size"].sum()
-        return frozenset(df[df["size"] > threshold]["host"])
+        agg = (frontier.map_batches(partial, batch_format="pyarrow")
+               .groupby("host").sum("size"))
+        hot = agg.map_batches(
+            lambda b: pa.table({"host": b["host"].filter(
+                pc.greater(b["sum(size)"], threshold))}),
+            batch_format="pyarrow")
+        t = collect(hot, pa.schema([("host", pa.string())]))
+        return frozenset(t["host"].to_pylist())
 
     def _maybe_checkpoint_fetch(self, fetched):
         ckpt = self._ckpt("fetched_round1")
