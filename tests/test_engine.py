@@ -161,3 +161,46 @@ def test_custom_index_successor_hook(ray_session):
         assert "http://s.test/page/2.html" in res.fetched_urls
     finally:
         c.shutdown()
+
+
+def test_distributed_instance_index_equals_collected(ray_session, tmp_path):
+    """The distributed prefix-sum path (index_offset_collect_limit=0) must
+    assign IDENTICAL instance indices to the collect-and-broadcast path —
+    the ordering golden every crawl gate depends on."""
+    from upton_ray import sinks, synth
+    from upton_ray.config import CrawlConfig
+
+    p = synth.ScaleParams(n_hosts=6, pages_per_host=30, links_per_page=5,
+                          spans_per_page=8, media_fraction=0.25,
+                          zipf_alpha=0.3, seed=11)
+    corpus = str(tmp_path / "corpus")
+    sinks.write_web(synth.scale_web(p, parallelism=4), corpus, num_buckets=4)
+
+    def cfg():
+        return CrawlConfig(
+            index_selector="section#river section h1 a",
+            extractor="css:h1.article-title",
+            paginated=True, pagination_param="p", pagination_max_pages=1000,
+            sleep_time_between_requests=0, debug=True, index_debug=True,
+            num_seen_shards=2, fetch_concurrency=2, fetch_batch_size=64)
+
+    seeds = [(h, synth.index_url(p, h), "section#river section h1 a")
+             for h in range(p.n_hosts)]
+
+    def rows(c):
+        t = c.crawl().records_table()
+        return list(zip(t["instance_index"].to_pylist(),
+                        t["instance_url"].to_pylist(),
+                        [tuple(r) for r in t["record"].to_pylist()]))
+
+    c1 = Crawler(cfg(), ("parquet", corpus, 4), seeds=seeds)
+    base = rows(c1)
+    c1.shutdown()
+
+    cfg2 = cfg()
+    cfg2.index_offset_collect_limit = 0    # force the distributed path
+    c2 = Crawler(cfg2, ("parquet", corpus, 4), seeds=seeds)
+    dist = rows(c2)
+    c2.shutdown()
+    assert dist == base
+    assert len(base) == sum(p.n_articles(h) for h in range(p.n_hosts))

@@ -72,6 +72,11 @@ class CrawlConfig:
     # bench — one decode per vCPU starves the object store), full fan-out on
     # small clusters where decodes fit comfortably
     bucket_walk_num_cpus: float | None = None
+    # instance_index assignment: collect-and-broadcast the per-index-page
+    # count rollup below this many rows (cheapest at sandbox scale); above
+    # it, the exclusive prefix-sum runs fully distributed (block-base sums +
+    # union-sort-sweep attach) — a 10^10-URL crawl has ~10^8+ index pages
+    index_offset_collect_limit: int = 2_000_000
     host_sharded_fetch: Optional[bool] = None  # None = auto (politeness>0 or robots)
 
     def needs_host_affinity(self) -> bool:

@@ -126,6 +126,21 @@ class CrawlResult:
         return docs
 
 
+@ray.remote
+def _block_count_sum(t: pa.Table) -> int:
+    return int(pc.sum(t["sum(size)"]).as_py() or 0)
+
+
+@ray.remote
+def _block_exclusive_offsets(t: pa.Table, base: int) -> pa.Table:
+    """Per-block piece of the distributed exclusive prefix-sum over sorted
+    per-index-page link counts (see Crawler._assign_instance_index)."""
+    sz = t["sum(size)"].to_numpy(zero_copy_only=False)
+    off = base + np.r_[0, np.cumsum(sz)][:-1]
+    return pa.table({"seed_id": t["seed_id"], "page_no": t["page_no"],
+                     "base_off": pa.array(off.astype(np.int64), pa.int64())})
+
+
 class Crawler:
     """One crawl run. ``web_source`` is a dict web, a synth.ScaleParams
     generator, or ("parquet", path, num_buckets) — see upton_ray.fetch."""
@@ -273,39 +288,7 @@ class Crawler:
         links = pages.map_batches(extract_links_batch, batch_format="pyarrow")
         links = links.materialize()   # round-0 output is ~1/links_per_page of the crawl
 
-        # deterministic instance_index: exclusive prefix-sum of per-(seed, page)
-        # link counts — per-block partial counts (no all-to-all), one row per
-        # index page collected on the driver (small)
-        def _page_counts(b: pa.Table) -> pa.Table:
-            g = b.select(["seed_id", "page_no"]) \
-                .group_by(["seed_id", "page_no"]) \
-                .aggregate([([], "count_all")])   # Arrow-native, no pandas
-            return pa.table({"seed_id": g["seed_id"], "page_no": g["page_no"],
-                             "size": pc.cast(g["count_all"], pa.int64())})
-
-        counts = collect(links.map_batches(_page_counts, batch_format="pyarrow"),
-                         pa.schema([("seed_id", pa.int32()),
-                                    ("page_no", pa.int32()),
-                                    ("size", pa.int64())])).to_pandas()
-        if len(counts) == 0:
-            offsets = {}
-        else:
-            counts = counts.groupby(["seed_id", "page_no"], as_index=False)["size"].sum()
-            counts = counts.sort_values(["seed_id", "page_no"]).reset_index(drop=True)
-            offs = counts["size"].cumsum().shift(fill_value=0).astype("int64")
-            offsets = {(int(s), int(p)): int(o) for s, p, o in
-                       zip(counts["seed_id"], counts["page_no"], offs)}
-
-        def assign(batch: pa.Table) -> pa.Table:
-            s = batch["seed_id"].to_numpy(zero_copy_only=False)
-            p = batch["page_no"].to_numpy(zero_copy_only=False)
-            d = batch["dom_pos"].to_numpy(zero_copy_only=False)
-            base = np.array([offsets[(int(a), int(b))] for a, b in zip(s, p)],
-                            dtype=np.int64)
-            return batch.append_column(
-                "instance_index", pa.array(base + d, pa.int64()))
-
-        frontier = links.map_batches(assign, batch_format="pyarrow")
+        frontier = self._assign_instance_index(links)
         if ckpt:
             import shutil
 
@@ -316,6 +299,144 @@ class Crawler:
             self._mark_done("round0")
             self._dump_seen()
         return frontier, trace_info
+
+    def _assign_instance_index(self, links):
+        """Deterministic ``instance_index`` = exclusive prefix-sum of
+        per-(seed, page) link counts + ``dom_pos`` — Upton's sequential
+        numbering, computed distributed.
+
+        Counts reduce through an Arrow combiner + groupby (one row per INDEX
+        PAGE, 1/links-per-page of the frontier).  Below
+        ``cfg.index_offset_collect_limit`` rows, the rollup is collected and
+        broadcast as a dict (cheapest at sandbox scale).  Above it — a
+        10^10-URL crawl has ~10^8+ index pages, too many for the driver —
+        the prefix-sum itself runs distributed: sort the counts, per-block
+        base offsets from a tiny block-sum collect (one row per BLOCK), then
+        the offsets attach to links through a union-sort-sweep co-partition
+        on (seed, page) — the same segment pattern as datapipe's sorted
+        joins; block-edge segments fall back to a small residual groupby.
+        Both paths produce identical indices (pinned by test)."""
+        cfg = self.cfg
+
+        def _page_counts(b: pa.Table) -> pa.Table:
+            g = b.select(["seed_id", "page_no"]) \
+                .group_by(["seed_id", "page_no"]) \
+                .aggregate([([], "count_all")])   # Arrow-native, no pandas
+            return pa.table({"seed_id": g["seed_id"], "page_no": g["page_no"],
+                             "size": pc.cast(g["count_all"], pa.int64())})
+
+        counts_ds = (links.map_batches(_page_counts, batch_format="pyarrow")
+                     .groupby(["seed_id", "page_no"]).sum("size")).materialize()
+        n_pages = counts_ds.count()
+
+        if n_pages <= cfg.index_offset_collect_limit:
+            counts = collect(counts_ds, pa.schema([
+                ("seed_id", pa.int32()), ("page_no", pa.int32()),
+                ("sum(size)", pa.int64())])).to_pandas() \
+                .rename(columns={"sum(size)": "size"})
+            if len(counts) == 0:
+                offsets = {}
+            else:
+                counts = counts.sort_values(["seed_id", "page_no"]) \
+                    .reset_index(drop=True)
+                offs = counts["size"].cumsum().shift(fill_value=0) \
+                    .astype("int64")
+                offsets = {(int(s), int(p)): int(o) for s, p, o in
+                           zip(counts["seed_id"], counts["page_no"], offs)}
+
+            def assign(batch: pa.Table) -> pa.Table:
+                s = batch["seed_id"].to_numpy(zero_copy_only=False)
+                p = batch["page_no"].to_numpy(zero_copy_only=False)
+                d = batch["dom_pos"].to_numpy(zero_copy_only=False)
+                base = np.array([offsets[(int(a), int(b))]
+                                 for a, b in zip(s, p)], dtype=np.int64)
+                return batch.append_column(
+                    "instance_index", pa.array(base + d, pa.int64()))
+
+            return links.map_batches(assign, batch_format="pyarrow")
+
+        # ---- distributed prefix-sum path ----
+        srt = counts_ds.sort(["seed_id", "page_no"]).materialize()
+        refs = srt.to_arrow_refs()
+        sums = ray.get([_block_count_sum.remote(r) for r in refs])
+        bases = np.r_[0, np.cumsum(sums)][:-1]
+        offsets_ds = ray.data.from_arrow_refs(
+            [_block_exclusive_offsets.remote(r, int(b))
+             for r, b in zip(refs, bases)])
+
+        def tag_links(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "seed_id": b["seed_id"], "page_no": b["page_no"],
+                "dom_pos": b["dom_pos"], "url": b["url"],
+                "base_off": pa.array(np.full(b.num_rows, -1, np.int64))})
+
+        def tag_offsets(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "seed_id": pc.cast(b["seed_id"], pa.int32()),
+                "page_no": pc.cast(b["page_no"], pa.int32()),
+                # marker sorts FIRST within its (seed, page) segment
+                "dom_pos": pa.array(np.full(b.num_rows, -1, np.int32)),
+                "url": pa.array([None] * b.num_rows, pa.string()),
+                "base_off": b["base_off"]})
+
+        merged = (links.map_batches(tag_links, batch_format="pyarrow")
+                  .union(offsets_ds.map_batches(tag_offsets,
+                                                batch_format="pyarrow"))
+                  .sort(["seed_id", "page_no", "dom_pos"])).materialize()
+
+        def _seg_bounds(b: pa.Table):
+            s = b["seed_id"].to_numpy(zero_copy_only=False)
+            p = b["page_no"].to_numpy(zero_copy_only=False)
+            n = len(s)
+            change = np.zeros(n + 1, dtype=bool)
+            change[0] = change[n] = True
+            change[1:n] |= (s[1:] != s[:-1]) | (p[1:] != p[:-1])
+            return np.flatnonzero(change), n
+
+        def _assign_segment(t: pa.Table) -> pa.Table:
+            d = t["dom_pos"].to_numpy(zero_copy_only=False)
+            base = int(t["base_off"][int(np.argmin(d))].as_py())
+            keep = d >= 0                       # drop the marker row
+            return pa.table({
+                "seed_id": t["seed_id"].filter(pa.array(keep)),
+                "page_no": t["page_no"].filter(pa.array(keep)),
+                "dom_pos": t["dom_pos"].filter(pa.array(keep)),
+                "url": t["url"].filter(pa.array(keep)),
+                "instance_index": pa.array(base + d[keep].astype(np.int64),
+                                           pa.int64())})
+
+        def interior(b: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "seed_id": pa.array([], pa.int32()),
+                "page_no": pa.array([], pa.int32()),
+                "dom_pos": pa.array([], pa.int32()),
+                "url": pa.array([], pa.string()),
+                "instance_index": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            bounds, n = _seg_bounds(b)
+            outs = [empty]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if s == 0 or e == n:
+                    continue                    # edge segment: residual pass
+                outs.append(_assign_segment(b.slice(s, e - s)))
+            return pa.concat_tables(outs)
+
+        def edge_rows(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            bounds, n = _seg_bounds(b)
+            keep = np.zeros(n, dtype=bool)
+            keep[:bounds[1]] = True
+            keep[bounds[-2]:] = True
+            return b.filter(pa.array(keep))
+
+        return merged.map_batches(interior, batch_format="pyarrow",
+                                  batch_size=None).union(
+            merged.map_batches(edge_rows, batch_format="pyarrow",
+                               batch_size=None)
+                  .groupby(["seed_id", "page_no"])
+                  .map_groups(_assign_segment, batch_format="pyarrow"))
 
     # --------------------------------------------------------------- round 1
 
