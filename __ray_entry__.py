@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(48 queries, 45 oracle-checked; winnow/IVF/HLL are rows-only by design)
+(49 queries, 45 oracle-checked; winnow/IVF/PQ/HLL are rows-only by design)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
 
@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": datapipe.ngram_jaccard,
         "ann_topk": datapipe.ann_topk,
         "ann_ivf": datapipe.ann_ivf,     # approximate (IVF): rows-only gate
+        "ann_pq": datapipe.ann_pq,       # approximate (PQ codes): rows-only
         "embedding_dedup": datapipe.embedding_dedup,
         "embedding_dedup_lsh": datapipe.embedding_dedup_lsh,
         "events_window": datapipe.events_window,

@@ -194,6 +194,7 @@ def main():
     queries["ngram_jaccard"] = round(timed(datapipe.ngram_jaccard, SF_DIR), 3)
     queries["ann_topk"] = round(timed(datapipe.ann_topk, SF_DIR), 3)
     queries["ann_ivf"] = round(timed(datapipe.ann_ivf, SF_DIR), 3)
+    queries["ann_pq"] = round(timed(datapipe.ann_pq, SF_DIR), 3)
     queries["dedup_exact"] = round(timed(datapipe.dedup_exact, SF_DIR), 3)
     queries["winnow_fingerprint"] = round(
         timed(datapipe.winnow_fingerprint, SF_DIR), 3)

