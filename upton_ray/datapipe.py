@@ -843,35 +843,92 @@ def events_window(sf_dir: str):
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user: a new session starts when the gap
-    to the previous event exceeds ``gap_minutes``. One
-    ``groupby(user_id).map_groups`` — the session chain is a per-key scan, so
-    the shuffle key (user_id) is the whole partitioning story; inside a group
-    everything is vectorized (sort → diff → cumsum)."""
+    to the previous event exceeds ``gap_minutes``.
+
+    Shape: ONE global sort by (user_id, ts, event_id), then a fully
+    vectorized per-block sweep — breaks are ``user-change OR gap`` computed
+    across the whole block at once (no per-user call: a web-scale event log
+    has ~10^9 users and ``map_groups`` costs a Python call per group);
+    per-session aggregates come from an Arrow group_by over the block.
+    Users straddling a block edge fall back to a tiny residual groupby, as
+    in the other sorted-sweep operators."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(group: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "user_id": group["user_id"].to_numpy(zero_copy_only=False),
-            "ts": group["ts"].to_numpy(zero_copy_only=False),
-            "event_id": group["event_id"].to_numpy(zero_copy_only=False),
-            "value": group["value"].to_numpy(zero_copy_only=False),
-        }).sort_values(["ts", "event_id"]).reset_index(drop=True)
-        brk = np.ones(len(df), dtype=np.int64)
-        if len(df) > 1:
-            brk[1:] = (df["ts"].to_numpy()[1:]
-                       - df["ts"].to_numpy()[:-1] > gap).astype(np.int64)
-        df["session_id"] = brk.cumsum() - 1
-        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
-            n_events=("value", "size"), session_start=("ts", "min"),
-            session_end=("ts", "max"), sum_value=("value", "sum"))
-        g["n_events"] = g["n_events"].astype("int64")
-        g["sum_value"] = g["sum_value"].round(6)
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def _sessions_vec(t: pa.Table) -> pa.Table:
+        """Vectorized sessionization of rows already sorted by
+        (user_id, ts, event_id) — any number of users at once."""
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        brk = np.ones(n, dtype=np.int64)
+        if n > 1:
+            brk[1:] = ((u[1:] != u[:-1])
+                       | (ts[1:] - ts[:-1] > gap)).astype(np.int64)
+        run = brk.cumsum() - 1                   # global session run id
+        # session_id restarts at 0 per user: subtract the user's first run
+        user_start = np.ones(n, dtype=bool)
+        if n > 1:
+            user_start[1:] = u[1:] != u[:-1]
+        first_run = run[np.maximum.accumulate(
+            np.where(user_start, np.arange(n), 0))]
+        sess = run - first_run
+        g = pa.table({
+            "user_id": t["user_id"],
+            "session_id": pa.array(sess, pa.int64()),
+            "ts": t["ts"],
+            "value": t["value"],
+        }).group_by(["user_id", "session_id"]).aggregate(
+            [("value", "count"), ("ts", "min"), ("ts", "max"),
+             ("value", "sum")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "session_id": g["session_id"],
+            "n_events": pc.cast(g["value_count"], pa.int64()),
+            "session_start": g["ts_min"],
+            "session_end": g["ts_max"],
+            "sum_value": pc.round(g["value_sum"], ndigits=6),
+        })
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"],
                                override_num_blocks=8)
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    srt = ds.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _user_bounds(b: pa.Table):
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= u[1:] != u[:-1]
+        return np.flatnonzero(change), n
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _sessions_vec(b)
+        bounds, n = _user_bounds(b)
+        lo, hi = bounds[1], bounds[-2]           # strip edge user segments
+        if lo >= hi:
+            return _sessions_vec(b.slice(0, 0))
+        return _sessions_vec(b.slice(lo, hi - lo))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _user_bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual(group: pa.Table) -> pa.Table:
+        return _sessions_vec(group.sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]))
+
+    return srt.map_batches(interior, batch_format="pyarrow",
+                           batch_size=None).union(
+        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
+           .groupby("user_id").map_groups(residual, batch_format="pyarrow"))
 
 
 # ------------------------------------------------------------- host top-k
