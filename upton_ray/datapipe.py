@@ -1587,52 +1587,102 @@ def asof_join_events(sf_dir: str) -> pa.Table:
     for every 'purchase' event, the most recent 'click' by the same user at
     or before the purchase time.
 
-    Partitioning assumption (documented per the custom-operator contract):
-    both sides shuffle ONCE on the join key (user_id) via a single
-    ``groupby(user_id).map_groups``; inside a group the match is one
-    ``np.searchsorted`` over the sorted right side — no per-row loops, no
-    quadratic pair space. Ties on the right timestamp resolve to the
-    smallest event_id (the right side is deduped to one row per (user, ts)),
-    matching the SQL oracle's QUALIFY dedup. Inner join: purchases with no
-    prior click are dropped (NULL-timestamp rows would be ambiguous under
-    the value-hash gate)."""
+    Shape: filter to the two event kinds, ONE global sort by
+    (user_id, ts, kind, event_id) with clicks ordered before purchases at
+    equal timestamps, then a fully vectorized carry-forward sweep per block
+    — the last qualifying click index propagates via
+    ``np.maximum.accumulate`` and a per-user validity bound, no per-user
+    Python call (``map_groups`` costs one per group; event logs have ~10^9
+    users).  Ties on the click timestamp resolve to the smallest event_id
+    (only the FIRST click of an equal-(user, ts) run seeds the carry),
+    matching the SQL oracle's QUALIFY dedup.  Users straddling a block edge
+    go through the residual groupby, like the other sorted-sweep operators.
+    Inner join: purchases with no prior click are dropped."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type"],
                                override_num_blocks=8)
 
-    def per_user(group: pa.Table) -> pa.Table:
-        et = group["event_type"].to_numpy(zero_copy_only=False)
-        ts = group["ts"].to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        uid = group["user_id"].to_numpy(zero_copy_only=False)
-        left = np.flatnonzero(et == "purchase")
-        right = np.flatnonzero(et == "click")
+    def keep_and_kind(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        mask = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        t = b.filter(mask)
+        kind = pc.if_else(pc.equal(t["event_type"], "click"), 0, 1)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "kind": pc.cast(kind, pa.int8())})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        """Vectorized as-of over rows sorted by (user, ts, kind, event_id)
+        — any number of users at once."""
         empty = pa.table({"event_id": pa.array([], pa.int64()),
                           "user_id": pa.array([], pa.int64()),
                           "ts": pa.array([], pa.timestamp("us")),
                           "matched_event_id": pa.array([], pa.int64()),
                           "matched_ts": pa.array([], pa.timestamp("us"))})
-        if len(left) == 0:
+        n = t.num_rows
+        if n == 0:
             return empty
-        # right side: sort by (ts, event_id), dedupe to first event_id per ts
-        r_order = np.lexsort((eid[right], ts[right]))
-        r_ts, r_eid = ts[right][r_order], eid[right][r_order]
-        if len(r_ts):
-            first = np.r_[True, r_ts[1:] != r_ts[:-1]]
-            r_ts, r_eid = r_ts[first], r_eid[first]
-        idx = np.searchsorted(r_ts, ts[left], side="right") - 1
-        have = idx >= 0
-        left, idx = left[have], idx[have]      # inner as-of: matched only
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        click = kind == 0
+        # first click of each equal-(user, ts) click run carries (min eid)
+        prev_same = np.zeros(n, dtype=bool)
+        prev_same[1:] = click[:-1] & (u[1:] == u[:-1]) & (ts[1:] == ts[:-1])
+        click_first = click & ~prev_same
+        carry = np.maximum.accumulate(np.where(click_first, idx, -1))
+        user_start = np.ones(n, dtype=bool)
+        user_start[1:] = u[1:] != u[:-1]
+        seg_start = idx[np.maximum.accumulate(np.where(user_start, idx, 0))]
+        purch = np.flatnonzero((kind == 1) & (carry >= seg_start))
+        m = carry[purch]
         return pa.table({
-            "event_id": pa.array(eid[left], pa.int64()),
-            "user_id": pa.array(uid[left], pa.int64()),
-            "ts": pa.array(ts[left], pa.timestamp("us")),
-            "matched_event_id": pa.array(r_eid[idx], pa.int64()),
-            "matched_ts": pa.array(r_ts[idx], pa.timestamp("us")),
+            "event_id": pa.array(eid[purch], pa.int64()),
+            "user_id": pa.array(u[purch], pa.int64()),
+            "ts": pa.array(ts[purch], pa.timestamp("us")),
+            "matched_event_id": pa.array(eid[m], pa.int64()),
+            "matched_ts": pa.array(ts[m], pa.timestamp("us")),
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    srt = (ds.map_batches(keep_and_kind, batch_format="pyarrow")
+           .sort(["user_id", "ts", "kind", "event_id"])).materialize()
+
+    def _user_bounds(b: pa.Table):
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= u[1:] != u[:-1]
+        return np.flatnonzero(change), n
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sweep(b)
+        bounds, n = _user_bounds(b)
+        lo, hi = bounds[1], bounds[-2]
+        return sweep(b.slice(lo, hi - lo) if lo < hi else b.slice(0, 0))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _user_bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual(group: pa.Table) -> pa.Table:
+        return sweep(group.sort_by(
+            [("ts", "ascending"), ("kind", "ascending"),
+             ("event_id", "ascending")]))
+
+    out = srt.map_batches(interior, batch_format="pyarrow",
+                          batch_size=None).union(
+        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
+           .groupby("user_id").map_groups(residual, batch_format="pyarrow"))
     parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns > 0]
     t = pa.concat_tables(parts)
     return t.sort_by([("event_id", "ascending")])
