@@ -831,12 +831,14 @@ class Crawler:
         Measured tradeoff (192-host zipf bench corpus, this sandbox): at
         sleep=0 throughput is on par with :meth:`crawl` (the removed barrier
         is offset by losing bucket-routed corpus decodes + the rank-remap
-        pass); under real politeness it LOSES to host-affinity (95 s vs 68 s
-        against a 58 s skew floor) because random routing fragments a hot
-        host's leased windows across workers. So :meth:`crawl` stays the
-        default for both regimes; this mode exists for pipelines that need
-        index discovery and instance processing to overlap (e.g. when the
-        extract stage, not the fetch budget, dominates).
+        pass); under real politeness it LOSES to host-affinity — round-2
+        re-measurement: 117.8 s (0.49 of the 57.8 s skew floor) vs 67-71 s
+        (0.81-0.86) — because random routing fragments a hot host's leased
+        windows across workers, and (since round 2) index chains correctly
+        consume pacer tokens too. So :meth:`crawl` stays the default for
+        both regimes; this mode exists for pipelines that need index
+        discovery and instance processing to overlap (e.g. when the extract
+        stage, not the fetch budget, dominates).
         """
         cfg = self.cfg
         assert cfg.url_array is None and not cfg.stash_folder, \
