@@ -142,3 +142,117 @@ def test_cuckoo_overfull_spills_never_false_negative():
     deleted = c.delete(h1, h2)
     assert deleted.all()
     assert c.n_spilled == 0
+
+
+def test_cuckoo_spill_count_matches_occupancy():
+    """count must equal (non-empty table slots + spill entries) even when the
+    same homeless fingerprint recurs past saturation — set.add is a no-op,
+    so a recurring spill key must not inflate count (delete decrements once
+    per key, so drift would eventually underflow)."""
+    from upton_ray.seen import Cuckoo, _hash2
+
+    c = Cuckoo(capacity=16)
+    urls = np.array([f"http://h.test/{i}" for i in range(50)], dtype=object)
+    h1, h2 = _hash2(urls)
+    for _ in range(4):          # duplicate inserts past saturation
+        c.add(h1, h2)
+    assert c.count == int((c.table != 0).sum()) + len(c.spill)
+
+
+def test_seen_checkpoint_clears_stale_shards(ray_session, tmp_path):
+    """Shrinking num_shards between runs must not leave higher-numbered
+    shard files from the previous checkpoint to be re-ingested on restore."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from upton_ray.seen import SeenSet
+
+    d = str(tmp_path / "seen.parquet")
+    s4 = SeenSet(num_shards=4)
+    s4.add([f"http://a.test/{i}" for i in range(100)])
+    s4.checkpoint(d)
+    s4.kill()
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 4
+
+    s2 = SeenSet(num_shards=2)
+    s2.add([f"http://b.test/{i}" for i in range(10)])
+    s2.checkpoint(d)
+    s2.kill()
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert files == ["shard-0.parquet", "shard-1.parquet"]
+    total = sum(pq.read_metadata(os.path.join(d, f)).num_rows for f in files)
+    assert total == 10
+
+
+def test_seen_checkpoint_approximate_raises(ray_session, tmp_path):
+    from upton_ray.seen import SeenSet
+
+    s = SeenSet(num_shards=1, approximate=True)
+    s.add(["http://a.test/x"])
+    try:
+        import pytest
+
+        with pytest.raises(ValueError, match="approximate"):
+            s.checkpoint(str(tmp_path / "seen.parquet"))
+    finally:
+        s.kill()
+
+
+def test_crawler_rejects_stash_with_approx_seen(ray_session, tmp_path):
+    """Resumable crawls need an enumerable seen set — fail at construction,
+    not at checkpoint time mid-crawl."""
+    import pytest
+
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+
+    with pytest.raises(ValueError, match="seen_exact"):
+        Crawler(CrawlConfig(stash_folder=str(tmp_path / "stash"),
+                            seen_exact=False), {})
+
+
+# --------------------------------------------------- int-id membership gate
+
+
+def test_id_membership_contains_and_claim(ray_session):
+    from upton_ray.seen import IdMembership
+
+    m = IdMembership(num_shards=3)
+    # distributed-style ingest: several add calls, overlapping ids
+    m.add(np.arange(0, 1000, dtype=np.int64))
+    m.add(np.arange(500, 1500, dtype=np.int64))
+    assert m.finalize() == 1500
+
+    q = np.array([0, 499, 500, 1499, 1500, -1, 10**9], dtype=np.int64)
+    assert m.contains(q).tolist() == [True, True, True, True,
+                                      False, False, False]
+    # first claim wins; second claim of the same id is False; non-members
+    # are never claimable
+    first = m.claim(np.array([5, 5, 1500, 7], dtype=np.int64))
+    assert first.tolist() == [True, False, False, True]
+    again = m.claim(np.array([5, 7, 8], dtype=np.int64))
+    assert again.tolist() == [False, False, True]
+    # empty query round-trips
+    assert m.contains(np.array([], dtype=np.int64)).tolist() == []
+    assert m.size() == 1500
+    m.kill()
+
+
+def test_id_membership_claim_is_exactly_once_across_batches(ray_session):
+    """Concurrent-expansion semantics: over many claim calls every member id
+    is claimed exactly once in total (the BFS dedup invariant)."""
+    from upton_ray.seen import IdMembership
+
+    m = IdMembership(num_shards=2)
+    m.add(np.arange(2000, dtype=np.int64))
+    m.finalize()
+    rng = np.random.default_rng(7)
+    total = 0
+    for _ in range(20):
+        total += int(m.claim(rng.integers(0, 2500, size=400)).sum())
+    # every id in [0, 2000) that appeared at least once is claimed once;
+    # ids >= 2000 never — so total is the count of distinct sampled members
+    assert total <= 2000
+    assert m.claim(np.arange(2000, dtype=np.int64)).sum() == 2000 - total
+    m.kill()

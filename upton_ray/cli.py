@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -137,9 +138,12 @@ def cmd_crawl(args) -> int:
         # key count catches it for the cost of one local scan
         import duckdb
 
-        distinct = duckdb.sql(
+        # parameter-bound path (a quote in args.out must not break the SQL);
+        # read_parquet accepts a bound glob string
+        distinct = duckdb.execute(
             "SELECT count(DISTINCT (instance_index, pagination_index, row_no))"
-            f" FROM read_parquet('{args.out}/*.parquet')").fetchone()[0]
+            " FROM read_parquet(?)",
+            [os.path.join(args.out, "*.parquet")]).fetchone()[0]
         if distinct != n:
             print(f"warning: output has {n} rows but {distinct} distinct "
                   "record keys — duplicated write detected; re-run or dedup "

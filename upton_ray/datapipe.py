@@ -1199,25 +1199,31 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
 
     Distribution shape: the frontier LIVES AS A DATASET between rounds (like
     the engine's own round loop) — each round is one streamed map_batches
-    expansion whose batch fn both expands and gates through the URL-seen
-    shard actors (first claimer wins; min-depth comes from strict round
-    sequencing).  The round barrier is a ``materialize()`` of the new
-    frontier; the driver holds only Dataset handles and a per-round count,
-    never the frontier ids."""
-    import pyarrow.parquet as pq
+    expansion whose batch fn both expands and gates through int-id membership
+    shard actors (:class:`upton_ray.seen.IdMembership`: exists AND first
+    claimer wins in one batched routed RPC; min-depth comes from strict round
+    sequencing).  The membership set itself is populated DISTRIBUTEDLY — a
+    map_batches pass over the doc_id column pushes each block's ids to its
+    shards — so the driver never reads the id column, holds no bitmap, and
+    broadcasts nothing: per-actor memory is O(corpus / num_shards) sorted
+    int64s + a claim bitmap. The round barrier is a ``materialize()`` of the
+    new frontier; the driver holds only Dataset handles and a per-round
+    count, never the frontier ids."""
+    from upton_ray.seen import IdMembership
 
-    from upton_ray.seen import SeenSet
+    member = IdMembership(num_shards=4)
 
-    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    max_id = int(pc.max(ids["doc_id"]).as_py())
-    exists = np.zeros(max_id + 1, dtype=bool)
-    exists[ids["doc_id"].to_numpy()] = True
-    exists_ref = ray.put(exists)
+    def ingest(batch: pa.Table) -> pa.Table:
+        member.add(batch["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
-    seen = SeenSet(num_shards=2)
-    seed_ids = np.array([s for s in seeds if s <= max_id and exists[s]],
-                        dtype=np.int64)
-    seed_ids = seed_ids[seen.check_and_add([str(d) for d in seed_ids])]
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]) \
+        .map_batches(ingest, batch_format="pyarrow").count()  # drive the push
+    member.finalize()
+
+    seed_arr = np.asarray(list(seeds), dtype=np.int64)
+    seed_ids = seed_arr[member.claim(seed_arr)]
     frontier = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(seed_ids, pa.int64()),
         "depth": pa.array(np.zeros(len(seed_ids), dtype=np.int64), pa.int64()),
@@ -1225,16 +1231,14 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
     rounds = [frontier]
 
     def expand_gate(batch: pa.Table, *, d: int) -> pa.Table:
-        """Expand one frontier block and claim the children in the seen set
-        (the SeenSet handle pickles into the task; one batched RPC per
-        shard per block)."""
-        ex = ray.get(exists_ref)
+        """Expand one frontier block and claim the children against the
+        membership shards (the handle pickles into the task; one batched
+        RPC per shard per block)."""
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        kids = (doc[:, None] * branching
-                + np.arange(1, branching + 1)[None, :]).ravel()
-        kids = np.unique(kids[(kids < len(ex)) & ex[np.clip(kids, 0, len(ex) - 1)]])
+        kids = np.unique((doc[:, None] * branching
+                          + np.arange(1, branching + 1)[None, :]).ravel())
         if len(kids):
-            kids = kids[seen.check_and_add([str(k) for k in kids])]
+            kids = kids[member.claim(kids)]
         return pa.table({"doc_id": pa.array(kids, pa.int64()),
                          "depth": pa.array(np.full(len(kids), d, dtype=np.int64),
                                            pa.int64())})
@@ -1252,7 +1256,7 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
             rounds.append(frontier)
     out = rounds[0].union(*rounds[1:]) if len(rounds) > 1 else rounds[0]
     out = out.sort("doc_id").materialize()   # blocks no longer need the actors
-    seen.kill()
+    member.kill()
     return out
 
 
@@ -1389,13 +1393,17 @@ def term_frequencies(sf_dir: str, k: int = 20) -> pa.Table:
     subset of the union of per-partition top-k's (per-partition k >= global
     k) — the property tests/test_datapipe.py pins."""
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for t in _norm_text(batch["text"]).to_pylist():
-            c.update(t.split())
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        # Arrow-native tokenize: split on the single space _norm_text
+        # guarantees, flatten, groupby-count — no per-doc Python. Empty docs
+        # split to [''], which str.split() semantics (and the SQL oracle's
+        # corpus) never count, so drop '' terms.
+        flat = pc.list_flatten(
+            pc.split_pattern(_norm_text(batch["text"]), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
     def block_topk(b: pa.Table) -> pa.Table:
         df = b.to_pandas().rename(columns={"sum(n)": "n"})
@@ -1945,18 +1953,21 @@ def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
     n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     def explode(b: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids, terms, tfs = [], [], []
-        for doc_id, t in zip(b["doc_id"].to_pylist(),
-                             _norm_text(b["text"]).to_pylist()):
-            for term, tf in Counter(t.split()).items():
-                ids.append(doc_id)
-                terms.append(term)
-                tfs.append(tf)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64())})
+        # Arrow-native (doc_id, term, tf) explode: list-split + repeat the
+        # doc_id by each doc's token count + one groupby-count — no per-doc
+        # Python loop. '' tokens (empty docs) are dropped to match
+        # str.split() / the oracle's string_split over non-empty docs.
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(
+                np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                pa.int64()),
+            "term": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
+                         "tf": pc.cast(g["count_all"], pa.int64())})
 
     rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow")

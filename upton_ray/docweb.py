@@ -186,11 +186,27 @@ def crawl_documents(sf_dir: str, *, as_dataset: bool = False,
         import hashlib as _hl
         import os as _os
 
-        key = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        # cache key is CONTENT-derived (rows + size + mtime + bucket count),
+        # not just the path: a regenerated documents.parquet at the same path
+        # must miss, and two racing builders converge via build-into-temp +
+        # atomic rename (a directory that exists is always complete)
+        src = f"{sf_dir}/documents.parquet"
+        st = _os.stat(src)
+        n_rows = _pq.read_metadata(src).num_rows
+        key = _hl.md5(
+            f"{sf_dir}|{n_rows}|{st.st_size}|{st.st_mtime_ns}|{store_buckets}"
+            .encode()).hexdigest()[:16]
         path = f"/tmp/upton_ray_docweb/{key}"
-        if not _os.path.exists(_os.path.join(path, "_DONE")):
-            write_docweb_store(sf_dir, path, num_buckets=store_buckets)
-            open(_os.path.join(path, "_DONE"), "w").close()
+        if not _os.path.isdir(path):
+            _os.makedirs("/tmp/upton_ray_docweb", exist_ok=True)
+            tmp = f"{path}.build-{_os.getpid()}"
+            write_docweb_store(sf_dir, tmp, num_buckets=store_buckets)
+            try:
+                _os.rename(tmp, path)
+            except OSError:       # lost the build race; winner's copy is
+                import shutil as _sh   # content-identical by construction
+
+                _sh.rmtree(tmp, ignore_errors=True)
         web: object = ("parquet", path, store_buckets)
         seeds = docweb_seeds(sf_dir)
     else:

@@ -156,6 +156,13 @@ class Crawler:
             seeds = [(0, cfg.index_url, cfg.index_selector)]
         self.seeds = seeds
         self.pacer = None            # shared hot-host token bucket (if engaged)
+        if cfg.stash_folder and not cfg.seen_exact:
+            # fail fast: filter-only shards can't enumerate their URLs, so a
+            # seen checkpoint would persist an empty set and a resumed crawl
+            # would silently refetch (and re-emit) everything
+            raise ValueError(
+                "stash_folder (resumable crawl) requires seen_exact=True: "
+                "approximate-mode seen sets cannot be checkpointed")
         self.seen: Optional[SeenSet] = None
         if cfg.debug or cfg.index_debug:
             self.seen = SeenSet(cfg.num_seen_shards,
@@ -720,8 +727,19 @@ class Crawler:
         cfg = self.cfg
         urls = ([s[1] for s in (self.seeds or [])]
                 + list(cfg.url_array or []))
-        hosts = sorted({h for h in hosts_of(np.array(urls, dtype=object))
-                        if h and h not in cfg.robots_txt})
+        # each host keeps the scheme of the seed that introduced it — an
+        # https-only corpus stores robots under https://, so a fixed http://
+        # probe would silently find no rules; the other scheme stays as the
+        # fallback probe
+        host_scheme: dict[str, str] = {}
+        for u in urls:
+            if not isinstance(u, str):
+                continue
+            h = hosts_of(np.array([u], dtype=object))[0]
+            if h and h not in host_scheme:
+                host_scheme[h] = "https" if u.lower().startswith("https:") \
+                    else "http"
+        hosts = sorted(h for h in host_scheme if h not in cfg.robots_txt)
         if not hosts:
             return
         web_ref = self.web_ref
@@ -737,8 +755,13 @@ class Crawler:
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 out_h, out_b = [], []
-                for h in batch["host"].to_pylist():
-                    spans = self.store.lookup_one(f"http://{h}/robots.txt")
+                for h, scheme in zip(batch["host"].to_pylist(),
+                                     batch["scheme"].to_pylist()):
+                    other = "https" if scheme == "http" else "http"
+                    spans = (self.store.lookup_one(
+                                 f"{scheme}://{h}/robots.txt")
+                             or self.store.lookup_one(
+                                 f"{other}://{h}/robots.txt"))
                     if spans:
                         out_h.append(h)
                         out_b.append("\n".join(
@@ -746,7 +769,9 @@ class Crawler:
                 return pa.table({"host": pa.array(out_h, pa.string()),
                                  "body": pa.array(out_b, pa.string())})
 
-        ds = ray.data.from_arrow(pa.table({"host": pa.array(hosts)}))
+        ds = ray.data.from_arrow(pa.table({
+            "host": pa.array(hosts),
+            "scheme": pa.array([host_scheme[h] for h in hosts])}))
         found = collect(ds.map_batches(
             RobotsProbe, batch_format="pyarrow", batch_size=1024,
             concurrency=min(4, max(1, len(hosts) // 256 + 1)), num_cpus=0.5),

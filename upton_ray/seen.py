@@ -142,9 +142,15 @@ class Cuckoo:
         for a, b, f in zip(i1, i2, fp):
             homeless = self._insert_one(int(a), int(b), int(f), rng)
             if homeless is not None:
-                self.spill.add(self._spill_key(*homeless))
-                self.count += 1
-                spilled += 1
+                key = self._spill_key(*homeless)
+                # count only a genuinely-new spill entry: past saturation the
+                # same homeless fingerprint can recur, and set.add is a no-op
+                # while delete decrements once per key — unconditional
+                # increments would drift count above true occupancy
+                if key not in self.spill:
+                    self.spill.add(key)
+                    self.count += 1
+                    spilled += 1
         return spilled
 
     @property
@@ -347,6 +353,133 @@ class SeenShard:
         self.bad.update(bad)
 
 
+@ray.remote(num_cpus=0)
+class IdShard:
+    """One shard of a distributed int64-id membership set (the "does this
+    doc exist" gate for graph expansion, e.g. :func:`datapipe.crawl_bfs`).
+
+    Unlike :class:`SeenShard` (string URLs, bloom/cuckoo tiers) this is
+    int-native: ids are ingested as numpy arrays by distributed map_batches
+    tasks — the driver never reads the id column — then finalized into ONE
+    sorted array per shard (searchsorted membership, ~8 B/id/shard). A
+    parallel ``claimed`` bitmap aligned to the sorted array gives the
+    check-and-claim gate (exists AND first claimer) with zero extra key
+    storage."""
+
+    def __init__(self):
+        self.parts: list[np.ndarray] = []
+        self.ids = np.empty(0, dtype=np.int64)
+        self.claimed = np.zeros(0, dtype=bool)
+        self.final = False
+
+    def add(self, ids: np.ndarray) -> int:
+        assert not self.final, "IdShard.add after finalize"
+        self.parts.append(np.asarray(ids, dtype=np.int64))
+        return len(ids)
+
+    def finalize(self) -> int:
+        if not self.final:
+            self.ids = (np.unique(np.concatenate(self.parts))
+                        if self.parts else np.empty(0, dtype=np.int64))
+            self.parts = []
+            self.claimed = np.zeros(len(self.ids), dtype=bool)
+            self.final = True
+        return len(self.ids)
+
+    def contains(self, ids: np.ndarray) -> np.ndarray:
+        q = np.asarray(ids, dtype=np.int64)
+        if len(self.ids) == 0 or len(q) == 0:
+            return np.zeros(len(q), dtype=bool)
+        pos = np.searchsorted(self.ids, q)
+        inb = pos < len(self.ids)
+        out = np.zeros(len(q), dtype=bool)
+        out[inb] = self.ids[pos[inb]] == q[inb]
+        return out
+
+    def claim(self, ids: np.ndarray) -> np.ndarray:
+        """Per-id: True iff the id EXISTS in the set and this call is its
+        first claim (atomic within the actor). Intra-call duplicates count
+        once — same contract as SeenShard.check_and_add."""
+        q = np.asarray(ids, dtype=np.int64)
+        hit = self.contains(q)
+        out = np.zeros(len(q), dtype=bool)
+        if hit.any():
+            pos = np.searchsorted(self.ids, q[hit])
+            new = ~self.claimed[pos]
+            # first occurrence within this call wins; later duplicates see
+            # the bitmap already set because np assignment below is ordered
+            first = np.zeros(len(pos), dtype=bool)
+            _, first_idx = np.unique(pos, return_index=True)
+            first[first_idx] = True
+            ok = new & first
+            self.claimed[pos[ok]] = True
+            out[np.flatnonzero(hit)[ok]] = True
+        return out
+
+    def size(self) -> int:
+        return len(self.ids)
+
+
+class IdMembership:
+    """Picklable handle over :class:`IdShard` actors — batched routed RPCs,
+    same shape as :class:`SeenSet` but for int64 ids. Populate it
+    DISTRIBUTEDLY (call :meth:`add` from inside map_batches tasks over the
+    id column), then :meth:`finalize` once before membership queries."""
+
+    #: multiplicative mix so arithmetic id patterns (e.g. BFS children
+    #: 3d+1..3d+3) spread across shards instead of landing modulo-striped
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def __init__(self, num_shards: int = 4):
+        self.num_shards = num_shards
+        self.shards = [IdShard.remote() for _ in range(num_shards)]
+
+    def _route(self, ids: np.ndarray) -> np.ndarray:
+        h = ids.astype(np.uint64) * self._MIX
+        return ((h >> np.uint64(33)) % np.uint64(self.num_shards)).astype(
+            np.int64)
+
+    def _scatter(self, method: str, ids) -> np.ndarray:
+        arr = np.asarray(ids, dtype=np.int64)
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_ids = self._route(arr)
+        out = np.zeros(len(arr), dtype=bool)
+        futs, idxs = [], []
+        for s in np.unique(shard_ids):
+            idx = np.flatnonzero(shard_ids == s)
+            futs.append(getattr(self.shards[s], method).remote(arr[idx]))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def add(self, ids) -> None:
+        arr = np.asarray(ids, dtype=np.int64)
+        if len(arr) == 0:
+            return
+        shard_ids = self._route(arr)
+        ray.get([self.shards[s].add.remote(arr[shard_ids == s])
+                 for s in np.unique(shard_ids)])
+
+    def finalize(self) -> int:
+        return sum(ray.get([s.finalize.remote() for s in self.shards]))
+
+    def contains(self, ids) -> np.ndarray:
+        return self._scatter("contains", ids)
+
+    def claim(self, ids) -> np.ndarray:
+        return self._scatter("claim", ids)
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def kill(self) -> None:
+        for sh in self.shards:
+            ray.kill(sh, no_restart=True)
+        self.shards = []
+
+
 class SeenSet:
     """Driver/worker-side handle: routes url batches to shard actors.
 
@@ -357,6 +490,7 @@ class SeenSet:
     def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1_000_000,
                  approximate: bool = False):
         self.num_shards = num_shards
+        self.approximate = approximate
         self.shards = [SeenShard.remote(capacity_per_shard, approximate)
                        for _ in range(num_shards)]
 
@@ -463,10 +597,25 @@ class SeenSet:
 
     def checkpoint(self, dir_path: str) -> int:
         """Each shard writes its own parquet file under ``dir_path`` in
-        parallel; the driver never holds the URL set. Returns total rows."""
+        parallel; the driver never holds the URL set. Returns total rows.
+
+        Approximate mode refuses to checkpoint: filter-only shards hold no
+        enumerable URL set, so a dump would silently persist an EMPTY seen
+        set and a later restore would refetch the whole crawl (or worse,
+        re-emit records a resumed run already wrote). Exact mode clears any
+        previous shard files first — a shrunk ``num_shards`` must not leave
+        stale higher-numbered shards to be re-ingested by the next restore."""
+        if self.approximate:
+            raise ValueError(
+                "cannot checkpoint an approximate-mode SeenSet: filter-only "
+                "membership is not enumerable; use seen_exact=True for "
+                "resumable crawls")
         import os
 
         os.makedirs(dir_path, exist_ok=True)
+        for f in os.listdir(dir_path):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(dir_path, f))
         return sum(ray.get([
             s.dump_parquet.remote(os.path.join(dir_path, f"shard-{i}.parquet"))
             for i, s in enumerate(self.shards)]))
