@@ -229,6 +229,21 @@ def main():
     queries["dedup_clusters"] = round(timed(datapipe.dedup_clusters, SF_DIR), 3)
     queries["tfidf_top_term"] = round(timed(datapipe.tfidf_top_term, SF_DIR), 3)
 
+    # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
+    # cluster + one user owning 30% of events — measures that the cap
+    # accounting / sorted-sweep residual paths survive skew at speed instead
+    # of arguing it from design (VERDICT r2 item 3). Corpus build is cached
+    # under /tmp and excluded from the timings.
+    from upton_ray.skew import skew_dir as _skew_dir
+
+    skew_path, _ = _skew_dir(n_docs=20_000, n_events=200_000, seed=7)
+    queries["skew_minhash"] = round(timed(datapipe.minhash_dedup, skew_path), 3)
+    queries["skew_dedup_exact"] = round(
+        timed(datapipe.dedup_exact, skew_path), 3)
+    queries["skew_sessionize"] = round(timed(datapipe.sessionize, skew_path), 3)
+    queries["skew_asof_join"] = round(
+        timed(datapipe.asof_join_events, skew_path), 3)
+
     out = {
         "metric": "crawl+extract throughput and pipeline wall-times",
         "value": round(sum(queries.values()), 3),

@@ -99,3 +99,47 @@ def test_fully_resumed_run_does_no_work(crawled):
     m = pq.read_table(os.path.join(stash, "metrics.parquet")).to_pandas()
     assert len(m) == 0 or int(m["rows"].sum()) == 0
     c.shutdown()
+
+
+def test_repeated_crash_resume_never_duplicates(crawled, tmp_path):
+    """Regression guard for the once-observed exact-2x duplicated write on a
+    resume run: crash (marker removed / partial bucket dir) before EVERY
+    bucket in turn, resume each time, and assert the written output always
+    has distinct_keys == records — a _SUCCESS-marked bucket must never
+    re-emit its rows alongside the checkpoint read."""
+    import pyarrow.parquet as pq
+
+    from upton_ray import sinks
+    from upton_ray.engine import Crawler
+
+    corpus, seeds, cfg, stash_orig, golden = crawled
+    stash = str(tmp_path / "stash")
+    shutil.copytree(stash_orig, stash)
+    ckpt = os.path.join(stash, "fetched_round1")
+    buckets = sorted(d for d in os.listdir(ckpt) if d.startswith("bucket="))
+    golden_keys = sorted(_key_rows(golden))
+
+    for i, victim in enumerate(buckets):
+        if i % 2 == 0:
+            # crash between data write and marker write
+            os.remove(os.path.join(ckpt, victim, "_SUCCESS"))
+        else:
+            # crash before the bucket wrote anything
+            shutil.rmtree(os.path.join(ckpt, victim))
+        c = Crawler(cfg(stash), ("parquet", corpus, 4), seeds=seeds)
+        res = c.crawl()
+        out = str(tmp_path / f"out-{i}")
+        sinks.write_records_parquet(res.records, out)
+        t = pq.read_table(out)
+        keys = [(a, b, r) for a, b, r in zip(
+            t["instance_index"].to_pylist(),
+            t["pagination_index"].to_pylist(),
+            t["row_no"].to_pylist())]
+        assert len(keys) == len(set(keys)) == len(golden_keys), \
+            f"resume {i} (victim {victim}) duplicated or lost rows"
+        assert sorted(_key_rows(t)) == golden_keys
+        m = pq.read_table(os.path.join(stash, "metrics.parquet")).to_pandas()
+        v = int(victim.split("=")[1])
+        assert set(m[m["rows"] > 0]["partition"]) <= {v}, \
+            "a _SUCCESS-marked bucket re-emitted rows during resume"
+        c.shutdown()

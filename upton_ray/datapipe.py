@@ -841,7 +841,7 @@ def events_window(sf_dir: str):
         }), batch_format="pyarrow")
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
+def sessionize(sf_dir: str, gap_minutes: int = 30, *, num_blocks: int = 8):
     """Gap-based sessionization per user: a new session starts when the gap
     to the previous event exceeds ``gap_minutes``.
 
@@ -890,9 +890,11 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
             "sum_value": pc.round(g["value_sum"], ndigits=6),
         })
 
+    # num_blocks is the block-boundary torture hook: tests drive it high so
+    # one user's run straddles >= 3 post-sort blocks (residual path proof)
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"],
-                               override_num_blocks=8)
+                               override_num_blocks=num_blocks)
     srt = ds.sort(["user_id", "ts", "event_id"]).materialize()
 
     def _user_bounds(b: pa.Table):
@@ -1590,7 +1592,7 @@ def token_pieces(sf_dir: str):
         f, batch_format="pyarrow")
 
 
-def asof_join_events(sf_dir: str) -> pa.Table:
+def asof_join_events(sf_dir: str, *, num_blocks: int = 8) -> pa.Table:
     """AS-OF join — the canonical operator Ray Data lacks (see brief):
     for every 'purchase' event, the most recent 'click' by the same user at
     or before the purchase time.
@@ -1606,10 +1608,11 @@ def asof_join_events(sf_dir: str) -> pa.Table:
     matching the SQL oracle's QUALIFY dedup.  Users straddling a block edge
     go through the residual groupby, like the other sorted-sweep operators.
     Inner join: purchases with no prior click are dropped."""
+    # num_blocks: block-boundary torture hook (see sessionize)
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type"],
-                               override_num_blocks=8)
+                               override_num_blocks=num_blocks)
 
     def keep_and_kind(b: pa.Table) -> pa.Table:
         et = b["event_type"]
