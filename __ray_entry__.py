@@ -289,6 +289,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": datapipe.sample_stratified,
         "dedup_clusters": datapipe.dedup_clusters,
         "tfidf_top_term": datapipe.tfidf_top_term,
+        "doc_chunk": datapipe.doc_chunk,
+        "seeded_shuffle": datapipe.seeded_shuffle,
+        "contamination_check": datapipe.contamination_check,
+        "semi_join_events": datapipe.semi_join_events,
+        "ann_pq_rerank": datapipe.ann_pq_rerank,   # approximate: rows-only
+        "kmeans_clusters": datapipe.kmeans_clusters,  # iterative: rows-only
     }
     return q
 
@@ -728,6 +734,59 @@ def oracle_sql() -> dict[str, str]:
                (n_chars // 100 + 1) * 100 AS hi,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY 1
+    """
+    # fixed-size token chunking with overlap: starts 1, 1+stride, … (1-based
+    # SQL); list slice w[s : s+size-1] is inclusive, matching pc.list_slice's
+    # [k, k+size) on the 0-based side
+    sql["doc_chunk"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        c AS (SELECT doc_id, unnest(generate_series(1, len(w), 12)) AS s, w
+              FROM t)
+        SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_no,
+               array_to_string(w[s:s+15], ' ') AS chunk,
+               CAST(len(w[s:s+15]) AS BIGINT) AS n_tokens
+        FROM c
+    """
+    sql["seeded_shuffle"] = """
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('42:' || doc_id), doc_id) - 1 AS BIGINT)
+                 AS pos,
+               doc_id
+        FROM documents
+    """
+    # 3-gram shingles exactly as dedup_clusters' oracle builds them;
+    # benchmark = doc_id % 211 == 0, reported side = everything else
+    sql["contamination_check"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(w) >= 3 THEN list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   WHEN array_to_string(w, ' ') = '' THEN []
+                   ELSE [array_to_string(w, ' ')] END) AS sh
+          FROM t),
+        b AS (SELECT DISTINCT unnest(sh) AS gram FROM s
+              WHERE doc_id % 211 = 0),
+        c AS (SELECT doc_id, unnest(sh) AS gram FROM s
+              WHERE doc_id % 211 <> 0),
+        h AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM c JOIN b USING (gram) GROUP BY c.doc_id)
+        SELECT t.doc_id, coalesce(h.n, 0) AS n_overlap,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM t LEFT JOIN h USING (doc_id)
+        WHERE t.doc_id % 211 <> 0
+    """
+    sql["semi_join_events"] = """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                          WHERE event_type = 'purchase' AND value > 190)
+        GROUP BY user_id
     """
     sql.update(_fixture_goldens())
     return sql

@@ -229,6 +229,16 @@ def main():
     queries["dedup_clusters"] = round(timed(datapipe.dedup_clusters, SF_DIR), 3)
     queries["tfidf_top_term"] = round(timed(datapipe.tfidf_top_term, SF_DIR), 3)
 
+    queries["doc_chunk"] = round(timed(datapipe.doc_chunk, SF_DIR), 3)
+    queries["seeded_shuffle"] = round(timed(datapipe.seeded_shuffle, SF_DIR), 3)
+    queries["contamination_check"] = round(
+        timed(datapipe.contamination_check, SF_DIR), 3)
+    queries["semi_join_events"] = round(
+        timed(datapipe.semi_join_events, SF_DIR), 3)
+    queries["ann_pq_rerank"] = round(timed(datapipe.ann_pq_rerank, SF_DIR), 3)
+    queries["kmeans_clusters"] = round(
+        timed(datapipe.kmeans_clusters, SF_DIR), 3)
+
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap
     # accounting / sorted-sweep residual paths survive skew at speed instead

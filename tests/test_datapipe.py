@@ -558,3 +558,145 @@ def test_ann_pq_recall_vs_brute(ray_session):
     # determinism
     again = datapipe.ann_pq(sf).to_pandas()
     assert pq_res.values.tolist() == again.values.tolist()
+
+
+# ------------------------------------------------ training-data extras (r3)
+
+
+def test_doc_chunk_reconstructs_and_overlaps(ray_session):
+    t = _collect(datapipe.doc_chunk("/root/testdata/sf0.001",
+                                    size=16, stride=12),
+                 ("doc_id", pa.int64()), ("chunk_no", pa.int64()),
+                 ("chunk", pa.string()), ("n_tokens", pa.int64())).to_pandas()
+    t = t.sort_values(["doc_id", "chunk_no"])
+    for doc_id, g in list(t.groupby("doc_id"))[:50]:
+        chunks = [c.split(" ") for c in g["chunk"]]
+        # stitch: first stride tokens of every chunk + the tail of the last
+        toks = []
+        for c in chunks[:-1]:
+            toks.extend(c[:12])
+        toks.extend(chunks[-1])
+        # consecutive chunks overlap by size - stride tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[12:] == b[:len(a) - 12]
+        assert (g["n_tokens"] == [len(c) for c in chunks]).all()
+        assert toks == " ".join(
+            sum([c[:12] for c in chunks[:-1]], []) + chunks[-1]).split(" ")
+
+
+def test_seeded_shuffle_is_deterministic_permutation(ray_session):
+    a = datapipe.seeded_shuffle("/root/testdata/sf0.001").to_pandas()
+    b = datapipe.seeded_shuffle("/root/testdata/sf0.001").to_pandas()
+    n = len(a)
+    assert sorted(a["pos"]) == list(range(n))
+    assert sorted(a["doc_id"]) == list(range(n))
+    pd = a.sort_values("pos")["doc_id"].tolist()
+    assert pd == b.sort_values("pos")["doc_id"].tolist(), "same seed, same order"
+    assert pd != list(range(n)), "a shuffle must not be the identity"
+    c = datapipe.seeded_shuffle("/root/testdata/sf0.001", seed=7).to_pandas()
+    assert c.sort_values("pos")["doc_id"].tolist() != pd, \
+        "different seed, different order"
+
+
+def test_contamination_check_plants(ray_session, tmp_path):
+    """A candidate doc that copies a benchmark doc verbatim is flagged with
+    n_overlap == its distinct 3-gram count; clean docs report 0."""
+    import pyarrow.parquet as pq
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    partial_text = "iota kappa alpha beta gamma lam mu nu xi"  # 1 shared gram
+    clean_text = "one two three four five six seven"
+    # modulus=211: doc_id 0 is the benchmark; 1, 2 are candidates
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([bench_text, bench_text, clean_text, partial_text]),
+        "lang": pa.array(["en"] * 4), "source": pa.array(["src0"] * 4),
+        "n_chars": pa.array([len(bench_text), len(bench_text),
+                             len(clean_text), len(partial_text)], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = _collect(datapipe.contamination_check(str(tmp_path)),
+                  ("doc_id", pa.int64()), ("n_overlap", pa.int64()),
+                  ("contaminated", pa.bool_())).to_pandas() \
+        .set_index("doc_id")
+    n_grams = len(set(datapipe.shingles(bench_text, 3)))
+    assert df.loc[1, "n_overlap"] == n_grams and df.loc[1, "contaminated"]
+    assert df.loc[2, "n_overlap"] == 0 and not df.loc[2, "contaminated"]
+    assert df.loc[3, "n_overlap"] == 1 and df.loc[3, "contaminated"]
+    assert 0 not in df.index, "benchmark docs are not reported"
+
+
+def test_semi_join_events_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["user_id", "event_type", "value"]).to_pandas()
+    users = set(ev.loc[(ev["event_type"] == "purchase")
+                       & (ev["value"] > 190), "user_id"])
+    want = ev[ev["user_id"].isin(users)].groupby("user_id") \
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+    got = _collect(datapipe.semi_join_events("/root/testdata/sf0.001"),
+                   ("user_id", pa.int64()), ("n_events", pa.int64()),
+                   ("sum_value", pa.float64())).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert set(got.index) == users
+    assert (got["n_events"] == want["n_events"]).all()
+    assert np.allclose(got["sum_value"], want["sum_value"].round(6))
+
+
+def test_ann_pq_rerank_recall_and_exactness(ray_session):
+    """Re-ranking makes the candidate stage the only recall limiter: at
+    k_prime >= corpus size the output is EXACTLY brute force; at the default
+    k_prime it must beat raw PQ's recall (the point of the composition)."""
+    sf = "/root/testdata/sf0.001"
+    truth = datapipe.ann_topk(sf).to_pandas()
+    tsets = {q: set(g["vec_id"]) for q, g in truth.groupby("query_id")}
+
+    full = datapipe.ann_pq_rerank(sf, k_prime=10_000).to_pandas()
+    got = {q: list(g.sort_values("rank")["vec_id"])
+           for q, g in full.groupby("query_id")}
+    want = {q: list(g.sort_values("rank")["vec_id"])
+            for q, g in truth.groupby("query_id")}
+    assert got == want, "k_prime >= corpus must equal brute force exactly"
+
+    def recall(df):
+        return sum(len(set(g["vec_id"]) & tsets[q])
+                   for q, g in df.groupby("query_id")) \
+            / sum(len(s) for s in tsets.values())
+
+    r_rerank = recall(datapipe.ann_pq_rerank(sf, k_prime=50).to_pandas())
+    r_pq = recall(datapipe.ann_pq(sf).to_pandas())
+    assert r_rerank >= max(r_pq, 0.7), (r_rerank, r_pq)
+
+
+def test_kmeans_clusters_converges_and_matches_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = datapipe.kmeans_clusters(sf, k=8, iters=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # single-process reference: identical deterministic Lloyd's
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    C = M[:8].copy()
+    inertias = []
+    for _ in range(5):
+        d2 = (M * M).sum(1)[:, None] - 2 * (M @ C.T) + (C * C).sum(1)[None]
+        a = d2.argmin(1)
+        inertias.append(float(d2[np.arange(len(M)), a].sum()))
+        for c in range(8):
+            if (a == c).any():
+                C[c] = M[a == c].mean(0)
+    d2 = (M * M).sum(1)[:, None] - 2 * (M @ C.T) + (C * C).sum(1)[None]
+    a = d2.argmin(1)
+    assert got["cluster_id"].tolist() == a.tolist()
+    assert len(set(got["cluster_id"])) <= 8
+    assert np.allclose(
+        got["dist"], np.round(np.sqrt(d2[np.arange(len(M)), a]), 6),
+        atol=1e-6)
+    # Lloyd's monotonicity on the reference path
+    assert all(b <= a_ + 1e-9 for a_, b in zip(inertias, inertias[1:]))
+    # determinism of the distributed path
+    again = datapipe.kmeans_clusters(sf, k=8, iters=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert got["cluster_id"].tolist() == again["cluster_id"].tolist()

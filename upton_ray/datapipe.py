@@ -2169,3 +2169,342 @@ def ann_pq(sf_dir: str, n_queries: int = 4, k: int = 10, n_sub: int = 16,
     df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]] \
         .reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ------------------------------------------------ training-data extras (r3)
+
+
+def doc_chunk(sf_dir: str, size: int = 16, stride: int = 12):
+    """Fixed-size token chunking with overlap — the context-window prep step
+    of a training pipeline (long doc -> model-sized pieces).
+
+    Vectorized per OFFSET, not per doc: for each chunk start k (0, stride,
+    2*stride, … up to the batch's longest doc) one ``pc.list_slice`` +
+    ``pc.binary_join`` covers every doc in the batch at once, so the Python
+    loop runs ceil(max_tokens/stride) times per batch — independent of row
+    count. Tokens are the single-space split of the normalized text (matches
+    the oracle's string_split; an empty doc yields one empty chunk on both
+    sides)."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_no": pa.array([], pa.int64()),
+                      "chunk": pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64())})
+
+    def chunks(b: pa.Table) -> pa.Table:
+        toks = b["text"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = pc.split_pattern(_norm_text(toks), pattern=" ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        if len(nt) == 0:
+            return empty
+        out, k = [], 0
+        max_n = int(nt.max())
+        while k == 0 or k < max_n:
+            keep_mask = nt > k
+            keep = pa.array(keep_mask)
+            piece = pc.list_slice(toks.filter(keep), k, k + size)
+            out.append(pa.table({
+                "doc_id": b["doc_id"].filter(keep),
+                "chunk_no": pa.array(
+                    np.full(int(keep_mask.sum()), k // stride, np.int64)),
+                "chunk": pc.binary_join(piece, " "),
+                "n_tokens": pc.cast(pc.list_value_length(piece), pa.int64()),
+            }))
+            k += stride
+        return pa.concat_tables(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow")
+
+
+@ray.remote
+def _block_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _attach_positions(t: pa.Table, base: int) -> pa.Table:
+    return pa.table({
+        "pos": pa.array(base + np.arange(t.num_rows, dtype=np.int64),
+                        pa.int64()),
+        "doc_id": t["doc_id"]})
+
+
+def seeded_shuffle(sf_dir: str, seed: int = 42):
+    """Deterministic global training-order shuffle: every doc gets the sort
+    key md5('<seed>:<doc_id>') and ``pos`` is its rank in that order — a
+    reproducible epoch permutation (same seed ⇒ same order on any cluster
+    size, unlike ``random_shuffle``).
+
+    Scale shape: one range-partitioned sort of (key, doc_id) rows, then the
+    global position attaches as a DISTRIBUTED prefix-sum — the driver reads
+    one int per block (row counts), computes exclusive bases, and per-block
+    remote tasks add base + arange; no block ever reaches the driver. The
+    md5 key is oracle-mandated (DuckDB md5() must rank identically); a
+    production variant would use a cheaper splitmix-style int hash."""
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "skey": pa.array(_md5_hex([f"{seed}:{i}" for i in ids]),
+                             pa.string())})
+
+    srt = (_docs(sf_dir, ["doc_id"])
+           .map_batches(key, batch_format="pyarrow")
+           .sort(["skey", "doc_id"])).materialize()
+    refs = srt.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    bases = np.r_[0, np.cumsum(counts)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_positions.remote(r, int(b)) for r, b in zip(refs, bases)])
+
+
+def contamination_check(sf_dir: str, n: int = 3, modulus: int = 211):
+    """Benchmark decontamination — the train/eval overlap scan every serious
+    training corpus needs: docs with ``doc_id % modulus == 0`` stand in for the
+    held-out benchmark; every other doc reports how many of its distinct
+    n-gram shingles appear anywhere in the benchmark.
+
+    Scale shape: the benchmark side is SMALL BY DEFINITION (real benchmarks
+    are KBs–MBs vs a TB corpus), so its distinct shingle set is collected
+    once and broadcast (ray.put), and the corpus streams through one
+    map_batches membership pass — the same broadcast-small-side pattern as
+    nation_revenue. A corpus-vs-corpus overlap (both sides huge) would
+    instead shuffle on the shingle key like minhash's bucket stage."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % modulus == 0))
+        grams: set = set()
+        for txt in _norm_text(t["text"]).to_pylist():
+            grams.update(shingles(txt, n))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    parts = [t for t in ray.get(
+        docs.map_batches(bench_grams, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns > 0]
+    bench: frozenset = frozenset().union(
+        *[set(t["gram"].to_pylist()) for t in parts]) if parts else frozenset()
+    bench_ref = ray.put(bench)
+
+    def overlap(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % modulus != 0))
+        bset = ray.get(bench_ref)
+        hits = np.array([len(set(shingles(txt, n)) & bset)
+                         for txt in _norm_text(t["text"]).to_pylist()],
+                        dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_overlap": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return docs.map_batches(overlap, batch_format="pyarrow")
+
+
+def semi_join_events(sf_dir: str, min_value: float = 190.0):
+    """Broadcast semi-join: the distinct set of big-purchase users (the
+    small side — one pass, distinct-per-batch then a tiny driver union)
+    gates the full event log, which then aggregates per user with the
+    usual partial-combiner + small groupby. The event log streams exactly
+    once per phase; no shuffle join ever forms."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"],
+                               override_num_blocks=8)
+
+    def purchasers(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b["event_type"], "purchase"),
+                       pc.greater(b["value"], min_value))
+        u = b.filter(keep)["user_id"]
+        return pa.table({"user_id": pc.unique(
+            u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u)})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(purchasers, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0]
+    users = (np.unique(np.concatenate(
+        [t["user_id"].to_numpy(zero_copy_only=False) for t in parts]))
+        if parts else np.empty(0, dtype=np.int64))
+    users_ref = ray.put(users)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uset = ray.get(users_ref)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uset, uid)
+        inb = pos < len(uset)
+        hit = np.zeros(len(uid), dtype=bool)
+        hit[inb] = uset[pos[inb]] == uid[inb]
+        t = b.filter(pa.array(hit))
+        g = pa.table({"user_id": t["user_id"], "value": t["value"]}) \
+            .group_by("user_id").aggregate(
+                [("value", "count"), ("value", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "n_events": pc.cast(g["value_count"], pa.int64()),
+                         "sum_value": g["value_sum"]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").sum(["n_events", "sum_value"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+            "sum_value": pc.round(b["sum(sum_value)"], ndigits=6),
+        }), batch_format="pyarrow")
+
+
+def ann_pq_rerank(sf_dir: str, n_queries: int = 4, k: int = 10,
+                  k_prime: int = 50, n_sub: int = 16, n_cent: int = 64,
+                  train_sample: int = 4096) -> pa.Table:
+    """The production ANN composition: PQ candidate generation + EXACT
+    re-rank.  The ADC scan (see :func:`ann_pq`) over-fetches ``k_prime`` > k
+    candidates per query from the compressed codes, then ONLY those
+    candidate vectors (k_prime × n_queries rows, bounded) are read back at
+    full precision for an exact cosine top-k — so the lossy codes choose
+    WHAT to rank, never the final ORDER.  Recall is limited only by the
+    candidate stage and rises with k_prime; at ``k_prime >= corpus`` this
+    is exactly brute force (pinned in tests, like ann_ivf's
+    nprobe == n_cells property).  Approximate ⇒ rows-only gate."""
+    head = _emb(sf_dir).take_batch(max(train_sample, n_queries),
+                                   batch_format="pyarrow")
+    sample = _emb_matrix(head)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample[:train_sample], n_sub, n_cent)
+    q = sample[:n_queries]
+    ds_ = sample.shape[1] // n_sub
+    tables = np.empty((n_queries, n_sub, n_cent))
+    for m in range(n_sub):
+        qm = q[:, m * ds_:(m + 1) * ds_]
+        tables[:, m, :] = ((qm[:, None, :] - books[m][None, :, :]) ** 2) \
+            .sum(axis=2)
+    side_ref = ray.put((books, tables, q))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bks, tbl, _ = ray.get(side_ref)
+        M = _emb_matrix(batch)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        codes = np.empty((n, n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            x = M[:, m * ds_:(m + 1) * ds_]
+            codes[:, m] = ((x[:, None, :] - bks[m][None, :, :]) ** 2) \
+                .sum(axis=2).argmin(axis=1)
+        rows = {"query_id": [], "vec_id": [], "dist": []}
+        kk = min(k_prime, n)
+        for qi in range(tbl.shape[0]):
+            dist = tbl[qi][np.arange(n_sub)[None, :], codes].sum(axis=1)
+            part = np.argpartition(dist, kk - 1)[:kk]
+            rows["query_id"].extend([qi] * len(part))
+            rows["vec_id"].extend(ids[part].tolist())
+            rows["dist"].extend(dist[part].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int32()),
+                         "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                         "dist": pa.array(rows["dist"], pa.float64())})
+
+    cand = _emb(sf_dir).map_batches(scan, batch_format="pyarrow",
+                                    batch_size=4096)
+    cdf = pa.concat_tables(ray.get(cand.to_arrow_refs())).to_pandas()
+    cdf = cdf.sort_values(["query_id", "dist", "vec_id"])
+    cdf = cdf.groupby("query_id").head(k_prime)    # per-query candidate cut
+
+    # exact re-rank: stream the corpus once, keeping ONLY candidate rows
+    # (vectorized is_in), compute true cosine inside the task
+    involved = pa.array(sorted(set(cdf["vec_id"])), pa.int64())
+
+    def rerank(b: pa.Table) -> pa.Table:
+        _, _, qm = ray.get(side_ref)
+        t = b.filter(pc.is_in(b["vec_id"], value_set=involved))
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sims": pa.array([], pa.list_(pa.float64()))})
+        M = _emb_matrix(t)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pa.table({"vec_id": t["vec_id"],
+                         "sims": pa.array((M @ qm.T).tolist(),
+                                          pa.list_(pa.float64()))})
+
+    st = pa.concat_tables([t for t in ray.get(
+        _emb(sf_dir).map_batches(rerank, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns > 0])
+    sims = {i: np.asarray(s) for i, s in zip(st["vec_id"].to_pylist(),
+                                             st["sims"].to_pylist())}
+    out = {"query_id": [], "vec_id": [], "rank": []}
+    for qi, g in cdf.groupby("query_id"):
+        ids = g["vec_id"].to_numpy()
+        s = np.array([sims[i][qi] for i in ids])
+        order = np.lexsort((ids, -s))[:k]
+        out["query_id"].extend([qi] * len(order))
+        out["vec_id"].extend(ids[order].tolist())
+        out["rank"].extend(range(1, len(order) + 1))
+    return pa.table({"query_id": pa.array(out["query_id"], pa.int32()),
+                     "vec_id": pa.array(out["vec_id"], pa.int64()),
+                     "rank": pa.array(out["rank"], pa.int64())})
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding table — the topic /
+    domain bucketing stage of a curation pipeline (cluster-then-sample,
+    per-cluster quality thresholds, diversity mixing).
+
+    Every iteration is ONE streamed map_batches pass: centroids broadcast
+    via ray.put (k × dim floats, KBs), each batch computes assignments with
+    a single |x|² − 2xCᵀ + |c|² matmul and emits k partial rows (per-cluster
+    vector sum + count), and the driver folds k rows per block — never a
+    vector table.  Deterministic: init = first k rows (take_batch), no RNG.
+    Iterative + seed-dependent ⇒ rows-only gate; convergence (monotone
+    non-increasing inertia) and agreement with a single-process reference
+    are pinned in tests."""
+    init = _emb_matrix(_emb(sf_dir).take_batch(k, batch_format="pyarrow"))
+    cents = init.copy()
+    dim = cents.shape[1]
+
+    def _assign(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+        d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + (C * C).sum(1)[None]
+        return d2.argmin(axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(b: pa.Table) -> pa.Table:
+            C = ray.get(ref)
+            M = _emb_matrix(b)
+            a = _assign(M, C)
+            S = np.zeros((k, dim))
+            np.add.at(S, a, M)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "count": pa.array(cnt, pa.int64()),
+                "vsum": pa.array([row.tobytes() for row in S], pa.binary())})
+
+        parts = [t for t in ray.get(
+            _emb(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                     batch_size=4096).to_arrow_refs())
+            if t.num_columns > 0]
+        S = np.zeros((k, dim))
+        cnt = np.zeros(k, dtype=np.int64)
+        for t in parts:
+            cnt += t["count"].to_numpy(zero_copy_only=False)
+            for c, blob in zip(t["cluster"].to_pylist(),
+                               t["vsum"].to_pylist()):
+                S[c] += np.frombuffer(blob)
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = S[nz] / cnt[nz, None]        # empty cluster keeps its seat
+
+    final_ref = ray.put(cents)
+
+    def assign_out(b: pa.Table) -> pa.Table:
+        C = ray.get(final_ref)
+        M = _emb_matrix(b)
+        a = _assign(M, C)
+        d = np.sqrt(((M - C[a]) ** 2).sum(axis=1))
+        return pa.table({"vec_id": b["vec_id"],
+                         "cluster_id": pa.array(a, pa.int64()),
+                         "dist": pa.array(np.round(d, 6), pa.float64())})
+
+    return _emb(sf_dir).map_batches(assign_out, batch_format="pyarrow",
+                                    batch_size=4096)
