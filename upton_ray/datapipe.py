@@ -1408,20 +1408,20 @@ def term_frequencies(sf_dir: str, k: int = 20) -> pa.Table:
                          "n": pc.cast(g["count_all"], pa.int64())})
 
     def block_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().rename(columns={"sum(n)": "n"})
-        df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.table({"term": b["term"], "n": pc.cast(b["sum(n)"], pa.int64())})
+        return t.sort_by([("n", "descending"),
+                          ("term", "ascending")]).slice(0, k)
 
     agg = (_docs(sf_dir, ["text"])
            .map_batches(partial, batch_format="pyarrow")
            .groupby("term").sum("n")
            .map_batches(block_topk, batch_format="pyarrow"))
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
-    df = pa.concat_tables(parts).to_pandas()
-    df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
-    df["rank"] = range(1, len(df) + 1)
-    return pa.Table.from_pandas(df[["rank", "term", "n"]].reset_index(drop=True),
-                                preserve_index=False)
+    top = pa.concat_tables(parts).sort_by(
+        [("n", "descending"), ("term", "ascending")]).slice(0, k)
+    return pa.table({
+        "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64)),
+        "term": top["term"], "n": top["n"]})
 
 
 class HyperLogLog:

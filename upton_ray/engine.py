@@ -337,19 +337,16 @@ class Crawler:
         n_pages = counts_ds.count()
 
         if n_pages <= cfg.index_offset_collect_limit:
-            counts = collect(counts_ds, pa.schema([
+            t = collect(counts_ds, pa.schema([
                 ("seed_id", pa.int32()), ("page_no", pa.int32()),
-                ("sum(size)", pa.int64())])).to_pandas() \
-                .rename(columns={"sum(size)": "size"})
-            if len(counts) == 0:
-                offsets = {}
-            else:
-                counts = counts.sort_values(["seed_id", "page_no"]) \
-                    .reset_index(drop=True)
-                offs = counts["size"].cumsum().shift(fill_value=0) \
-                    .astype("int64")
-                offsets = {(int(s), int(p)): int(o) for s, p, o in
-                           zip(counts["seed_id"], counts["page_no"], offs)}
+                ("sum(size)", pa.int64())]))
+            s = t["seed_id"].to_numpy(zero_copy_only=False)
+            pg = t["page_no"].to_numpy(zero_copy_only=False)
+            sz = t["sum(size)"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((pg, s))
+            offs = np.r_[0, np.cumsum(sz[o])][:-1]
+            offsets = {(int(a), int(b)): int(c) for a, b, c in
+                       zip(s[o], pg[o], offs)}
 
             def assign(batch: pa.Table) -> pa.Table:
                 s = batch["seed_id"].to_numpy(zero_copy_only=False)
@@ -667,32 +664,48 @@ class Crawler:
             self.cfg.num_seen_shards
 
         def partial(b: pa.Table) -> pa.Table:
-            import pandas as pd
-
             hs = hosts_of(b["instance_url"].to_numpy(zero_copy_only=False))
             part = shard_hashes(hs, buckets)
-            df = pd.DataFrame({
-                "partition": part,
-                "fetched": b["from_resource"].to_numpy(zero_copy_only=False),
-                "slept": b["slept"].to_numpy(zero_copy_only=False),
-                "errors": (b["status"].to_numpy(zero_copy_only=False) != 200)
-                          & (b["status"].to_numpy(zero_copy_only=False) != 0),
-                "robots_blocked": b["robots_blocked"].to_numpy(zero_copy_only=False),
-            })
-            g = df.groupby("partition", as_index=False).agg(
-                fetched=("fetched", "sum"), cache_hits=("fetched", lambda x: (~x).sum()),
-                slept=("slept", "sum"), errors=("errors", "sum"),
-                robots_blocked=("robots_blocked", "sum"), rows=("fetched", "size"))
-            return pa.Table.from_pandas(g, preserve_index=False)
+            status = b["status"].to_numpy(zero_copy_only=False)
+            fetched_f = b["from_resource"].to_numpy(zero_copy_only=False)
+            g = pa.table({
+                "partition": pa.array(part, pa.int32()),
+                "fetched": pa.array(fetched_f.astype(np.int64), pa.int64()),
+                "cache_hits": pa.array((~fetched_f).astype(np.int64),
+                                       pa.int64()),
+                "slept": pa.array(
+                    b["slept"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64()),
+                "errors": pa.array(
+                    ((status != 200) & (status != 0)).astype(np.int64),
+                    pa.int64()),
+                "robots_blocked": pa.array(
+                    b["robots_blocked"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), pa.int64()),
+            }).group_by("partition").aggregate(
+                [("fetched", "sum"), ("cache_hits", "sum"), ("slept", "sum"),
+                 ("errors", "sum"), ("robots_blocked", "sum"),
+                 ([], "count_all")])
+            return pa.table({
+                "partition": g["partition"],
+                "fetched": g["fetched_sum"],
+                "cache_hits": g["cache_hits_sum"],
+                "slept": g["slept_sum"], "errors": g["errors_sum"],
+                "robots_blocked": g["robots_blocked_sum"],
+                "rows": pc.cast(g["count_all"], pa.int64())})
 
         sch = pa.schema([("partition", pa.int32()), ("fetched", pa.int64()),
                          ("cache_hits", pa.int64()), ("slept", pa.int64()),
                          ("errors", pa.int64()), ("robots_blocked", pa.int64()),
                          ("rows", pa.int64())])
         t = collect(fetched.map_batches(partial, batch_format="pyarrow"), sch)
-        df = t.to_pandas().groupby("partition", as_index=False).sum()
-        df.insert(0, "round", 1)
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+        g = t.group_by("partition").aggregate(
+            [(c, "sum") for c in sch.names if c != "partition"])
+        g = g.sort_by("partition")
+        pq.write_table(pa.table(
+            {"round": pa.array(np.ones(g.num_rows, dtype=np.int64)),
+             "partition": g["partition"],
+             **{c: g[f"{c}_sum"] for c in sch.names if c != "partition"}}), p)
 
     def _write_metrics_from_stats(self, stats_t: pa.Table) -> None:
         """Per-partition metrics straight from the walkers' per-bucket stat
@@ -701,10 +714,12 @@ class Crawler:
         p = self._ckpt("metrics.parquet")
         if not p:
             return
-        df = stats_t.to_pandas().rename(columns={"bucket": "partition"})
-        df = df.sort_values("partition").reset_index(drop=True)
-        df.insert(0, "round", 1)
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+        t = stats_t.rename_columns(
+            ["partition" if c == "bucket" else c
+             for c in stats_t.column_names]).sort_by("partition")
+        pq.write_table(pa.table(
+            {"round": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+             **{c: t[c] for c in t.column_names}}), p)
 
     def extract_records(self, fetched):
         # instance (not class): runs in the task pool — extraction is stateless,
