@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_events": datapipe.semi_join_events,
         "ann_pq_rerank": datapipe.ann_pq_rerank,   # approximate: rows-only
         "kmeans_clusters": datapipe.kmeans_clusters,  # iterative: rows-only
+        "group_quantiles": datapipe.group_quantiles,
     }
     return q
 
@@ -779,6 +780,15 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n, 0) > 0 AS contaminated
         FROM t LEFT JOIN h USING (doc_id)
         WHERE t.doc_id % 211 <> 0
+    """
+    sql["group_quantiles"] = """
+        WITH g AS (SELECT event_type,
+                          quantile_cont(value, 0.5) AS q50,
+                          quantile_cont(value, 0.9) AS q90
+                   FROM events GROUP BY event_type)
+        SELECT event_type, unnest([0.5, 0.9]) AS q,
+               unnest([round(q50, 6), round(q90, 6)]) AS val
+        FROM g
     """
     sql["semi_join_events"] = """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

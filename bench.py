@@ -238,6 +238,8 @@ def main():
     queries["ann_pq_rerank"] = round(timed(datapipe.ann_pq_rerank, SF_DIR), 3)
     queries["kmeans_clusters"] = round(
         timed(datapipe.kmeans_clusters, SF_DIR), 3)
+    queries["group_quantiles"] = round(
+        timed(datapipe.group_quantiles, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -700,3 +700,17 @@ def test_kmeans_clusters_converges_and_matches_reference(ray_session):
     again = datapipe.kmeans_clusters(sf, k=8, iters=5).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert got["cluster_id"].tolist() == again["cluster_id"].tolist()
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    got = datapipe.group_quantiles("/root/testdata/sf0.001").to_pandas()
+    for _, r in got.iterrows():
+        want = float(np.quantile(
+            ev.loc[ev["event_type"] == r["event_type"], "value"], r["q"],
+            method="linear"))
+        assert abs(r["val"] - round(want, 6)) < 1e-9, r
+    assert len(got) == 2 * ev["event_type"].nunique()

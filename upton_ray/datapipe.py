@@ -2508,3 +2508,129 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
 
     return _emb(sf_dir).map_batches(assign_out, batch_format="pyarrow",
                                     batch_size=4096)
+
+
+def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
+    """EXACT per-group quantiles (DuckDB ``quantile_cont`` semantics,
+    grouped by event_type) — :func:`value_quantiles` generalized to a keyed
+    population, still with NO global sort: pass 1 collects per-(group)
+    count/min/max (one row per group per block), pass 2 per-(group, bin)
+    histogram counts (nonzero bins only), pass 3 grabs just the candidate
+    bins' rows per group.  Driver state is O(groups × bins) ints + candidate
+    rows (~n/bins per needed order statistic); group cardinality here is the
+    event-type enum — a high-cardinality key would recurse the histogram
+    step per group instead of collecting rows."""
+    from upton_ray.engine import collect
+
+    n_bins = 2048
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"],
+                               override_num_blocks=8)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": pc.cast(g["value_count"], pa.int64()),
+                         "lo": g["value_min"], "hi": g["value_max"]})
+
+    st = collect(ds.map_batches(stats, batch_format="pyarrow"),
+                 pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                            ("lo", pa.float64()), ("hi", pa.float64())]))
+    sg = st.group_by("event_type").aggregate(
+        [("n", "sum"), ("lo", "min"), ("hi", "max")])
+    meta = {t: (int(n), float(lo), float(hi), (float(hi) - float(lo)) / n_bins
+                or 1.0)
+            for t, n, lo, hi in zip(sg["event_type"].to_pylist(),
+                                    sg["n_sum"].to_pylist(),
+                                    sg["lo_min"].to_pylist(),
+                                    sg["hi_max"].to_pylist())}
+    meta_ref = ray.put(meta)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        m = ray.get(meta_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "bin": [], "count": []}
+        for t in np.unique(et):
+            _, lo, _, width = m[t]
+            b = np.clip(((v[et == t] - lo) / width).astype(np.int64),
+                        0, n_bins - 1)
+            counts = np.bincount(b, minlength=n_bins)
+            nz = np.flatnonzero(counts)
+            rows["event_type"].extend([t] * len(nz))
+            rows["bin"].extend(nz.tolist())
+            rows["count"].extend(counts[nz].tolist())
+        return pa.table({"event_type": pa.array(rows["event_type"]),
+                         "bin": pa.array(rows["bin"], pa.int32()),
+                         "count": pa.array(rows["count"], pa.int64())})
+
+    ht = collect(ds.map_batches(hist, batch_format="pyarrow"),
+                 pa.schema([("event_type", pa.string()), ("bin", pa.int32()),
+                            ("count", pa.int64())]))
+    cum, needs = {}, {}
+    het = np.asarray(ht["event_type"].to_pylist(), dtype=object)
+    hb = ht["bin"].to_numpy(zero_copy_only=False)
+    hc = ht["count"].to_numpy(zero_copy_only=False)
+    for t, (n, lo, hi, width) in meta.items():
+        counts = np.zeros(n_bins, dtype=np.int64)
+        sel = het == t
+        np.add.at(counts, hb[sel], hc[sel])
+        cum[t] = np.concatenate([[0], np.cumsum(counts)])
+        need: set = set()
+        for q in qs:
+            idx = (n - 1) * q
+            need.add(int(np.floor(idx)))
+            need.add(min(int(np.floor(idx)) + 1, n - 1))
+        needs[t] = np.array(sorted(
+            {int(np.searchsorted(cum[t], k, side="right") - 1)
+             for k in need}), dtype=np.int64)
+    needs_ref = ray.put(needs)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        m, nd = ray.get(meta_ref), ray.get(needs_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        rows = {"event_type": [], "value": [], "bin": []}
+        for t in np.unique(et):
+            _, lo, _, width = m[t]
+            sel = et == t
+            b = np.clip(((v[sel] - lo) / width).astype(np.int64),
+                        0, n_bins - 1)
+            keep = np.isin(b, nd[t])
+            rows["event_type"].extend([t] * int(keep.sum()))
+            rows["value"].extend(v[sel][keep].tolist())
+            rows["bin"].extend(b[keep].tolist())
+        return pa.table({"event_type": pa.array(rows["event_type"]),
+                         "value": pa.array(rows["value"], pa.float64()),
+                         "bin": pa.array(rows["bin"], pa.int32())})
+
+    cand = collect(ds.map_batches(grab, batch_format="pyarrow"),
+                   pa.schema([("event_type", pa.string()),
+                              ("value", pa.float64()), ("bin", pa.int32())]))
+    cet = np.asarray(cand["event_type"].to_pylist(), dtype=object)
+    cv = cand["value"].to_numpy(zero_copy_only=False)
+    cb = cand["bin"].to_numpy(zero_copy_only=False)
+
+    out = {"event_type": [], "q": [], "val": []}
+    for t, (n, lo, hi, width) in sorted(meta.items()):
+        by_bin = {int(b): np.sort(cv[(cet == t) & (cb == b)])
+                  for b in needs[t]}
+
+        def order_stat(k: int) -> float:
+            b = int(np.searchsorted(cum[t], k, side="right") - 1)
+            return float(by_bin[b][k - cum[t][b]])
+
+        for q in qs:
+            idx = (n - 1) * q
+            f = int(np.floor(idx))
+            frac = idx - f
+            val = order_stat(f) if frac == 0 else \
+                (1 - frac) * order_stat(f) + frac * order_stat(min(f + 1,
+                                                                   n - 1))
+            out["event_type"].append(t)
+            out["q"].append(q)
+            out["val"].append(round(val, 6))
+    return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                     "q": pa.array(out["q"], pa.float64()),
+                     "val": pa.array(out["val"], pa.float64())})
