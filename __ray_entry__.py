@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_rerank": datapipe.ann_pq_rerank,   # approximate: rows-only
         "kmeans_clusters": datapipe.kmeans_clusters,  # iterative: rows-only
         "group_quantiles": datapipe.group_quantiles,
+        "unigram_logprob": datapipe.unigram_logprob,
+        "type_token_ratio": datapipe.type_token_ratio,
+        "length_rank": datapipe.length_rank,
+        "approx_quantiles": datapipe.approx_quantiles_sketch,  # rows-only
     }
     return q
 
@@ -780,6 +784,36 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n, 0) > 0 AS contaminated
         FROM t LEFT JOIN h USING (doc_id)
         WHERE t.doc_id % 211 <> 0
+    """
+    sql["unigram_logprob"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS T FROM cf)
+        SELECT tf.doc_id,
+               round(sum(tf.tf * ln(CAST(cf.cf AS DOUBLE) / tot.T))
+                     / sum(tf.tf), 6) AS logprob
+        FROM tf JOIN cf USING (term), tot
+        GROUP BY tf.doc_id
+    """
+    sql["type_token_ratio"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+               round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                 AS ttr
+        FROM t
+    """
+    sql["length_rank"] = """
+        SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, n_chars
+        FROM documents
     """
     sql["group_quantiles"] = """
         WITH g AS (SELECT event_type,

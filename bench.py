@@ -240,6 +240,13 @@ def main():
         timed(datapipe.kmeans_clusters, SF_DIR), 3)
     queries["group_quantiles"] = round(
         timed(datapipe.group_quantiles, SF_DIR), 3)
+    queries["unigram_logprob"] = round(
+        timed(datapipe.unigram_logprob, SF_DIR), 3)
+    queries["type_token_ratio"] = round(
+        timed(datapipe.type_token_ratio, SF_DIR), 3)
+    queries["length_rank"] = round(timed(datapipe.length_rank, SF_DIR), 3)
+    queries["approx_quantiles"] = round(
+        timed(datapipe.approx_quantiles_sketch, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -714,3 +714,21 @@ def test_group_quantiles_matches_numpy(ray_session):
             method="linear"))
         assert abs(r["val"] - round(want, 6)) < 1e-9, r
     assert len(got) == 2 * ev["event_type"].nunique()
+
+
+def test_approx_quantiles_relative_error(ray_session):
+    import pyarrow.parquet as pq
+
+    alpha = 0.005
+    got = datapipe.approx_quantiles_sketch("/root/testdata/sf0.001",
+                                           alpha=alpha).to_pandas()
+    v = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["value"])["value"].to_numpy()
+    for _, r in got.iterrows():
+        # rank-nearest truth: the sketch targets the ceil(qn)-th order stat
+        k = max(0, min(len(v) - 1, int(np.ceil(r["q"] * len(v))) - 1))
+        truth = float(np.sort(v)[k])
+        if truth == 0:
+            assert r["val"] == 0
+        else:
+            assert abs(r["val"] - truth) / truth <= alpha + 1e-9, (r, truth)

@@ -2634,3 +2634,204 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
     return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
                      "q": pa.array(out["q"], pa.float64()),
                      "val": pa.array(out["val"], pa.float64())})
+
+
+def unigram_logprob(sf_dir: str):
+    """Model-based quality scoring with a corpus-trained unigram LM: each
+    doc's mean token log-probability under the corpus' own unigram
+    distribution (low = gibberish / rare-token soup, the classic cheap
+    quality filter before perplexity models).
+
+    Scale shape: NO vocabulary broadcast — the global term count attaches to
+    the (doc_id, term, tf) rows through the same sort-segment co-partition
+    as :func:`tfidf_top_term` (a term's global count is its segment's tf
+    sum), then one groupby(doc_id) folds the contributions. Total token
+    count T comes from a one-column streamed sum."""
+    import pyarrow.parquet as _pq  # noqa: F401  (parity with tfidf imports)
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = b["text"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = pc.split_pattern(_norm_text(toks), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(
+                np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                pa.int64()),
+            "term": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "term": g["term"],
+                         "tf": pc.cast(g["count_all"], pa.int64())})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    srt = rows.sort("term").materialize()
+
+    # total tokens T: tiny streamed sum over the exploded rows
+    total = srt.sum("tf")
+    T = float(total if not isinstance(total, dict) else total["sum(tf)"])
+
+    def _bounds(b: pa.Table):
+        k = np.asarray(b["term"].to_pylist(), dtype=object)
+        n = len(k)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= k[1:] != k[:-1]
+        return np.flatnonzero(change), n
+
+    def score_rows(t: pa.Table, cf: int) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "contrib": pa.array(tf * np.log(cf / T),
+                                             pa.float64()),
+                         "tf": t["tf"]})
+
+    def interior(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "contrib": pa.array([], pa.float64()),
+                          "tf": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        bounds, n = _bounds(b)
+        tf_all = b["tf"].to_numpy(zero_copy_only=False)
+        outs = [empty]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if s == 0 or e == n:
+                continue
+            outs.append(score_rows(b.slice(s, e - s),
+                                   int(tf_all[s:e].sum())))
+        return pa.concat_tables(outs)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual(group: pa.Table) -> pa.Table:
+        return score_rows(group,
+                          int(group["tf"].to_numpy(
+                              zero_copy_only=False).sum()))
+
+    scored = srt.map_batches(interior, batch_format="pyarrow",
+                             batch_size=None).union(
+        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
+           .groupby("term").map_groups(residual, batch_format="pyarrow"))
+
+    agg = scored.groupby("doc_id").sum(["contrib", "tf"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "logprob": pc.round(pc.divide(
+                b["sum(contrib)"],
+                pc.cast(b["sum(tf)"], pa.float64())), ndigits=6)}),
+        batch_format="pyarrow")
+
+
+def type_token_ratio(sf_dir: str):
+    """Lexical-diversity score: distinct tokens / total tokens per doc —
+    one Arrow explode + per-batch grouped count-distinct (a doc's tokens
+    never leave its batch, so no shuffle at all)."""
+    def f(b: pa.Table) -> pa.Table:
+        toks = b["text"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = pc.split_pattern(_norm_text(toks), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(
+                np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                pa.int64()),
+            "term": pc.list_flatten(toks)})
+        g = t.group_by("doc_id").aggregate(
+            [("term", "count_distinct"), ([], "count_all")])
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_tokens": pc.cast(g["count_all"], pa.int64()),
+            "n_types": pc.cast(g["term_count_distinct"], pa.int64()),
+            "ttr": pc.round(pc.divide(
+                pc.cast(g["term_count_distinct"], pa.float64()),
+                pc.cast(g["count_all"], pa.float64())), ndigits=6)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+@ray.remote
+def _attach_rank(t: pa.Table, base: int) -> pa.Table:
+    return pa.table({
+        "rank": pa.array(base + 1 + np.arange(t.num_rows, dtype=np.int64),
+                         pa.int64()),
+        "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+
+def length_rank(sf_dir: str):
+    """Global rank of every doc by (n_chars desc, doc_id) — the
+    curriculum-/length-bucketing order. Same distributed prefix-sum shape
+    as :func:`seeded_shuffle`: one range sort, per-block bases from a
+    row-count collect (one int per block), per-block attach tasks."""
+    srt = (_docs(sf_dir, ["doc_id", "n_chars"])
+           .sort([("n_chars"), ("doc_id")],
+                 descending=[True, False])).materialize()
+    refs = srt.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    bases = np.r_[0, np.cumsum(counts)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_rank.remote(r, int(b)) for r, b in zip(refs, bases)])
+
+
+def approx_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
+                            alpha: float = 0.005) -> pa.Table:
+    """Approximate quantiles from a MERGEABLE log-bucket sketch (DDSketch
+    shape): bucket(v) = ceil(log_gamma v) with gamma = (1+alpha)/(1-alpha)
+    gives every estimate a RELATIVE error ≤ alpha with O(log range / alpha)
+    buckets of state per block, merged by plain counter addition — the
+    one-pass no-candidate-rows alternative to :func:`value_quantiles` when a
+    second pass over the data is too expensive. Approximate ⇒ rows-only
+    gate; the relative-error bound is pinned in tests."""
+    from upton_ray.engine import collect
+
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = np.log(gamma)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        zeros = int((v <= 0).sum())
+        pos = v[v > 0]
+        b = np.ceil(np.log(pos) / lg).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(np.r_[np.array([np.iinfo(np.int64).min]),
+                                     bins], pa.int64()),
+            "count": pa.array(np.r_[np.array([zeros]), counts], pa.int64())})
+
+    agg = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["value"], override_num_blocks=8) \
+        .map_batches(sketch, batch_format="pyarrow") \
+        .groupby("bucket").sum("count")
+    t = collect(agg, pa.schema([("bucket", pa.int64()),
+                                ("count", pa.int64())]))
+    order = np.argsort(t["bucket"].to_numpy(zero_copy_only=False))
+    buckets = t["bucket"].to_numpy(zero_copy_only=False)[order]
+    counts = t["sum(count)"].to_numpy(zero_copy_only=False)[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    out = {"q": [], "val": []}
+    for q in qs:
+        k = max(0, min(n - 1, int(np.ceil(q * n)) - 1))
+        i = int(np.searchsorted(cum, k + 1))
+        b = buckets[i]
+        # bucket midpoint in value space: 2*gamma^b/(gamma+1); the zeros
+        # bucket reports 0
+        val = 0.0 if b == np.iinfo(np.int64).min else \
+            float(2.0 * gamma ** b / (gamma + 1))
+        out["q"].append(q)
+        out["val"].append(round(val, 6))
+    return pa.table({"q": pa.array(out["q"], pa.float64()),
+                     "val": pa.array(out["val"], pa.float64())})
