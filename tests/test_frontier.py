@@ -174,3 +174,63 @@ def test_fetch_robots_from_web(ray_session):
             c2.shutdown()
     finally:
         c.shutdown()
+
+
+def test_fetch_robots_https_scheme(ray_session):
+    """An https-only host stores robots under https:// — the probe must
+    derive the scheme from the seed URL (and fall back to the other scheme)
+    instead of always asking http://."""
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+    from upton_ray.synth import _sp
+
+    web = {
+        "https://s.test/robots.txt": [
+            _sp("pre", "User-agent: *\nDisallow: /secret", "", 0)],
+        "https://s.test/index.html": [
+            _sp("section#river/section/h1/a", "ok", "a.html", 0),
+            _sp("section#river/section/h1/a", "no", "secret/b.html", 1)],
+        "https://s.test/a.html": [_sp("h1.article-title", "Allowed", "", 0)],
+        "https://s.test/secret/b.html": [
+            _sp("h1.article-title", "Blocked", "", 0)],
+    }
+
+    def cfg():
+        return CrawlConfig(
+            index_url="https://s.test/index.html",
+            index_selector="section#river section h1 a",
+            extractor="css:h1.article-title",
+            respect_robots=True, fetch_robots=True,
+            sleep_time_between_requests=0,
+            num_seen_shards=1, fetch_concurrency=1)
+
+    c = Crawler(cfg(), web)
+    try:
+        res = c.crawl(trace=True)
+        assert res.documents() == ["Allowed", ""]
+        assert "https://s.test/secret/b.html" not in res.fetched_urls
+        assert cfg_robots_body(c).startswith("User-agent")
+    finally:
+        c.shutdown()
+
+    # http-seeded host whose robots happens to live under https:// is still
+    # found via the cross-scheme fallback probe
+    web2 = {("http" + k[5:] if not k.endswith("robots.txt") else k): v
+            for k, v in web.items()}
+    cfg2 = CrawlConfig(
+        index_url="http://s.test/index.html",
+        index_selector="section#river section h1 a",
+        extractor="css:h1.article-title",
+        respect_robots=True, fetch_robots=True,
+        sleep_time_between_requests=0,
+        num_seen_shards=1, fetch_concurrency=1)
+    c2 = Crawler(cfg2, web2)
+    try:
+        res2 = c2.crawl(trace=True)
+        assert res2.documents() == ["Allowed", ""]
+    finally:
+        c2.shutdown()
+
+
+def cfg_robots_body(c) -> str:
+    return c.cfg.robots_txt["s.test"]
