@@ -39,3 +39,34 @@ def test_store_point_lookup(ray_session, tmp_path):
     for u in some:
         assert store.lookup_one(u) == web[u], u
     assert store.lookup_one("http://src0.docs.example/d/999999.html") is None
+
+
+def test_store_cache_is_content_keyed(ray_session, tmp_path):
+    """Regenerating documents.parquet at the SAME path must miss the /tmp
+    store cache (key covers rows+size+mtime+buckets), and a cache directory,
+    once present, is complete (atomic rename — no _DONE sentinel races)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from upton_ray import docweb
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                f"{sf}/documents.parquet")
+
+    before = set(glob.glob("/tmp/upton_ray_docweb/*"))
+    t1 = docweb.crawl_documents(sf, use_store=True)
+    mid = set(glob.glob("/tmp/upton_ray_docweb/*"))
+    new1 = mid - before
+    assert len(new1) == 1 and os.path.isdir(new1.pop())
+
+    # "regenerate" the table: same content, different mtime -> new cache key
+    time.sleep(0.02)
+    os.utime(f"{sf}/documents.parquet")
+    t2 = docweb.crawl_documents(sf, use_store=True)
+    after = set(glob.glob("/tmp/upton_ray_docweb/*"))
+    assert len(after - mid) == 1, "changed mtime must build a fresh store"
+    assert t1.to_pydict() == t2.to_pydict()
