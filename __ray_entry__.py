@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": datapipe.type_token_ratio,
         "length_rank": datapipe.length_rank,
         "approx_quantiles": datapipe.approx_quantiles_sketch,  # rows-only
+        "dedup_filter": datapipe.dedup_filter,
     }
     return q
 
@@ -695,6 +696,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.v, cc.label FROM cc JOIN e ON e.u = cc.node)
         SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
         FROM cc GROUP BY node
+    """
+    # the dedup_clusters pipeline applied: corpus minus every clustered doc
+    # except its cluster's min-id representative (same recursive CTE)
+    sql["dedup_filter"] = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(w) >= 3 THEN list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                   ELSE [] END) AS sh
+          FROM t),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN e ON e.u = cc.node),
+        lose AS (
+          SELECT node FROM (SELECT node, min(label) AS lbl FROM cc
+                            GROUP BY node) WHERE lbl < node)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT node FROM lose)
     """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"

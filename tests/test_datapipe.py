@@ -520,6 +520,28 @@ def test_dedup_clusters_transitive_closure(ray_session, tmp_path):
     assert 3 not in got                    # singleton: not in any pair
 
 
+def test_dedup_filter_keeps_cluster_representative(ray_session, tmp_path):
+    """dedup_filter drops every clustered doc except the min-id rep: the A-B-C
+    transitive cluster collapses to A; the singleton survives untouched."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mid = base.replace("theta", "thetaX")
+    far = mid.replace("alpha beta", "alphaY betaY")
+    other = "entirely different words in this unrelated document here now"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([base, mid, far, other]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["src0"] * 4),
+        "n_chars": pa.array([len(base)] * 4, pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = _collect(datapipe.dedup_filter(str(tmp_path), threshold=0.5),
+                 ("doc_id", pa.int64()), ("source", pa.string()),
+                 ("n_chars", pa.int64()))
+    assert sorted(t["doc_id"].to_pylist()) == [0, 3]
+
+
 def test_tfidf_top_term_prefers_rare_terms(ray_session, tmp_path):
     """'common' appears in every doc (df=3 -> low idf); each doc's unique
     term wins despite tf parity; ties break to the smaller term."""

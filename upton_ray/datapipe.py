@@ -2835,3 +2835,29 @@ def approx_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
         out["val"].append(round(val, 6))
     return pa.table({"q": pa.array(out["q"], pa.float64()),
                      "val": pa.array(out["val"], pa.float64())})
+
+
+def dedup_filter(sf_dir: str, threshold: float = 0.8):
+    """End-to-end near-dup REMOVAL — the step a training pipeline actually
+    ships: cluster labels from :func:`dedup_clusters` (distributed pair
+    finding, union-find over the small verified pair graph), losers = every
+    clustered doc except its cluster's min-id representative, broadcast as
+    one sorted id array (|losers| ≤ |pairs|, small by construction), and ONE
+    streamed filter pass emits the deduplicated corpus. The corpus is never
+    materialized; only the loser ids travel."""
+    clusters = dedup_clusters(sf_dir, threshold)
+    ids = clusters["doc_id"].to_numpy(zero_copy_only=False)
+    labels = clusters["cluster_id"].to_numpy(zero_copy_only=False)
+    losers_ref = ray.put(np.sort(ids[ids != labels]))
+
+    def keep(b: pa.Table) -> pa.Table:
+        losers = ray.get(losers_ref)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(losers, d)
+        inb = pos < len(losers)
+        drop = np.zeros(len(d), dtype=bool)
+        drop[inb] = losers[pos[inb]] == d[inb]
+        return b.filter(pa.array(~drop))
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow")
