@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank": datapipe.length_rank,
         "approx_quantiles": datapipe.approx_quantiles_sketch,  # rows-only
         "dedup_filter": datapipe.dedup_filter,
+        "repetition_score": datapipe.repetition_score,
+        "dup_ngrams": datapipe.dup_ngrams,
+        "sequence_pack": datapipe.sequence_pack,
     }
     return q
 
@@ -729,6 +732,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source, d.n_chars
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT node FROM lose)
+    """
+    # Gopher repetition gates: integer ppm (floor division) — bit-exact,
+    # no float rounding-mode ambiguity between numpy and DuckDB
+    sql["repetition_score"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE [] END AS gr
+              FROM t),
+        c AS (SELECT doc_id, gram, count(*) AS n
+              FROM (SELECT doc_id, unnest(gr) AS gram FROM g)
+              GROUP BY doc_id, gram),
+        s AS (SELECT doc_id, sum(n) AS total, count(*) AS nd, max(n) AS mx
+              FROM c GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(coalesce((s.total - s.nd) * 1000000 // s.total, 0)
+                    AS BIGINT) AS dup_ppm,
+               CAST(coalesce(s.mx * 1000000 // s.total, 0)
+                    AS BIGINT) AS top_ppm
+        FROM t LEFT JOIN s USING (doc_id)
+    """
+    sql["dup_ngrams"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+                            generate_series(1, len(w) - 4),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 || ' ' || w[i+3] || ' ' || w[i+4]))
+                          ELSE [] END AS gr
+              FROM t)
+        SELECT gram, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(gr) AS gram FROM g)
+        GROUP BY gram HAVING count(*) >= 2
+        ORDER BY df DESC, gram LIMIT 100
+    """
+    sql["sequence_pack"] = r"""
+        SELECT doc_id, n_tok,
+               CAST((sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) // 512 AS BIGINT) AS seq_id
+        FROM (SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tok
+              FROM documents)
     """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"

@@ -542,6 +542,53 @@ def test_dedup_filter_keeps_cluster_representative(ray_session, tmp_path):
     assert sorted(t["doc_id"].to_pylist()) == [0, 3]
 
 
+def _mini_docs(tmp_path, texts):
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["src0"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+
+def test_repetition_score_gopher_gates(ray_session, tmp_path):
+    """'a a a a' -> 2 identical 3-grams (dup 1/2, top 2/2); 'a b c d' ->
+    2 distinct 3-grams (dup 0, top 1/2); short docs score 0/0."""
+    _mini_docs(tmp_path, ["a a a a", "a b c d", "too short"])
+    t = _collect(datapipe.repetition_score(str(tmp_path)),
+                 ("doc_id", pa.int64()), ("dup_ppm", pa.int64()),
+                 ("top_ppm", pa.int64())).sort_by("doc_id")
+    assert t["dup_ppm"].to_pylist() == [500000, 0, 0]
+    assert t["top_ppm"].to_pylist() == [1000000, 500000, 0]
+
+
+def test_dup_ngrams_cross_doc(ray_session, tmp_path):
+    """A 5-gram shared by docs 0 and 1 (df=2) surfaces; within-doc repeats
+    don't inflate df (per-doc distinct); unique grams (df=1) are dropped."""
+    shared = "one two three four five"
+    _mini_docs(tmp_path, [
+        shared + " tail0 " + shared,          # shared gram twice in doc 0
+        "head1 " + shared + " tail1",
+        "totally different words here now six seven eight nine ten"])
+    t = datapipe.dup_ngrams(str(tmp_path))
+    got = dict(zip(t["gram"].to_pylist(), t["df"].to_pylist()))
+    assert got[shared] == 2
+    assert all(df >= 2 for df in got.values())
+
+
+def test_sequence_pack_prefix_sum(ray_session, tmp_path):
+    """Exclusive-prefix packing at budget=512: token counts 200,200,200,512
+    -> prefixes 0,200,400,600 -> seqs 0,0,0,1."""
+    _mini_docs(tmp_path, ["w " * 200, "x " * 200, "y " * 200, "z " * 512])
+    t = _collect(datapipe.sequence_pack(str(tmp_path)),
+                 ("doc_id", pa.int64()), ("n_tok", pa.int64()),
+                 ("seq_id", pa.int64())).sort_by("doc_id")
+    assert t["n_tok"].to_pylist() == [200, 200, 200, 512]
+    assert t["seq_id"].to_pylist() == [0, 0, 0, 1]
+
+
 def test_tfidf_top_term_prefers_rare_terms(ray_session, tmp_path):
     """'common' appears in every doc (df=3 -> low idf); each doc's unique
     term wins despite tf parity; ties break to the smaller term."""

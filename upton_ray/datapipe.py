@@ -2861,3 +2861,161 @@ def dedup_filter(sf_dir: str, threshold: float = 0.8):
 
     return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
         keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------- within/cross-doc n-grams
+
+
+def _ragged_ngrams(toks: pa.Array, n: int):
+    """Vectorized word n-grams over a list<string> column: returns
+    (doc_index_per_gram, gram_strings).  Pure offset arithmetic — one
+    np.repeat builds the ragged arange, n pc.take's + one
+    binary_join_element_wise build the gram strings; no per-doc Python."""
+    flat = pc.list_flatten(toks)
+    L = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    g = np.maximum(L - (n - 1), 0)
+    total = int(g.sum())
+    if total == 0:
+        return (np.zeros(0, dtype=np.int64),
+                pa.array([], pa.string()), g)
+    off = np.r_[np.int64(0), np.cumsum(L)][:-1]
+    doc_of = np.repeat(np.arange(len(L), dtype=np.int64), g)
+    gexc = np.r_[np.int64(0), np.cumsum(g)][:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(gexc, g)
+    j = off[doc_of] + within
+    parts = [pc.take(flat, pa.array(j + i, pa.int64())) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_of, grams, g
+
+
+def repetition_score(sf_dir: str, n: int = 3):
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models"): per doc, the fraction of word n-gram
+    occurrences that are repeats (``dup_ppm``) and the fraction claimed by
+    the single most frequent n-gram (``top_ppm``) — the standard quality
+    gates for removing boilerplate/spam before LM training.
+
+    Fractions are integer parts-per-million (floor division) so the DuckDB
+    oracle is bit-exact with no float rounding-mode ambiguity.  Embarrassingly
+    parallel: each doc is one row, all counting is per-batch Arrow groupby —
+    zero shuffle, streams at any corpus size."""
+
+    def score(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        doc_of, grams, g = _ragged_ngrams(toks, n)
+        ndocs = b.num_rows
+        dup = np.zeros(ndocs, dtype=np.int64)
+        top = np.zeros(ndocs, dtype=np.int64)
+        if len(doc_of):
+            gt = pa.table({"d": pa.array(doc_of, pa.int64()), "g": grams}) \
+                .group_by(["d", "g"]).aggregate([([], "count_all")])
+            d = gt["d"].to_numpy(zero_copy_only=False)
+            c = gt["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+            distinct = np.bincount(d, minlength=ndocs)
+            maxc = np.zeros(ndocs, dtype=np.int64)
+            np.maximum.at(maxc, d, c)
+            nz = g > 0
+            dup[nz] = (g[nz] - distinct[nz]) * 1_000_000 // g[nz]
+            top[nz] = maxc[nz] * 1_000_000 // g[nz]
+        return pa.table({"doc_id": b["doc_id"],
+                         "dup_ppm": pa.array(dup, pa.int64()),
+                         "top_ppm": pa.array(top, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def dup_ngrams(sf_dir: str, n: int = 5, k: int = 100):
+    """Cross-document duplicated word n-grams — the candidate table of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): the top-k n-grams appearing in >= 2
+    distinct documents, with their document frequency.
+
+    Same shape as :func:`term_frequencies`: per-batch the grams are exploded
+    and deduped PER DOC (one Arrow groupby), so the shuffle moves one row per
+    distinct (gram) per block — never a row per occurrence — and the driver
+    sees at most k rows per output partition.  At 100 TB the gram key space
+    is hashed across partitions; each gram's global df lives wholly in one
+    partition, so per-partition top-k contains the global top-k."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        doc_of, grams, _ = _ragged_ngrams(toks, n)
+        if not len(doc_of):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        # distinct per doc, then docs-per-gram within the batch
+        per_doc = pa.table({"d": pa.array(doc_of, pa.int64()), "gram": grams}) \
+            .group_by(["d", "gram"]).aggregate([([], "count_all")])
+        g = per_doc.group_by("gram").aggregate([([], "count_all")])
+        return pa.table({"gram": g["gram"],
+                         "nd": pc.cast(g["count_all"], pa.int64())})
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        t = pa.table({"gram": b["gram"],
+                      "df": pc.cast(b["sum(nd)"], pa.int64())})
+        t = t.filter(pc.greater_equal(t["df"], 2))
+        return t.sort_by([("df", "descending"),
+                          ("gram", "ascending")]).slice(0, k)
+
+    agg = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("gram").sum("nd")
+           .map_batches(block_topk, batch_format="pyarrow"))
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
+    if not parts:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by(
+        [("df", "descending"), ("gram", "ascending")]).slice(0, k)
+
+
+# ---------------------------------------------------------- sequence packing
+
+
+@ray.remote
+def _block_toksum(t: pa.Table) -> int:
+    if "n_tok" not in t.column_names:       # empty post-sort block
+        return 0
+    s = pc.sum(t["n_tok"]).as_py()
+    return int(s or 0)
+
+
+@ray.remote
+def _attach_seq(t: pa.Table, base: int, budget: int) -> pa.Table:
+    if "n_tok" not in t.column_names:       # empty post-sort block
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tok": pa.array([], pa.int64()),
+                         "seq_id": pa.array([], pa.int64())})
+    ntok = t["n_tok"].to_numpy(zero_copy_only=False)
+    cume = base + np.cumsum(ntok) - ntok          # exclusive prefix tokens
+    return pa.table({"doc_id": t["doc_id"], "n_tok": t["n_tok"],
+                     "seq_id": pa.array(cume // budget, pa.int64())})
+
+
+def sequence_pack(sf_dir: str, budget: int = 512):
+    """Sequential sequence packing for LM training: doc i (in doc_id order)
+    lands in training sequence ``floor(exclusive_prefix_tokens / budget)`` —
+    the deterministic concat-then-chunk packing (GPT-style) expressed as a
+    DISTRIBUTED PREFIX SUM, same shape as :func:`seeded_shuffle`'s rank
+    attach: one range-partitioned sort, the driver reads ONE int per block
+    (token sums), per-block remote tasks attach ``base + cumsum``.  No block
+    ever reaches the driver; a window function over 10^10 rows costs one
+    sort + one metadata pass."""
+
+    def tok(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok": pc.cast(
+                pc.count_substring_regex(b["text"], pattern=r"\S+"),
+                pa.int64())})
+
+    srt = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(tok, batch_format="pyarrow")
+           .sort("doc_id")).materialize()
+    refs = srt.to_arrow_refs()
+    sums = ray.get([_block_toksum.remote(r) for r in refs])
+    bases = np.r_[np.int64(0), np.cumsum(sums)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_seq.remote(r, int(bs), budget)
+         for r, bs in zip(refs, bases)])
