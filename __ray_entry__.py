@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": datapipe.repetition_score,
         "dup_ngrams": datapipe.dup_ngrams,
         "sequence_pack": datapipe.sequence_pack,
+        "pagerank": datapipe.pagerank,
     }
     return q
 
@@ -781,6 +782,37 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tok
               FROM documents)
     """
+    # pagerank: k unrolled power iterations over the arithmetic link graph
+    # (kids 3d+1..3d+3 + backlink d//2), per-iteration round(12) pins float
+    # reassociation on both sides; the unrolled CTE chain mirrors
+    # datapipe.pagerank's loop exactly
+    _pr_iters, _pr_damp = 5, 0.85
+    _pr = [f"""
+        nodes AS (SELECT doc_id AS node FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        e0 AS (SELECT doc_id AS u,
+                      unnest([3*doc_id+1, 3*doc_id+2, 3*doc_id+3,
+                              CASE WHEN doc_id >= 1 THEN doc_id // 2 END])
+                        AS v
+               FROM documents),
+        edges AS (SELECT u, v FROM e0
+                  WHERE v IS NOT NULL AND v IN (SELECT node FROM nodes)),
+        od AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""]
+    for _i in range(1, _pr_iters + 1):
+        _pr.append(f"""
+        p{_i} AS (SELECT n.node,
+                       round((1 - {_pr_damp}) / (SELECT n FROM nn)
+                             + coalesce(s.m, 0), 12) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.v AS node, sum({_pr_damp} * p.r / od.d) AS m
+                  FROM edges e
+                  JOIN p{_i - 1} p ON p.node = e.u
+                  JOIN od ON od.u = e.u
+                  GROUP BY e.v) s USING (node))""")
+    sql["pagerank"] = ("WITH " + ",".join(_pr)
+                       + f"\nSELECT node AS doc_id, round(r, 6) AS pr"
+                         f" FROM p{_pr_iters}")
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"
     sql["redact_pii"] = (

@@ -589,6 +589,39 @@ def test_sequence_pack_prefix_sum(ray_session, tmp_path):
     assert t["seq_id"].to_pylist() == [0, 0, 0, 1]
 
 
+def test_pagerank_matches_dense_reference(ray_session, tmp_path):
+    """Distributed PageRank == a dense single-process power iteration on the
+    same graph (kids 3d+1..3d+3 + backlink d//2, ids NOT contiguous so the
+    membership gate is exercised), iteration-for-iteration."""
+    ids = [0, 1, 2, 3, 4, 5, 7, 10, 16, 31]      # gaps: 6, 8, 9 missing
+    _mini_docs(tmp_path, ["doc"] * len(ids))
+    t = pq.read_table(tmp_path / "documents.parquet")
+    t = t.set_column(0, "doc_id", pa.array(ids, pa.int64()))
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    idset, n, damp = set(ids), len(ids), 0.85
+    r = {i: 1.0 / n for i in ids}
+    for _ in range(5):
+        out = {i: [] for i in ids}
+        for u in ids:
+            tgts = [v for v in (3 * u + 1, 3 * u + 2, 3 * u + 3)
+                    if v in idset]
+            if u >= 1 and u // 2 in idset:
+                tgts.append(u // 2)
+            for v in tgts:
+                out[v].append(damp * r[u] / len(tgts))
+        r = {i: round((1 - damp) / n + sum(out[i]), 12) for i in ids}
+
+    got = _collect(datapipe.pagerank(str(tmp_path)),
+                   ("doc_id", pa.int64()), ("pr", pa.float64()))
+    got = dict(zip(got["doc_id"].to_pylist(), got["pr"].to_pylist()))
+    assert set(got) == idset
+    for i in ids:
+        assert got[i] == pytest.approx(round(r[i], 6), abs=2e-6), i
+    # backlink hub 1 (sources 2,3 + parent 0) outranks leaf 31
+    assert got[1] > got[31]
+
+
 def test_tfidf_top_term_prefers_rare_terms(ray_session, tmp_path):
     """'common' appears in every doc (df=3 -> low idf); each doc's unique
     term wins despite tf parity; ties break to the smaller term."""

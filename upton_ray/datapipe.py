@@ -3019,3 +3019,92 @@ def sequence_pack(sf_dir: str, budget: int = 512):
     return ray.data.from_arrow_refs(
         [_attach_seq.remote(r, int(bs), budget)
          for r, bs in zip(refs, bases)])
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
+             branching: int = 3):
+    """Iterative distributed PageRank over the synthetic link graph (doc d ->
+    3d+1..3d+3 where the child exists, plus a backlink d -> d//2 so in-degree
+    exceeds 1 and the aggregation is real) — the canonical iterative graph
+    op a link-analysis stage needs (crawl prioritization, spam scoring).
+
+    Shape: rank state LIVES AS A DATASET between iterations (like
+    :func:`crawl_bfs`'s frontier).  Each iteration is ONE streamed
+    map_batches that emits (target, damped contribution) rows — edge
+    existence checked against :class:`upton_ray.seen.IdMembership` shard
+    actors populated distributedly, no driver-side id column read — followed
+    by ONE groupby-sum shuffle keyed on the node id.  A self row per node
+    keeps rank mass defined for sinks/leaves.  Per-iteration cost is
+    O(edges) rows through one shuffle; the driver holds only Dataset
+    handles.  Ranks are rounded to 12 decimals per iteration (so float
+    reassociation across partitionings cannot compound) and 6 on output —
+    the DuckDB oracle iterates the same k joins."""
+    import pyarrow.parquet as _pq
+
+    from upton_ray.seen import IdMembership
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    member = IdMembership(num_shards=4)
+
+    def ingest(b: pa.Table) -> pa.Table:
+        member.add(b["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]) \
+        .map_batches(ingest, batch_format="pyarrow").count()
+    member.finalize()
+
+    r0 = 1.0 / n_docs
+    state = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pa.table({
+            "node": b["doc_id"],
+            "r": pa.array(np.full(b.num_rows, r0), pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    def contribs(b: pa.Table) -> pa.Table:
+        u = b["node"].to_numpy(zero_copy_only=False)
+        r = b["r"].to_numpy(zero_copy_only=False)
+        m = len(u)
+        kids = (u[:, None] * branching
+                + np.arange(1, branching + 1, dtype=np.int64)[None, :]).ravel()
+        back = u // 2
+        tgt = np.concatenate([kids, back])
+        src = np.concatenate([np.repeat(np.arange(m), branching),
+                              np.arange(m)])
+        valid = np.ones(len(tgt), dtype=bool)
+        valid[branching * m:] = u >= 1          # node 0 has no backlink
+        ex = np.zeros(len(tgt), dtype=bool)
+        if valid.any():
+            ex[valid] = member.contains(tgt[valid])
+        od = np.bincount(src[ex], minlength=m)
+        w = np.zeros(m)
+        nz = od > 0
+        w[nz] = damping * r[nz] / od[nz]
+        node = np.concatenate([tgt[ex], u])     # + self rows (zero mass)
+        c = np.concatenate([w[src[ex]], np.zeros(m)])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "c": pa.array(c, pa.float64())})
+
+    teleport = (1.0 - damping) / n_docs
+
+    def renorm(b: pa.Table) -> pa.Table:
+        s = b["sum(c)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b["node"],
+            "r": pa.array(np.round(teleport + s, 12), pa.float64())})
+
+    for _ in range(iters):
+        state = (state.map_batches(contribs, batch_format="pyarrow")
+                 .groupby("node").sum("c")
+                 .map_batches(renorm, batch_format="pyarrow")).materialize()
+    member.kill()
+    return state.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["node"],
+            "pr": pa.array(np.round(
+                b["r"].to_numpy(zero_copy_only=False), 6), pa.float64())}),
+        batch_format="pyarrow")
