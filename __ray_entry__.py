@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": datapipe.dup_ngrams,
         "sequence_pack": datapipe.sequence_pack,
         "pagerank": datapipe.pagerank,
+        "q3_top_orders": datapipe.q3_top_orders,
     }
     return q
 
@@ -813,6 +814,27 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank"] = ("WITH " + ",".join(_pr)
                        + f"\nSELECT node AS doc_id, round(r, 6) AS pr"
                          f" FROM p{_pr_iters}")
+    # TPC-H-Q3 shape (o_orderpriority stands in for o_shippriority, which
+    # the synthetic orders table lacks); revenue e4-quantized as in
+    # lineitem_pricing so partial-agg reassociation can't flip ranks
+    sql["q3_top_orders"] = """
+        WITH la AS (
+          SELECT l_orderkey AS key,
+                 sum(l_extendedprice * (1 - l_discount)) AS rev
+          FROM lineitem
+          WHERE l_shipdate > TIMESTAMP '1995-03-15'
+          GROUP BY l_orderkey)
+        SELECT o.o_orderkey,
+               CAST(round(la.rev * 10000, 0) AS BIGINT) AS revenue_e4,
+               o.o_orderdate, o.o_orderpriority
+        FROM orders o
+        JOIN la ON la.key = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        ORDER BY revenue_e4 DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 10
+    """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"
     sql["redact_pii"] = (

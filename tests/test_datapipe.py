@@ -622,6 +622,66 @@ def test_pagerank_matches_dense_reference(ray_session, tmp_path):
     assert got[1] > got[31]
 
 
+def test_q3_top_orders_against_python_reference(ray_session, tmp_path):
+    """The three-way join (broadcast customer semi-join + sort-segment
+    orders x lineitem-agg) matches a brute-force reference, including
+    e4 revenue quantization and the (rev desc, date, key) tiebreak."""
+    import datetime
+    rng = np.random.RandomState(7)
+    n_cust, n_ord = 10, 40
+    seg = ["BUILDING" if i % 2 == 0 else "AUTOMOBILE" for i in range(n_cust)]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+        "c_nationkey": pa.array([0] * n_cust, pa.int32()),
+        "c_acctbal": pa.array([0.0] * n_cust),
+        "c_mktsegment": pa.array(seg)}), tmp_path / "customer.parquet")
+    odate = [datetime.datetime(1995, 3, 1 + int(i % 28)) for i in range(n_ord)]
+    ocust = rng.randint(0, n_cust, n_ord)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_ord), pa.int64()),
+        "o_custkey": pa.array(ocust, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n_ord),
+        "o_totalprice": pa.array([0.0] * n_ord),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        "o_orderpriority": pa.array([f"p{i % 3}" for i in range(n_ord)])}),
+        tmp_path / "orders.parquet")
+    lkey = np.repeat(np.arange(n_ord, dtype=np.int64), 3)
+    price = np.round(rng.uniform(10, 1000, len(lkey)), 2)
+    disc = np.round(rng.choice([0.0, 0.05, 0.1], len(lkey)), 2)
+    sdate = [datetime.datetime(1995, 3, 1 + int(x))
+             for x in rng.randint(0, 28, len(lkey))]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lkey, pa.int64()),
+        "l_partkey": pa.array(np.zeros(len(lkey), np.int64)),
+        "l_suppkey": pa.array(np.zeros(len(lkey), np.int64)),
+        "l_linenumber": pa.array(np.zeros(len(lkey), np.int32), pa.int32()),
+        "l_quantity": pa.array(np.ones(len(lkey))),
+        "l_extendedprice": pa.array(price),
+        "l_discount": pa.array(disc),
+        "l_tax": pa.array(np.zeros(len(lkey))),
+        "l_returnflag": pa.array(["N"] * len(lkey)),
+        "l_linestatus": pa.array(["O"] * len(lkey)),
+        "l_shipdate": pa.array(sdate, pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+
+    cut = datetime.datetime(1995, 3, 15)
+    rev = {}
+    for j, okey in enumerate(lkey):
+        if sdate[j] > cut:
+            rev[okey] = rev.get(okey, 0.0) + price[j] * (1 - disc[j])
+    rows = []
+    for o in range(n_ord):
+        if (seg[ocust[o]] == "BUILDING" and odate[o] < cut and o in rev):
+            rows.append((int(round(rev[o] * 10000)), odate[o], o))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expect = [(o, r) for r, _, o in rows[:10]]
+
+    t = datapipe.q3_top_orders(str(tmp_path))
+    got = list(zip(t["o_orderkey"].to_pylist(), t["revenue_e4"].to_pylist()))
+    assert got == expect
+
+
 def test_tfidf_top_term_prefers_rare_terms(ray_session, tmp_path):
     """'common' appears in every doc (df=3 -> low idf); each doc's unique
     term wins despite tf parity; ties break to the smaller term."""

@@ -3108,3 +3108,170 @@ def pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
             "pr": pa.array(np.round(
                 b["r"].to_numpy(zero_copy_only=False), 6), pa.float64())}),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------- large-large shuffle join
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
+                  cutoff: str = "1995-03-15", k: int = 10):
+    """TPC-H-Q3-shaped three-way join (customer x orders x lineitem) — the
+    engine's general LARGE-LARGE equi-join demonstrated end-to-end.
+
+    Shape, side by side:
+      * customer (the small side once filtered to one segment) is a
+        BROADCAST semi-join: its filtered key array is collected once and
+        ray.put — orders tasks probe it with a searchsorted, no shuffle.
+      * lineitem (the big fact) pre-aggregates revenue PER ORDERKEY inside
+        map_batches, so the groupby shuffle moves one row per orderkey per
+        block, never a row per lineitem.
+      * orders x lineitem-agg is a SORT-SEGMENT CO-PARTITIONED join (the
+        tfidf_top_term shape): both sides union with a side tag, ONE
+        range-sort on (key, tag), each block zips its interior 2-row
+        segments vectorized; segments straddling block edges fall back to a
+        tiny residual groupby.
+      * top-k is a per-block combiner + <= k*blocks-row driver merge.
+    Revenue is emitted as e4-scaled integers (2dp price x 2dp discount =>
+    the true sum is integral at 1e4) so partial-agg float reassociation
+    cannot flip the ranking against the oracle."""
+    cut = np.datetime64(cutoff)
+
+    # -- small side: segment custkeys, broadcast once
+    ck_parts = [t for t in ray.get(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: pa.table({"c_custkey": b.filter(
+                pc.equal(b["c_mktsegment"], segment))["c_custkey"]}),
+            batch_format="pyarrow").to_arrow_refs()) if t.num_columns > 0]
+    ckeys = (np.sort(np.concatenate(
+        [t["c_custkey"].to_numpy(zero_copy_only=False) for t in ck_parts]))
+        if ck_parts else np.empty(0, dtype=np.int64))
+    ckeys_ref = ray.put(ckeys)
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        cks = ray.get(ckeys_ref)
+        dt = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cks, cu)
+        inb = pos < len(cks)
+        hit = np.zeros(len(cu), dtype=bool)
+        hit[inb] = cks[pos[inb]] == cu[inb]
+        t = b.filter(pa.array(hit & (dt < cut)))
+        n = t.num_rows
+        return pa.table({
+            "key": t["o_orderkey"],
+            "tag": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+            "rev": pa.array(np.full(n, np.nan), pa.float64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        override_num_blocks=4).map_batches(orders_side,
+                                           batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ship > cut))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        g = pa.table({"key": t["l_orderkey"],
+                      "rev": pa.array(price * (1.0 - disc), pa.float64())}) \
+        .group_by("key").aggregate([("rev", "sum")])
+        return pa.table({"key": g["key"], "rev": g["rev_sum"]})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        override_num_blocks=8) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("key").sum("rev") \
+        .map_batches(
+            lambda b: pa.table({
+                "key": b["key"],
+                "tag": pa.array(np.ones(b.num_rows, dtype=np.int8),
+                                pa.int8()),
+                "o_orderdate": pa.array([None] * b.num_rows,
+                                        pa.timestamp("us")),
+                "o_orderpriority": pa.array([None] * b.num_rows,
+                                            pa.string()),
+                "rev": b["sum(rev)"]}), batch_format="pyarrow")
+
+    srt = orders.union(li).sort(["key", "tag"]).materialize()
+
+    _EMPTY = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "revenue_e4": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_orderpriority": pa.array([], pa.string())})
+
+    def _join_rows(t: pa.Table) -> pa.Table:
+        """Zip a (key,tag)-sorted table's 2-row segments into joined rows."""
+        if t.num_rows < 2:
+            return _EMPTY
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        both = (key[:-1] == key[1:]) & (tag[:-1] == 0) & (tag[1:] == 1)
+        idx = np.flatnonzero(both)
+        if not len(idx):
+            return _EMPTY
+        o = t.take(pa.array(idx, pa.int64()))
+        rev = t.take(pa.array(idx + 1, pa.int64()))["rev"] \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": o["key"],
+            "revenue_e4": pa.array(
+                np.round(rev * 10000.0).astype(np.int64), pa.int64()),
+            "o_orderdate": o["o_orderdate"],
+            "o_orderpriority": o["o_orderpriority"]})
+
+    def _key_bounds(b: pa.Table):
+        d = b["key"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= d[1:] != d[:-1]
+        return np.flatnonzero(change), n
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        bounds, n = _key_bounds(b)
+        keep = np.ones(n, dtype=bool)       # drop edge segments -> residual
+        keep[:bounds[1]] = False
+        keep[bounds[-2]:] = False
+        return _join_rows(b.filter(pa.array(keep)))
+
+    def edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _key_bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual(group: pa.Table) -> pa.Table:
+        return _join_rows(group.sort_by([("key", "ascending"),
+                                         ("tag", "ascending")]))
+
+    joined = srt.map_batches(interior, batch_format="pyarrow",
+                             batch_size=None).union(
+        srt.map_batches(edges, batch_format="pyarrow", batch_size=None)
+           .groupby("key").map_groups(residual, batch_format="pyarrow"))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        return b.sort_by([("revenue_e4", "descending"),
+                          ("o_orderdate", "ascending"),
+                          ("o_orderkey", "ascending")]).slice(0, k)
+
+    parts = [t for t in ray.get(
+        joined.map_batches(block_topk, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns > 0]
+    if not parts:
+        return _EMPTY
+    return pa.concat_tables(parts).sort_by(
+        [("revenue_e4", "descending"), ("o_orderdate", "ascending"),
+         ("o_orderkey", "ascending")]).slice(0, k)
