@@ -247,6 +247,13 @@ def main():
     queries["length_rank"] = round(timed(datapipe.length_rank, SF_DIR), 3)
     queries["approx_quantiles"] = round(
         timed(datapipe.approx_quantiles_sketch, SF_DIR), 3)
+    queries["dedup_filter"] = round(timed(datapipe.dedup_filter, SF_DIR), 3)
+    queries["repetition_score"] = round(
+        timed(datapipe.repetition_score, SF_DIR), 3)
+    queries["dup_ngrams"] = round(timed(datapipe.dup_ngrams, SF_DIR), 3)
+    queries["sequence_pack"] = round(timed(datapipe.sequence_pack, SF_DIR), 3)
+    queries["pagerank"] = round(timed(datapipe.pagerank, SF_DIR), 3)
+    queries["q3_top_orders"] = round(timed(datapipe.q3_top_orders, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap
