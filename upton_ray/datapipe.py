@@ -66,6 +66,76 @@ def _docs(sf_dir: str, columns):
                                  columns=columns, override_num_blocks=8)
 
 
+_HASH_COMBINE = np.uint64(0x100000001B3)        # FNV prime; any odd mixer
+
+
+def _key_hash(t: pa.Table, key_cols) -> np.ndarray:
+    """Deterministic uint64 partitioning hash over one or more key columns
+    (SipHash per column via pd.util.hash_array, mixed).  Only used to ROUTE
+    rows — different keys landing in one partition are re-separated by the
+    reduce's own group_by, so mixer collisions cannot affect results."""
+    h = None
+    for c in key_cols:
+        hc = pd.util.hash_array(
+            t[c].to_numpy(zero_copy_only=False), categorize=False)
+        h = hc if h is None else (h * _HASH_COMBINE) ^ hc
+    return h
+
+
+@ray.remote
+def _hash_split(t: pa.Table, key_cols, P: int):
+    """Slice one block into P hash partitions (one stable argsort, P
+    zero-copy slices)."""
+    if t.num_rows == 0:
+        return tuple(t for _ in range(P))
+    part = (_key_hash(t, key_cols) % np.uint64(P)).astype(np.int64)
+    idx = np.argsort(part, kind="stable")
+    srt = t.take(pa.array(idx, pa.int64()))
+    ps = part[idx]
+    bounds = np.searchsorted(ps, np.arange(P + 1))
+    return tuple(srt.slice(bounds[i], bounds[i + 1] - bounds[i])
+                 for i in range(P))
+
+
+@ray.remote
+def _hash_reduce_part(fn, *tabs):
+    # empty upstream blocks can carry a stale (pre-map) schema — drop them;
+    # if the whole partition is empty, reduce any non-zero-column table so
+    # fn still sees the real column set
+    live = [t for t in tabs if t.num_rows > 0]
+    if not live:
+        live = [next((t for t in tabs if t.num_columns > 0), tabs[0])]
+    return fn(pa.concat_tables(live))
+
+
+def _hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8):
+    """Manual hash-partitioned reduce: every input block is split by
+    key-hash into P slices (one task per block), then P reduce tasks apply
+    ``reduce_fn`` to their partition's concatenated slices.  Returns a
+    Dataset over the P outputs.
+
+    This moves EXACTLY the same bytes as ``Dataset.groupby`` (an all-to-all
+    on the key hash) but skips its sort machinery and per-op actor spin-up:
+    on a 238k-row 8-block table at 32 cpus, groupby().sum() costs 4.3-5.5 s
+    (hash or sort strategy alike) vs 0.07 s for this helper — the fixed
+    overhead dominates any post-combiner aggregate, which is tiny relative
+    to its corpus by construction.  Contract (same as groupby's reduce): one
+    partition's distinct keys fit one worker; callers pass partial-aggregated
+    inputs (one row per key per block) so that holds by construction.  At
+    cluster scale raise ``num_partitions`` to ~total cores; the B x P
+    object fan-out is the classic map-shuffle quadratic — beyond ~10^4
+    blocks, coalesce partials (or fall back to Dataset.groupby's push-based
+    shuffle) before splitting."""
+    refs = ds.materialize().to_arrow_refs()
+    splits = [_hash_split.options(num_returns=num_partitions)
+              .remote(r, list(key_cols), num_partitions) for r in refs]
+    if num_partitions == 1:     # num_returns=1 yields a bare ref
+        splits = [[s] for s in splits]
+    outs = [_hash_reduce_part.remote(reduce_fn, *[s[i] for s in splits])
+            for i in range(num_partitions)]
+    return ray.data.from_arrow_refs(outs)
+
+
 def _norm_text(texts: pa.Array) -> pa.Array:
     """lower + collapse whitespace + trim — matches the SQL normalization
     lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))."""
@@ -2951,17 +3021,27 @@ def dup_ngrams(sf_dir: str, n: int = 5, k: int = 100):
         return pa.table({"gram": g["gram"],
                          "nd": pc.cast(g["count_all"], pa.int64())})
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        t = pa.table({"gram": b["gram"],
-                      "df": pc.cast(b["sum(nd)"], pa.int64())})
-        t = t.filter(pc.greater_equal(t["df"], 2))
-        return t.sort_by([("df", "descending"),
-                          ("gram", "ascending")]).slice(0, k)
+    def part_topk(t: pa.Table) -> pa.Table:
+        if "gram" not in t.column_names:      # all-empty partition
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        g = t.group_by("gram").aggregate([("nd", "sum")])
+        out = pa.table({"gram": g["gram"],
+                        "df": pc.cast(g["nd_sum"], pa.int64())})
+        out = out.filter(pc.greater_equal(out["df"], 2))
+        return out.sort_by([("df", "descending"),
+                            ("gram", "ascending")]).slice(0, k)
 
-    agg = (_docs(sf_dir, ["doc_id", "text"])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("gram").sum("nd")
-           .map_batches(block_topk, batch_format="pyarrow"))
+    # The final df aggregate runs on _hash_reduce, not Dataset.groupby: the
+    # partials are one row per distinct gram per block, so each partition's
+    # sum+topk is sub-ms work and Dataset.groupby's fixed cost dominates
+    # (measured sf0.1/32cpu: 4.3-5.5 s groupby vs 0.07 s hash-reduce; an
+    # int64 gram-hash shuffle key was also tried inside groupby and rejected
+    # — the floor is shuffle spin-up, not string compares).
+    agg = _hash_reduce(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["gram"], part_topk)
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
     if not parts:
         return pa.table({"gram": pa.array([], pa.string()),
@@ -3125,12 +3205,12 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
       * lineitem (the big fact) pre-aggregates revenue PER ORDERKEY inside
         map_batches, so the groupby shuffle moves one row per orderkey per
         block, never a row per lineitem.
-      * orders x lineitem-agg is a SORT-SEGMENT CO-PARTITIONED join (the
-        tfidf_top_term shape): both sides union with a side tag, ONE
-        range-sort on (key, tag), each block zips its interior 2-row
-        segments vectorized; segments straddling block edges fall back to a
-        tiny residual groupby.
-      * top-k is a per-block combiner + <= k*blocks-row driver merge.
+      * orders x lineitem-agg is a HASH CO-PARTITIONED join: both sides
+        union with a side tag and shuffle ONCE by key hash (_hash_reduce);
+        a key's rows from both sides land in the same partition, which
+        joins them with a local pyarrow hash join — no global sort, no
+        edge residuals.
+      * top-k folds into the partition reduce + a <= P*k-row driver merge.
     Revenue is emitted as e4-scaled integers (2dp price x 2dp discount =>
     the true sum is integral at 1e4) so partial-agg float reassociation
     cannot flip the ranking against the oracle."""
@@ -3180,26 +3260,19 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
         g = pa.table({"key": t["l_orderkey"],
                       "rev": pa.array(price * (1.0 - disc), pa.float64())}) \
         .group_by("key").aggregate([("rev", "sum")])
-        return pa.table({"key": g["key"], "rev": g["rev_sum"]})
+        n = g.num_rows
+        return pa.table({
+            "key": g["key"],
+            "tag": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "o_orderdate": pa.array([None] * n, pa.timestamp("us")),
+            "o_orderpriority": pa.array([None] * n, pa.string()),
+            "rev": g["rev_sum"]})
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         override_num_blocks=8) \
-        .map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("key").sum("rev") \
-        .map_batches(
-            lambda b: pa.table({
-                "key": b["key"],
-                "tag": pa.array(np.ones(b.num_rows, dtype=np.int8),
-                                pa.int8()),
-                "o_orderdate": pa.array([None] * b.num_rows,
-                                        pa.timestamp("us")),
-                "o_orderpriority": pa.array([None] * b.num_rows,
-                                            pa.string()),
-                "rev": b["sum(rev)"]}), batch_format="pyarrow")
-
-    srt = orders.union(li).sort(["key", "tag"]).materialize()
+        .map_batches(li_partial, batch_format="pyarrow")
 
     _EMPTY = pa.table({
         "o_orderkey": pa.array([], pa.int64()),
@@ -3207,69 +3280,43 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
         "o_orderdate": pa.array([], pa.timestamp("us")),
         "o_orderpriority": pa.array([], pa.string())})
 
-    def _join_rows(t: pa.Table) -> pa.Table:
-        """Zip a (key,tag)-sorted table's 2-row segments into joined rows."""
-        if t.num_rows < 2:
+    def part_join_topk(t: pa.Table) -> pa.Table:
+        """One hash partition holds EVERY row (both sides) for its keys:
+        re-sum the lineitem partials, hash-join against orders locally
+        (pyarrow join — single-threaded, partition-sized), keep top-k."""
+        if "tag" not in t.column_names:     # all-empty partition
             return _EMPTY
-        key = t["key"].to_numpy(zero_copy_only=False)
-        tag = t["tag"].to_numpy(zero_copy_only=False)
-        both = (key[:-1] == key[1:]) & (tag[:-1] == 0) & (tag[1:] == 1)
-        idx = np.flatnonzero(both)
-        if not len(idx):
+        tag = t["tag"]
+        o = t.filter(pc.equal(tag, 0)) \
+             .select(["key", "o_orderdate", "o_orderpriority"])
+        l = t.filter(pc.equal(tag, 1)).select(["key", "rev"])
+        if o.num_rows == 0 or l.num_rows == 0:
             return _EMPTY
-        o = t.take(pa.array(idx, pa.int64()))
-        rev = t.take(pa.array(idx + 1, pa.int64()))["rev"] \
-            .to_numpy(zero_copy_only=False)
-        return pa.table({
-            "o_orderkey": o["key"],
+        g = l.group_by("key").aggregate([("rev", "sum")])
+        j = o.join(pa.table({"key": g["key"], "rev": g["rev_sum"]}),
+                   "key", join_type="inner")
+        if j.num_rows == 0:
+            return _EMPTY
+        rev = j["rev"].to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "o_orderkey": j["key"],
             "revenue_e4": pa.array(
                 np.round(rev * 10000.0).astype(np.int64), pa.int64()),
-            "o_orderdate": o["o_orderdate"],
-            "o_orderpriority": o["o_orderpriority"]})
+            "o_orderdate": j["o_orderdate"],
+            "o_orderpriority": j["o_orderpriority"]})
+        return out.sort_by(
+            [("revenue_e4", "descending"), ("o_orderdate", "ascending"),
+             ("o_orderkey", "ascending")]).slice(0, k)
 
-    def _key_bounds(b: pa.Table):
-        d = b["key"].to_numpy(zero_copy_only=False)
-        n = len(d)
-        change = np.zeros(n + 1, dtype=bool)
-        change[0] = change[n] = True
-        change[1:n] |= d[1:] != d[:-1]
-        return np.flatnonzero(change), n
-
-    def interior(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return _EMPTY
-        bounds, n = _key_bounds(b)
-        keep = np.ones(n, dtype=bool)       # drop edge segments -> residual
-        keep[:bounds[1]] = False
-        keep[bounds[-2]:] = False
-        return _join_rows(b.filter(pa.array(keep)))
-
-    def edges(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        bounds, n = _key_bounds(b)
-        keep = np.zeros(n, dtype=bool)
-        keep[:bounds[1]] = True
-        keep[bounds[-2]:] = True
-        return b.filter(pa.array(keep))
-
-    def residual(group: pa.Table) -> pa.Table:
-        return _join_rows(group.sort_by([("key", "ascending"),
-                                         ("tag", "ascending")]))
-
-    joined = srt.map_batches(interior, batch_format="pyarrow",
-                             batch_size=None).union(
-        srt.map_batches(edges, batch_format="pyarrow", batch_size=None)
-           .groupby("key").map_groups(residual, batch_format="pyarrow"))
-
-    def block_topk(b: pa.Table) -> pa.Table:
-        return b.sort_by([("revenue_e4", "descending"),
-                          ("o_orderdate", "ascending"),
-                          ("o_orderkey", "ascending")]).slice(0, k)
-
+    # The join itself is ONE hash co-partition of the tagged union (the
+    # _hash_reduce all-to-all — same bytes moved as a groupby shuffle);
+    # each partition joins + top-ks locally, so the driver merges <= P*k
+    # rows.  Replaces the former global sort + sorted-zip + map_groups
+    # residual (sf0.1/32cpu: 9.6 s -> see BASELINE).
     parts = [t for t in ray.get(
-        joined.map_batches(block_topk, batch_format="pyarrow")
+        _hash_reduce(orders.union(li), ["key"], part_join_topk)
         .to_arrow_refs()) if t.num_columns > 0]
+    parts = [t for t in parts if t.num_rows > 0]
     if not parts:
         return _EMPTY
     return pa.concat_tables(parts).sort_by(
