@@ -484,80 +484,48 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
-def _sorted_segment_pairs(sigs, key_cols: list[str], id_col: str,
-                          max_bucket: int, a_name: str, b_name: str):
+def _hash_bucket_pairs(sigs, key_cols: list[str], id_col: str,
+                       max_bucket: int, a_name: str, b_name: str):
     """(key…, id) table -> candidate id pairs per key group, WITHOUT
-    ``groupby().map_groups``: an LSH bucket table has ~1 group per 1-2 rows,
-    and map_groups pays a Python call per group (~measured 5 s for 100k
-    groups where the sort itself costs 0.15 s).  Instead: global sort by
-    key (range-partitioned, so a key's rows are contiguous), then one
-    vectorized pass per block emitting pairs for segments strictly interior
-    to the block; segments touching a block edge (which may straddle blocks)
-    are re-emitted as residual rows — a tiny table (<= 2 segments/block) —
-    and pair-expanded in a second pass through map_groups, where per-group
-    overhead is now negligible.  Oversized groups (> max_bucket) become
-    marker rows (a = -1, b = group size) for the caller to drop + log."""
-    srt = sigs.sort(key_cols).materialize()
+    ``groupby().map_groups`` OR a global sort: an LSH bucket table has ~1
+    group per 1-2 rows, and map_groups pays a Python call per group
+    (~measured 5 s for 100k groups); bucket grouping needs CO-LOCATION,
+    not order, so one _hash_reduce co-partition on the key (same all-to-all
+    bytes as the former range sort, none of its fixed cost) lands every
+    key's rows whole in one partition — no block-edge residual pass.  Each
+    partition sorts locally and pair-expands its multi-row segments
+    vectorized.  Oversized groups (> max_bucket) become marker rows
+    (a = -1, b = group size) for the caller to drop + log."""
+    empty = pa.table({a_name: pa.array([], pa.int64()),
+                      b_name: pa.array([], pa.int64())})
 
-    def _seg_bounds(b: pa.Table):
-        keys = [b[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    def part_pairs(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or t.num_rows == 0:
+            return empty
+        t = t.sort_by([(c, "ascending") for c in key_cols]
+                      + [(id_col, "ascending")])
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
         n = len(keys[0])
         change = np.zeros(n + 1, dtype=bool)
         change[0] = change[n] = True
         for k in keys:
             change[1:n] |= k[1:] != k[:-1]
-        return np.flatnonzero(change), n
-
-    def interior_pairs(b: pa.Table) -> pa.Table:
-        empty = pa.table({a_name: pa.array([], pa.int64()),
-                          b_name: pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        bounds, n = _seg_bounds(b)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(change)
+        lens = np.diff(bounds)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         outs = [empty]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if s == 0 or e == n:
-                continue                      # edge segment: residual pass
-            if e - s < 2:
-                continue
-            if e - s > max_bucket:
+        for s, m in zip(bounds[:-1][lens >= 2], lens[lens >= 2]):
+            if m > max_bucket:
                 outs.append(pa.table({a_name: pa.array([-1], pa.int64()),
-                                      b_name: pa.array([e - s], pa.int64())}))
+                                      b_name: pa.array([m], pa.int64())}))
                 continue
-            v = np.sort(ids[s:e])
-            i, j = np.triu_indices(e - s, k=1)
+            v = ids[s:s + m]                  # id-sorted within the segment
+            i, j = np.triu_indices(m, k=1)
             outs.append(pa.table({a_name: pa.array(v[i], pa.int64()),
                                   b_name: pa.array(v[j], pa.int64())}))
         return pa.concat_tables(outs)
 
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        bounds, n = _seg_bounds(b)
-        first_e = bounds[1]
-        last_s = bounds[-2]
-        keep = np.zeros(n, dtype=bool)
-        keep[:first_e] = True
-        keep[last_s:] = True
-        return b.filter(pa.array(keep))
-
-    def residual_group(group: pa.Table) -> pa.Table:
-        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
-        if len(ids) > max_bucket:
-            return pa.table({a_name: pa.array([-1], pa.int64()),
-                             b_name: pa.array([len(ids)], pa.int64())})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pa.table({a_name: pa.array(ids[i], pa.int64()),
-                         b_name: pa.array(ids[j], pa.int64())})
-
-    pairs = srt.map_batches(interior_pairs, batch_format="pyarrow",
-                            batch_size=None)
-    resid = (srt.map_batches(edge_rows, batch_format="pyarrow",
-                             batch_size=None)
-             .groupby(key_cols)
-             .map_groups(residual_group, batch_format="pyarrow"))
-    return pairs.union(resid)
+    return _hash_reduce(sigs, key_cols, part_pairs)
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.8,
@@ -616,14 +584,9 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
             "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64())})
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    # materialize the (small: n_docs x N_BANDS int rows) signature table
-    # before the groupby: Ray Data's groupby/map_groups planning probes
-    # schema(), which re-executes an unmaterialized upstream several times —
-    # measured 3 extra signature passes on this pipeline; the shuffle was
-    # going to pin these blocks anyway
-    buckets = docs.map_batches(sig_batch, batch_format="pyarrow").materialize()
+    buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
 
-    cand = _sorted_segment_pairs(buckets, ["band", "bucket"], "doc_id",
+    cand = _hash_bucket_pairs(buckets, ["band", "bucket"], "doc_id",
                                  max_bucket, "doc_a", "doc_b")
     cand_parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns > 0]
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -896,19 +859,29 @@ def events_window(sf_dir: str):
                          "n_events": pc.cast(g["value_count"], pa.int64()),
                          "sum_value": g["value_sum"]})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"])
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby(["event_type", "w"]).sum(["n_events", "sum_value"])
-    return agg.map_batches(
-        lambda b: pa.table({
-            "event_type": b["event_type"],
-            "window_start": b["w"],
-            "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+    def part_sum(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names:  # all-empty partition
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "window_start": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64())})
+        g = t.group_by(["event_type", "w"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["w"],
+            "n_events": pc.cast(g["n_events_sum"], pa.int64()),
             # round to 6dp: float-sum association differs between partial-agg
             # order and the oracle's single-pass sum
-            "sum_value": pc.round(b["sum(sum_value)"], ndigits=6),
-        }), batch_format="pyarrow")
+            "sum_value": pc.round(g["sum_value_sum"], ndigits=6)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    # final aggregate on _hash_reduce: the partials are one row per
+    # (window, type) per block, far below Dataset.groupby's fixed cost
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["event_type", "w"], part_sum)
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30, *, num_blocks: int = 8):
@@ -1191,26 +1164,36 @@ def lineitem_pricing(sf_dir: str, cutoff: str = "1998-09-02"):
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
         override_num_blocks=8)
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]).sum(
-        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"])
-    return agg.map_batches(
-        lambda b: pa.table({
-            "l_returnflag": b["l_returnflag"],
-            "l_linestatus": b["l_linestatus"],
+    def part_sum(t: pa.Table) -> pa.Table:
+        if "l_returnflag" not in t.column_names:  # all-empty partition
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.int64()),
+                "sum_base_price_cents": pa.array([], pa.int64()),
+                "sum_disc_price_e4": pa.array([], pa.int64()),
+                "count_order": pa.array([], pa.int64())})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_price", "sum"),
+             ("sum_disc_price", "sum"), ("count_order", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
             # integer cents: stable under partial-agg float reassociation
             # where decimal rounding is ulp-sensitive (see nation_revenue)
-            "sum_qty": pc.cast(pc.round(b["sum(sum_qty)"], ndigits=0),
+            "sum_qty": pc.cast(pc.round(g["sum_qty_sum"], ndigits=0),
                                pa.int64()),
             "sum_base_price_cents": pc.cast(pc.round(pc.multiply(
-                b["sum(sum_base_price)"], 100.0), ndigits=0), pa.int64()),
+                g["sum_base_price_sum"], 100.0), ndigits=0), pa.int64()),
             # disc_price has FOUR decimals (2dp price x 2dp discount), so a
             # cent-scale sum can land on an exact half -> scale by 1e4 where
             # the true sum is integral and nearest-int has full margin
             "sum_disc_price_e4": pc.cast(pc.round(pc.multiply(
-                b["sum(sum_disc_price)"], 10000.0), ndigits=0), pa.int64()),
-            "count_order": pc.cast(b["sum(count_order)"], pa.int64()),
-        }), batch_format="pyarrow")
+                g["sum_disc_price_sum"], 10000.0), ndigits=0), pa.int64()),
+            "count_order": pc.cast(g["count_order_sum"], pa.int64())})
+
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["l_returnflag", "l_linestatus"], part_sum)
 
 
 def nation_revenue(sf_dir: str):
@@ -1244,18 +1227,24 @@ def nation_revenue(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"],
                                override_num_blocks=8)
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "n_name").sum(["revenue", "n_orders"])
-    return agg.map_batches(
-        lambda b: pa.table({
-            "n_name": b["n_name"],
+    def part_sum(t: pa.Table) -> pa.Table:
+        if "n_name" not in t.column_names:    # all-empty partition
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        g = t.group_by("n_name").aggregate(
+            [("revenue", "sum"), ("n_orders", "sum")])
+        return pa.table({
+            "n_name": g["n_name"],
             # integer cents: float-sum association differs between the
             # partial-agg order and the oracle's single pass; nearest-cent is
             # stable where a 4-dp round is ulp-sensitive
             "revenue_cents": pc.cast(pc.round(pc.multiply(
-                b["sum(revenue)"], 100.0), ndigits=0), pa.int64()),
-            "n_orders": pc.cast(b["sum(n_orders)"], pa.int64()),
-        }), batch_format="pyarrow")
+                g["revenue_sum"], 100.0), ndigits=0), pa.int64()),
+            "n_orders": pc.cast(g["n_orders_sum"], pa.int64())})
+
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["n_name"], part_sum)
 
 
 # ----------------------------------------------------------- frontier BFS
@@ -1375,7 +1364,7 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
 
     sigs = _emb(sf_dir).map_batches(signatures, batch_format="pyarrow",
                                     batch_size=4096)
-    cand = _sorted_segment_pairs(sigs, ["band", "bucket"], "vec_id",
+    cand = _hash_bucket_pairs(sigs, ["band", "bucket"], "vec_id",
                                  max_bucket, "vec_a", "vec_b")
     parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns > 0]
     empty = pa.table({"vec_a": pa.array([], pa.int64()),
@@ -1477,15 +1466,21 @@ def term_frequencies(sf_dir: str, k: int = 20) -> pa.Table:
         return pa.table({"term": g["term"],
                          "n": pc.cast(g["count_all"], pa.int64())})
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        t = pa.table({"term": b["term"], "n": pc.cast(b["sum(n)"], pa.int64())})
-        return t.sort_by([("n", "descending"),
-                          ("term", "ascending")]).slice(0, k)
+    def part_topk(t: pa.Table) -> pa.Table:
+        if "term" not in t.column_names:      # all-empty partition
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by("term").aggregate([("n", "sum")])
+        out = pa.table({"term": g["term"],
+                        "n": pc.cast(g["n_sum"], pa.int64())})
+        return out.sort_by([("n", "descending"),
+                            ("term", "ascending")]).slice(0, k)
 
-    agg = (_docs(sf_dir, ["text"])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("term").sum("n")
-           .map_batches(block_topk, batch_format="pyarrow"))
+    # final term aggregate on _hash_reduce: partials are one row per
+    # distinct term per block, below Dataset.groupby's fixed cost
+    agg = _hash_reduce(_docs(sf_dir, ["text"])
+                       .map_batches(partial, batch_format="pyarrow"),
+                       ["term"], part_topk)
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
     top = pa.concat_tables(parts).sort_by(
         [("n", "descending"), ("term", "ascending")]).slice(0, k)
@@ -1927,16 +1922,22 @@ def doc_length_histogram(sf_dir: str, width: int = 100):
         return pa.table({"bucket": g["bucket"],
                          "n_docs": pc.cast(g["count_all"], pa.int64())})
 
-    agg = (_docs(sf_dir, ["n_chars"])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("bucket").sum("n_docs"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "bucket": b["bucket"],
-            "lo": pc.multiply(b["bucket"], width),
-            "hi": pc.multiply(pc.add(b["bucket"], 1), width),
-            "n_docs": pc.cast(b["sum(n_docs)"], pa.int64()),
-        }), batch_format="pyarrow")
+    def part_sum(t: pa.Table) -> pa.Table:
+        if "bucket" not in t.column_names:    # all-empty partition
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        g = t.group_by("bucket").aggregate([("n_docs", "sum")])
+        return pa.table({
+            "bucket": g["bucket"],
+            "lo": pc.multiply(g["bucket"], width),
+            "hi": pc.multiply(pc.add(g["bucket"], 1), width),
+            "n_docs": pc.cast(g["n_docs_sum"], pa.int64())})
+
+    return _hash_reduce(_docs(sf_dir, ["n_chars"])
+                        .map_batches(partial, batch_format="pyarrow"),
+                        ["bucket"], part_sum)
 
 
 def sample_stratified(sf_dir: str, target_per_stratum: int = 50,
@@ -2013,10 +2014,10 @@ def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
     op that needs a LARGE-LARGE join (every document's terms joined with the
     global document-frequency table).  Ray Data has no join primitive; the
     shape used here is SORT-SEGMENT CO-PARTITIONING: explode (doc_id, term,
-    tf) rows, range-sort by term, and compute each term's df as its segment
-    size in the same sweep that scores the rows — the "join" costs exactly
-    one shuffle.  Segments straddling block edges fall back to a tiny
-    groupby pass, as in _sorted_segment_pairs.
+    tf) rows, hash co-partition by term (_hash_reduce), and compute each
+    term's df as a within-partition bincount in the same pass that scores
+    the rows — the "join" costs exactly one shuffle and no global sort;
+    a doc-keyed second pass picks each document's winner.
 
     Scores are INTEGER-quantized — score = tf * ((n_docs * idf_scale) // df)
     — so the DuckDB oracle ranks identically with no libm/float-ulp
@@ -2044,58 +2045,25 @@ def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
 
     rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow")
-    srt = rows.sort("term").materialize()
 
-    def _bounds(b: pa.Table):
-        k = np.asarray(b["term"].to_pylist(), dtype=object)
-        n = len(k)
-        change = np.zeros(n + 1, dtype=bool)
-        change[0] = change[n] = True
-        change[1:n] |= k[1:] != k[:-1]
-        return np.flatnonzero(change), n
-
-    def score_rows(t: pa.Table, df: int) -> pa.Table:
-        idf = (n_docs * idf_scale) // df
+    def part_score(t: pa.Table) -> pa.Table:
+        """A term's rows land whole in one hash partition, so its df is a
+        within-partition bincount over the dictionary-encoded term column
+        (one row per (doc, term) => row count per term == df); per-doc best
+        is pre-folded (combiner) before the doc-keyed pass."""
+        if "term" not in t.column_names or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(t["term"].combine_chunks())
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(inv)
+        idf = (n_docs * idf_scale) // df        # integer-quantized idf
         tf = t["tf"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
-                         "score": pa.array(tf * idf, pa.int64())})
+        scored = pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                           "score": pa.array(tf * idf[inv], pa.int64())})
+        return _first_per_doc(scored)
 
-    def interior_scores(b: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "term": pa.array([], pa.string()),
-                          "score": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        bounds, n = _bounds(b)
-        outs = [empty]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if s == 0 or e == n:
-                continue                  # edge segment: residual pass
-            outs.append(score_rows(b.slice(s, e - s), e - s))
-        return pa.concat_tables(outs)
-
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        bounds, n = _bounds(b)
-        keep = np.zeros(n, dtype=bool)
-        keep[:bounds[1]] = True
-        keep[bounds[-2]:] = True
-        return b.filter(pa.array(keep))
-
-    def residual_scores(group: pa.Table) -> pa.Table:
-        return score_rows(group, group.num_rows)
-
-    scored = srt.map_batches(interior_scores, batch_format="pyarrow",
-                             batch_size=None).union(
-        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
-           .groupby("term").map_groups(residual_scores, batch_format="pyarrow"))
-
-    # per-doc argmax, never touching the driver: a per-block combiner keeps
-    # each doc's best (score desc, term asc) row — vectorized first-per-
-    # segment after a block-local sort, ≤ 1 row per doc per block into the
-    # shuffle — then a global sort + the same first-per-segment sweep picks
-    # the winner (edge segments via a tiny residual groupby, as above)
     def _first_per_doc(t: pa.Table) -> pa.Table:
         t = t.sort_by([("doc_id", "ascending"), ("score", "descending"),
                        ("term", "ascending")])
@@ -2104,53 +2072,21 @@ def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
             np.zeros(0, dtype=bool)
         return t.filter(pa.array(first))
 
-    cand = scored.map_batches(_first_per_doc, batch_format="pyarrow")
-    srt2 = cand.sort(["doc_id", "score", "term"],
-                     descending=[False, True, False]).materialize()
+    def part_winner(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "top_term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64())})
+        w = _first_per_doc(t)
+        return pa.table({"doc_id": w["doc_id"], "top_term": w["term"],
+                         "score": w["score"]})
 
-    def _doc_bounds(b: pa.Table):
-        d = b["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(d)
-        change = np.zeros(n + 1, dtype=bool)
-        change[0] = change[n] = True
-        change[1:n] |= d[1:] != d[:-1]
-        return np.flatnonzero(change), n
+    # two hash co-partitions (term-keyed df+score with a per-doc combiner,
+    # doc-keyed winner pick) replace the former two global sorts +
+    # per-segment Python loops + map_groups residuals
+    return _hash_reduce(_hash_reduce(rows, ["term"], part_score),
+                        ["doc_id"], part_winner)
 
-    def interior_winners(b: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "top_term": pa.array([], pa.string()),
-                          "score": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        bounds, n = _doc_bounds(b)
-        firsts = [s for s, e in zip(bounds[:-1], bounds[1:])
-                  if s != 0 and e != n]
-        if not firsts:
-            return empty
-        t = b.take(pa.array(np.asarray(firsts, dtype=np.int64)))
-        return pa.table({"doc_id": t["doc_id"], "top_term": t["term"],
-                         "score": t["score"]})
-
-    def doc_edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        bounds, n = _doc_bounds(b)
-        keep = np.zeros(n, dtype=bool)
-        keep[:bounds[1]] = True
-        keep[bounds[-2]:] = True
-        return b.filter(pa.array(keep))
-
-    def residual_winner(group: pa.Table) -> pa.Table:
-        t = _first_per_doc(group)
-        return pa.table({"doc_id": t["doc_id"], "top_term": t["term"],
-                         "score": t["score"]})
-
-    return srt2.map_batches(interior_winners, batch_format="pyarrow",
-                            batch_size=None).union(
-        srt2.map_batches(doc_edge_rows, batch_format="pyarrow",
-                         batch_size=None)
-            .groupby("doc_id")
-            .map_groups(residual_winner, batch_format="pyarrow"))
 
 
 def _pq_train(sample: np.ndarray, n_sub: int, n_cent: int,
@@ -2164,13 +2100,18 @@ def _pq_train(sample: np.ndarray, n_sub: int, n_cent: int,
     for m in range(n_sub):
         x = sample[:, m * ds:(m + 1) * ds]
         c = x[rng.permutation(len(x))[:n_cent]].copy()
+        xx = (x * x).sum(axis=1)
         for _ in range(10):
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # |x-c|^2 = |x|^2 - 2xc + |c|^2 via one matmul (argmin-invariant
+            # up to ulps; codebooks are lossy by design and every consumer
+            # re-verifies or pins recall, not exact codes)
+            d2 = xx[:, None] - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None]
             assign = d2.argmin(axis=1)
-            for k in range(n_cent):
-                mask = assign == k
-                if mask.any():
-                    c[k] = x[mask].mean(axis=0)
+            sums = np.zeros((n_cent, ds))
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=n_cent)
+            nz = cnt > 0
+            c[nz] = sums[nz] / cnt[nz, None]
         books[m] = c
     return books
 
@@ -2415,14 +2356,20 @@ def semi_join_events(sf_dir: str, min_value: float = 190.0):
                          "n_events": pc.cast(g["value_count"], pa.int64()),
                          "sum_value": g["value_sum"]})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").sum(["n_events", "sum_value"])
-    return agg.map_batches(
-        lambda b: pa.table({
-            "user_id": b["user_id"],
-            "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
-            "sum_value": pc.round(b["sum(sum_value)"], ndigits=6),
-        }), batch_format="pyarrow")
+    def part_sum(t: pa.Table) -> pa.Table:
+        if "user_id" not in t.column_names:   # all-empty partition
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        g = t.group_by("user_id").aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "n_events": pc.cast(g["n_events_sum"], pa.int64()),
+            "sum_value": pc.round(g["sum_value_sum"], ndigits=6)})
+
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["user_id"], part_sum)
 
 
 def ann_pq_rerank(sf_dir: str, n_queries: int = 4, k: int = 10,
@@ -2527,7 +2474,8 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
     Iterative + seed-dependent ⇒ rows-only gate; convergence (monotone
     non-increasing inertia) and agreement with a single-process reference
     are pinned in tests."""
-    init = _emb_matrix(_emb(sf_dir).take_batch(k, batch_format="pyarrow"))
+    emb = _emb(sf_dir).materialize()    # one read feeds all iters + assign
+    init = _emb_matrix(emb.take_batch(k, batch_format="pyarrow"))
     cents = init.copy()
     dim = cents.shape[1]
 
@@ -2551,7 +2499,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
                 "vsum": pa.array([row.tobytes() for row in S], pa.binary())})
 
         parts = [t for t in ray.get(
-            _emb(sf_dir).map_batches(partial, batch_format="pyarrow",
+            emb.map_batches(partial, batch_format="pyarrow",
                                      batch_size=4096).to_arrow_refs())
             if t.num_columns > 0]
         S = np.zeros((k, dim))
@@ -2576,7 +2524,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
                          "cluster_id": pa.array(a, pa.int64()),
                          "dist": pa.array(np.round(d, 6), pa.float64())})
 
-    return _emb(sf_dir).map_batches(assign_out, batch_format="pyarrow",
+    return emb.map_batches(assign_out, batch_format="pyarrow",
                                     batch_size=4096)
 
 
@@ -2713,9 +2661,9 @@ def unigram_logprob(sf_dir: str):
     quality filter before perplexity models).
 
     Scale shape: NO vocabulary broadcast — the global term count attaches to
-    the (doc_id, term, tf) rows through the same sort-segment co-partition
-    as :func:`tfidf_top_term` (a term's global count is its segment's tf
-    sum), then one groupby(doc_id) folds the contributions. Total token
+    the (doc_id, term, tf) rows through a term-keyed hash co-partition
+    (a term's global count is a within-partition bincount), then a second
+    doc-keyed hash co-partition folds the contributions. Total token
     count T comes from a one-column streamed sum."""
     import pyarrow.parquet as _pq  # noqa: F401  (parity with tfidf imports)
 
@@ -2736,71 +2684,49 @@ def unigram_logprob(sf_dir: str):
                          "tf": pc.cast(g["count_all"], pa.int64())})
 
     rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow")
-    srt = rows.sort("term").materialize()
+        explode, batch_format="pyarrow").materialize()
 
     # total tokens T: tiny streamed sum over the exploded rows
-    total = srt.sum("tf")
+    total = rows.sum("tf")
     T = float(total if not isinstance(total, dict) else total["sum(tf)"])
 
-    def _bounds(b: pa.Table):
-        k = np.asarray(b["term"].to_pylist(), dtype=object)
-        n = len(k)
-        change = np.zeros(n + 1, dtype=bool)
-        change[0] = change[n] = True
-        change[1:n] |= k[1:] != k[:-1]
-        return np.flatnonzero(change), n
-
-    def score_rows(t: pa.Table, cf: int) -> pa.Table:
+    def part_term(t: pa.Table) -> pa.Table:
+        """A term's rows land whole in one hash partition, so its global
+        count cf is a within-partition bincount (dictionary-encode + one
+        weighted bincount — no per-term Python); fold each doc's partial
+        (sum contrib, sum tf) before shipping to the doc-keyed pass."""
+        if "term" not in t.column_names or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "contrib": pa.array([], pa.float64()),
+                             "tf": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(t["term"].combine_chunks())
+        inv = enc.indices.to_numpy(zero_copy_only=False)
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table({"doc_id": t["doc_id"],
-                         "contrib": pa.array(tf * np.log(cf / T),
-                                             pa.float64()),
-                         "tf": t["tf"]})
+        cf = np.bincount(inv, weights=tf)       # exact: int tf < 2^53
+        g = pa.table({
+            "doc_id": t["doc_id"],
+            "contrib": pa.array(tf * np.log(cf[inv] / T), pa.float64()),
+            "tf": t["tf"],
+        }).group_by("doc_id").aggregate([("contrib", "sum"), ("tf", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "contrib": g["contrib_sum"],
+                         "tf": g["tf_sum"]})
 
-    def interior(b: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "contrib": pa.array([], pa.float64()),
-                          "tf": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        bounds, n = _bounds(b)
-        tf_all = b["tf"].to_numpy(zero_copy_only=False)
-        outs = [empty]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if s == 0 or e == n:
-                continue
-            outs.append(score_rows(b.slice(s, e - s),
-                                   int(tf_all[s:e].sum())))
-        return pa.concat_tables(outs)
-
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        bounds, n = _bounds(b)
-        keep = np.zeros(n, dtype=bool)
-        keep[:bounds[1]] = True
-        keep[bounds[-2]:] = True
-        return b.filter(pa.array(keep))
-
-    def residual(group: pa.Table) -> pa.Table:
-        return score_rows(group,
-                          int(group["tf"].to_numpy(
-                              zero_copy_only=False).sum()))
-
-    scored = srt.map_batches(interior, batch_format="pyarrow",
-                             batch_size=None).union(
-        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
-           .groupby("term").map_groups(residual, batch_format="pyarrow"))
-
-    agg = scored.groupby("doc_id").sum(["contrib", "tf"])
-    return agg.map_batches(
-        lambda b: pa.table({
-            "doc_id": b["doc_id"],
+    def part_doc(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "logprob": pa.array([], pa.float64())})
+        g = t.group_by("doc_id").aggregate(
+            [("contrib", "sum"), ("tf", "sum")])
+        return pa.table({
+            "doc_id": g["doc_id"],
             "logprob": pc.round(pc.divide(
-                b["sum(contrib)"],
-                pc.cast(b["sum(tf)"], pa.float64())), ndigits=6)}),
-        batch_format="pyarrow")
+                g["contrib_sum"],
+                pc.cast(g["tf_sum"], pa.float64())), ndigits=6)})
+
+    # two hash co-partitions (term-keyed score, doc-keyed fold) replace the
+    # former global sort + per-segment Python loop + Dataset.groupby
+    return _hash_reduce(_hash_reduce(rows, ["term"], part_term),
+                        ["doc_id"], part_doc)
 
 
 def type_token_ratio(sf_dir: str):
@@ -2880,12 +2806,20 @@ def approx_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
                                      bins], pa.int64()),
             "count": pa.array(np.r_[np.array([zeros]), counts], pa.int64())})
 
-    agg = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                                columns=["value"], override_num_blocks=8) \
-        .map_batches(sketch, batch_format="pyarrow") \
-        .groupby("bucket").sum("count")
+    def part_sum(t: pa.Table) -> pa.Table:
+        if "bucket" not in t.column_names:    # all-empty partition
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "sum(count)": pa.array([], pa.int64())})
+        g = t.group_by("bucket").aggregate([("count", "sum")])
+        return pa.table({"bucket": g["bucket"], "sum(count)": g["count_sum"]})
+
+    agg = _hash_reduce(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["value"], override_num_blocks=8)
+        .map_batches(sketch, batch_format="pyarrow"),
+        ["bucket"], part_sum)
     t = collect(agg, pa.schema([("bucket", pa.int64()),
-                                ("count", pa.int64())]))
+                                ("sum(count)", pa.int64())]))
     order = np.argsort(t["bucket"].to_numpy(zero_copy_only=False))
     buckets = t["bucket"].to_numpy(zero_copy_only=False)[order]
     counts = t["sum(count)"].to_numpy(zero_copy_only=False)[order]
@@ -3166,21 +3100,32 @@ def pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
         w[nz] = damping * r[nz] / od[nz]
         node = np.concatenate([tgt[ex], u])     # + self rows (zero mass)
         c = np.concatenate([w[src[ex]], np.zeros(m)])
-        return pa.table({"node": pa.array(node, pa.int64()),
-                         "c": pa.array(c, pa.float64())})
+        # per-block pre-combine (backlinks d//2 collide between siblings):
+        # the shuffle moves one row per distinct target per block
+        g = pa.table({"node": pa.array(node, pa.int64()),
+                      "c": pa.array(c, pa.float64())}) \
+            .group_by("node").aggregate([("c", "sum")])
+        return pa.table({"node": g["node"], "c": g["c_sum"]})
 
     teleport = (1.0 - damping) / n_docs
 
-    def renorm(b: pa.Table) -> pa.Table:
-        s = b["sum(c)"].to_numpy(zero_copy_only=False)
+    def part_rank(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:        # all-empty partition
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.float64())})
+        g = t.group_by("node").aggregate([("c", "sum")])
+        s = g["c_sum"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "node": b["node"],
+            "node": g["node"],
             "r": pa.array(np.round(teleport + s, 12), pa.float64())})
 
+    # Each iteration's aggregate runs on _hash_reduce (not Dataset.groupby):
+    # the contribs are block-combined to one row per node per block, so each
+    # partition's sum is tiny and groupby's fixed cost would dominate x iters.
     for _ in range(iters):
-        state = (state.map_batches(contribs, batch_format="pyarrow")
-                 .groupby("node").sum("c")
-                 .map_batches(renorm, batch_format="pyarrow")).materialize()
+        state = _hash_reduce(
+            state.map_batches(contribs, batch_format="pyarrow"),
+            ["node"], part_rank)
     member.kill()
     return state.map_batches(
         lambda b: pa.table({
