@@ -66,74 +66,7 @@ def _docs(sf_dir: str, columns):
                                  columns=columns, override_num_blocks=8)
 
 
-_HASH_COMBINE = np.uint64(0x100000001B3)        # FNV prime; any odd mixer
-
-
-def _key_hash(t: pa.Table, key_cols) -> np.ndarray:
-    """Deterministic uint64 partitioning hash over one or more key columns
-    (SipHash per column via pd.util.hash_array, mixed).  Only used to ROUTE
-    rows — different keys landing in one partition are re-separated by the
-    reduce's own group_by, so mixer collisions cannot affect results."""
-    h = None
-    for c in key_cols:
-        hc = pd.util.hash_array(
-            t[c].to_numpy(zero_copy_only=False), categorize=False)
-        h = hc if h is None else (h * _HASH_COMBINE) ^ hc
-    return h
-
-
-@ray.remote
-def _hash_split(t: pa.Table, key_cols, P: int):
-    """Slice one block into P hash partitions (one stable argsort, P
-    zero-copy slices)."""
-    if t.num_rows == 0:
-        return tuple(t for _ in range(P))
-    part = (_key_hash(t, key_cols) % np.uint64(P)).astype(np.int64)
-    idx = np.argsort(part, kind="stable")
-    srt = t.take(pa.array(idx, pa.int64()))
-    ps = part[idx]
-    bounds = np.searchsorted(ps, np.arange(P + 1))
-    return tuple(srt.slice(bounds[i], bounds[i + 1] - bounds[i])
-                 for i in range(P))
-
-
-@ray.remote
-def _hash_reduce_part(fn, *tabs):
-    # empty upstream blocks can carry a stale (pre-map) schema — drop them;
-    # if the whole partition is empty, reduce any non-zero-column table so
-    # fn still sees the real column set
-    live = [t for t in tabs if t.num_rows > 0]
-    if not live:
-        live = [next((t for t in tabs if t.num_columns > 0), tabs[0])]
-    return fn(pa.concat_tables(live))
-
-
-def _hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8):
-    """Manual hash-partitioned reduce: every input block is split by
-    key-hash into P slices (one task per block), then P reduce tasks apply
-    ``reduce_fn`` to their partition's concatenated slices.  Returns a
-    Dataset over the P outputs.
-
-    This moves EXACTLY the same bytes as ``Dataset.groupby`` (an all-to-all
-    on the key hash) but skips its sort machinery and per-op actor spin-up:
-    on a 238k-row 8-block table at 32 cpus, groupby().sum() costs 4.3-5.5 s
-    (hash or sort strategy alike) vs 0.07 s for this helper — the fixed
-    overhead dominates any post-combiner aggregate, which is tiny relative
-    to its corpus by construction.  Contract (same as groupby's reduce): one
-    partition's distinct keys fit one worker; callers pass partial-aggregated
-    inputs (one row per key per block) so that holds by construction.  At
-    cluster scale raise ``num_partitions`` to ~total cores; the B x P
-    object fan-out is the classic map-shuffle quadratic — beyond ~10^4
-    blocks, coalesce partials (or fall back to Dataset.groupby's push-based
-    shuffle) before splitting."""
-    refs = ds.materialize().to_arrow_refs()
-    splits = [_hash_split.options(num_returns=num_partitions)
-              .remote(r, list(key_cols), num_partitions) for r in refs]
-    if num_partitions == 1:     # num_returns=1 yields a bare ref
-        splits = [[s] for s in splits]
-    outs = [_hash_reduce_part.remote(reduce_fn, *[s[i] for s in splits])
-            for i in range(num_partitions)]
-    return ray.data.from_arrow_refs(outs)
+from upton_ray.shuffle import hash_reduce as _hash_reduce  # noqa: E402
 
 
 def _norm_text(texts: pa.Array) -> pa.Array:
@@ -472,8 +405,21 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
                          "doc_b": pa.array(ids[j[keep]], pa.int64()),
                          "jacc": pa.array(jac[keep], pa.float64())})
 
-    out = docs.groupby("source").map_groups(pairs_in_block,
-                                            batch_format="pyarrow")
+    def part_blocks(t: pa.Table) -> pa.Table:
+        """A source's docs land whole in one hash partition; run the
+        postings sweep per distinct source in the partition."""
+        if "source" not in t.column_names or t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jacc": pa.array([], pa.float64())})
+        t = t.sort_by("source")
+        src = t["source"].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.r_[True, src[1:] != src[:-1], True])
+        return pa.concat_tables(
+            [pairs_in_block(t.slice(s, e - s))
+             for s, e in zip(bounds[:-1], bounds[1:])])
+
+    out = _hash_reduce(docs, ["source"], part_blocks)
     parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns > 0]
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
@@ -2543,7 +2489,8 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
     n_bins = 2048
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"],
-                               override_num_blocks=8)
+                               override_num_blocks=8) \
+        .materialize()    # one read feeds all three passes
 
     def stats(batch: pa.Table) -> pa.Table:
         g = batch.group_by("event_type").aggregate(

@@ -56,6 +56,7 @@ from upton_ray.config import CrawlConfig
 from upton_ray.extract import ExtractRecords, extract_links_batch
 from upton_ray.fetch import IndexWalker, InstanceWalker
 from upton_ray.seen import SeenSet
+from upton_ray.shuffle import hash_reduce
 from upton_ray.urlops import hosts_of, shard_hashes
 
 
@@ -332,8 +333,20 @@ class Crawler:
             return pa.table({"seed_id": g["seed_id"], "page_no": g["page_no"],
                              "size": pc.cast(g["count_all"], pa.int64())})
 
-        counts_ds = (links.map_batches(_page_counts, batch_format="pyarrow")
-                     .groupby(["seed_id", "page_no"]).sum("size")).materialize()
+        def _part_counts(t: pa.Table) -> pa.Table:
+            if "seed_id" not in t.column_names:   # all-empty partition
+                return pa.table({"seed_id": pa.array([], pa.int32()),
+                                 "page_no": pa.array([], pa.int32()),
+                                 "sum(size)": pa.array([], pa.int64())})
+            g = t.group_by(["seed_id", "page_no"]).aggregate([("size", "sum")])
+            return pa.table({"seed_id": g["seed_id"], "page_no": g["page_no"],
+                             "sum(size)": g["size_sum"]})
+
+        # final rollup on hash_reduce: the partials are one row per index
+        # page per block, far below Dataset.groupby's fixed cost
+        counts_ds = hash_reduce(
+            links.map_batches(_page_counts, batch_format="pyarrow"),
+            ["seed_id", "page_no"], _part_counts)
         n_pages = counts_ds.count()
 
         if n_pages <= cfg.index_offset_collect_limit:
@@ -627,12 +640,16 @@ class Crawler:
             return pa.table({"host": g["host"],
                              "size": pc.cast(g["count_all"], pa.int64())})
 
-        agg = (frontier.map_batches(partial, batch_format="pyarrow")
-               .groupby("host").sum("size"))
-        hot = agg.map_batches(
-            lambda b: pa.table({"host": b["host"].filter(
-                pc.greater(b["sum(size)"], threshold))}),
-            batch_format="pyarrow")
+        def part_hot(t: pa.Table) -> pa.Table:
+            if "host" not in t.column_names:      # all-empty partition
+                return pa.table({"host": pa.array([], pa.string())})
+            g = t.group_by("host").aggregate([("size", "sum")])
+            return pa.table({"host": g["host"].filter(
+                pc.greater(g["size_sum"], threshold))})
+
+        hot = hash_reduce(
+            frontier.map_batches(partial, batch_format="pyarrow"),
+            ["host"], part_hot)
         t = collect(hot, pa.schema([("host", pa.string())]))
         return frozenset(t["host"].to_pylist())
 
