@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": datapipe.sequence_pack,
         "pagerank": datapipe.pagerank,
         "q3_top_orders": datapipe.q3_top_orders,
+        "customer_orders_join": datapipe.customer_orders_join,
     }
     return q
 
@@ -834,6 +835,15 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate < TIMESTAMP '1995-03-15'
         ORDER BY revenue_e4 DESC, o.o_orderdate, o.o_orderkey
         LIMIT 10
+    """
+    sql["customer_orders_join"] = """
+        SELECT o.o_orderkey,
+               o.o_custkey AS c_custkey,
+               c.c_name, c.c_mktsegment,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   AS totalprice_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
     """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"

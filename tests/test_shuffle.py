@@ -1,0 +1,155 @@
+"""Unit tests for upton_ray.shuffle — the manual hash-partitioned reduce
+and the generic equi-join built on it."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+
+from upton_ray.shuffle import hash_join, hash_reduce, key_hash
+
+
+def _sum_by(t: pa.Table, key="k", val="v") -> dict:
+    g = t.group_by(key).aggregate([(val, "sum")])
+    return dict(zip(g[key].to_pylist(), g[f"{val}_sum"].to_pylist()))
+
+
+def _make_reduce_fn():
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow as pa
+        if "k" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        g = t.group_by("k").aggregate([("v", "sum")])
+        return pa.table({"k": g["k"], "v": g["v_sum"]})
+    return fn
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8])
+def test_hash_reduce_matches_groupby(ray_session, num_partitions):
+    rng = np.random.RandomState(7)
+    k = rng.randint(0, 50, size=5000)
+    v = rng.randint(0, 1000, size=5000)
+    src = pa.table({"k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.int64())})
+    ds = ray.data.from_arrow(src).repartition(6)
+    out = pa.concat_tables(
+        ray.get(hash_reduce(ds, ["k"], _make_reduce_fn(),
+                            num_partitions=num_partitions).to_arrow_refs()))
+    assert _sum_by(out) == _sum_by(src)
+    # every key appears exactly once — partitions are disjoint
+    assert len(set(out["k"].to_pylist())) == out.num_rows
+
+
+def test_hash_reduce_multi_key_and_strings(ray_session):
+    src = pa.table({
+        "a": pa.array(["x", "y", "x", "y", "x"] * 40),
+        "b": pa.array([1, 1, 2, 2, 1] * 40, pa.int64()),
+        "v": pa.array(list(range(200)), pa.int64())})
+    ds = ray.data.from_arrow(src).repartition(5)
+
+    def fn(t):
+        if "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        g = t.group_by(["a", "b"]).aggregate([("v", "sum")])
+        return pa.table({"a": g["a"], "b": g["b"], "v": g["v_sum"]})
+
+    out = pa.concat_tables(
+        ray.get(hash_reduce(ds, ["a", "b"], fn).to_arrow_refs()))
+    exp = src.group_by(["a", "b"]).aggregate([("v", "sum")])
+    got = {(a, b): v for a, b, v in zip(out["a"].to_pylist(),
+                                        out["b"].to_pylist(),
+                                        out["v"].to_pylist())}
+    want = {(a, b): v for a, b, v in zip(exp["a"].to_pylist(),
+                                         exp["b"].to_pylist(),
+                                         exp["v_sum"].to_pylist())}
+    assert got == want
+
+
+def test_hash_reduce_empty_input(ray_session):
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                       "v": pa.array([], pa.int64())}))
+    out = pa.concat_tables(
+        ray.get(hash_reduce(ds, ["k"], _make_reduce_fn()).to_arrow_refs()))
+    assert out.num_rows == 0
+
+
+def test_key_hash_deterministic_and_order_free(ray_session):
+    t = pa.table({"k": pa.array([5, 1, 5, 9], pa.int64())})
+    h = key_hash(t, ["k"])
+    assert h[0] == h[2]                    # same key -> same hash
+    t2 = pa.table({"k": pa.array([9, 5], pa.int64())})
+    h2 = key_hash(t2, ["k"])
+    assert h2[1] == h[0] and h2[0] == h[3]  # row position irrelevant
+
+
+def _join_case(ray_session, how, exp_rows):
+    left = pa.table({"k": pa.array([1, 2, 3, 3], pa.int64()),
+                     "x": pa.array(["a", "b", "c", "d"])})
+    right = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                      "y": pa.array([20, 30, 40], pa.int64())})
+    out = pa.concat_tables(ray.get(hash_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        "k", how=how, num_partitions=3).to_arrow_refs()))
+    assert out.column_names == ["k", "x", "y"]
+    assert out.num_rows == exp_rows
+    return out.sort_by([("k", "ascending"), ("x", "ascending")])
+
+
+def test_hash_join_inner(ray_session):
+    out = _join_case(ray_session, "inner", 3)
+    assert out["k"].to_pylist() == [2, 3, 3]
+    assert out["x"].to_pylist() == ["b", "c", "d"]
+    assert out["y"].to_pylist() == [20, 30, 30]
+
+
+def test_hash_join_left_outer(ray_session):
+    out = _join_case(ray_session, "left outer", 4)
+    assert out["k"].to_pylist() == [1, 2, 3, 3]
+    assert out["y"].to_pylist() == [None, 20, 30, 30]
+
+
+def test_hash_join_full_outer(ray_session):
+    out = _join_case(ray_session, "full outer", 5)
+    assert set(out["k"].to_pylist()) == {1, 2, 3, 4}
+
+
+def test_hash_join_name_collision_suffix(ray_session):
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "v": pa.array([10, 20], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([100, 200], pa.int64())})
+    out = pa.concat_tables(ray.get(hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k").to_arrow_refs())).sort_by("k")
+    assert out.column_names == ["k", "v", "v_r"]
+    assert out["v"].to_pylist() == [10, 20]
+    assert out["v_r"].to_pylist() == [100, 200]
+
+
+def test_hash_join_matches_duckdb_on_random(ray_session):
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    left = pa.table({"k": pa.array(rng.randint(0, 40, 300), pa.int64()),
+                     "x": pa.array(rng.randint(0, 10**6, 300), pa.int64())})
+    right = pa.table({"k": pa.array(rng.randint(0, 40, 200), pa.int64()),
+                      "y": pa.array(rng.randint(0, 10**6, 200), pa.int64())})
+    out = pa.concat_tables(ray.get(hash_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        "k", num_partitions=5).to_arrow_refs()))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("SELECT l.k, l.x, r.y FROM l JOIN r USING (k) "
+                      "ORDER BY k, x, y").arrow()
+    got = out.sort_by([("k", "ascending"), ("x", "ascending"),
+                       ("y", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    assert got["x"].to_pylist() == exp["x"].to_pylist()
+    assert got["y"].to_pylist() == exp["y"].to_pylist()

@@ -3085,6 +3085,36 @@ def pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
 # ------------------------------------------------- large-large shuffle join
 
 
+def customer_orders_join(sf_dir: str):
+    """The generic join operator (:func:`upton_ray.shuffle.hash_join`)
+    surfaced end-to-end: orders x customer on custkey, every matched row
+    out — no pre-filter, no top-k, the raw large-large equi-join a user
+    reaches for first.  Price emitted as integer cents (2dp exact)."""
+    from upton_ray.shuffle import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        override_num_blocks=4).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"],
+                            "o_orderkey": b["o_orderkey"],
+                            "o_totalprice": b["o_totalprice"]}),
+        batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        override_num_blocks=2)
+    return hash_join(orders, cust, "c_custkey").map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "c_mktsegment": b["c_mktsegment"],
+            "totalprice_cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0), ndigits=0), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
                   cutoff: str = "1995-03-15", k: int = 10):
     """TPC-H-Q3-shaped three-way join (customer x orders x lineitem) — the

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 _HASH_COMBINE = np.uint64(0x100000001B3)        # FNV prime; any odd mixer
@@ -39,6 +40,8 @@ def key_hash(t: pa.Table, key_cols) -> np.ndarray:
 def _hash_split(t: pa.Table, key_cols, P: int):
     """Slice one block into P hash partitions (one stable argsort, P
     zero-copy slices)."""
+    if P == 1:      # num_returns=1: return the bare block, not a 1-tuple
+        return t
     if t.num_rows == 0:
         return tuple(t for _ in range(P))
     part = (key_hash(t, key_cols) % np.uint64(P)).astype(np.int64)
@@ -84,3 +87,65 @@ def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8):
     outs = [_hash_reduce_part.remote(reduce_fn, *[s[i] for s in splits])
             for i in range(num_partitions)]
     return ray.data.from_arrow_refs(outs)
+
+
+def hash_join(left, right, on, how: str = "inner",
+              num_partitions: int = 8, suffix: str = "_r"):
+    """Generic LARGE-LARGE equi-join of two Datasets on column(s) ``on`` —
+    the engine's join primitive (Ray Data has none): both sides are tagged,
+    unioned, and hash co-partitioned ONCE on the key (:func:`hash_reduce`);
+    each partition holds every row of both sides for its keys and joins
+    them with a local pyarrow hash join.  One all-to-all, no global sort,
+    no edge residuals.  ``how``: inner / left outer / right outer / full
+    outer (pyarrow names).  Non-key columns sharing a name get ``suffix``
+    on the right side.  Same memory contract as any hash-partitioned join:
+    one partition (rows of both sides for its key range) fits one worker —
+    pre-aggregate or raise ``num_partitions`` for skewed/huge keys."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = left.schema().names
+    rcols = right.schema().names
+    rmap = {c: (c if (c in keys or c not in lcols) else c + suffix)
+            for c in rcols}
+
+    # unify schemas: left columns then right's non-key columns (renamed);
+    # each side fills the other's columns with typed nulls
+    lt = {c: left.schema().types[lcols.index(c)] for c in lcols}
+    rt = {rmap[c]: right.schema().types[rcols.index(c)] for c in rcols}
+    out_cols = list(lt) + [c for c in rt if c not in lt]
+
+    def widen(b: pa.Table, mine: dict, mapping=None) -> pa.Table:
+        if mapping:
+            b = b.rename_columns([mapping[c] for c in b.column_names])
+        arrs, names = [], []
+        for c in out_cols:
+            names.append(c)
+            if c in b.column_names:
+                arrs.append(b[c])
+            else:
+                arrs.append(pa.nulls(b.num_rows, lt.get(c) or rt.get(c)))
+        return pa.Table.from_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in arrs], names=names) \
+            .append_column("__side", pa.array(
+                np.full(b.num_rows, 0 if mapping is None else 1, np.int8)))
+
+    tagged = left.map_batches(
+        lambda b: widen(b, lt), batch_format="pyarrow").union(
+        right.map_batches(
+            lambda b: widen(b, rt, rmap), batch_format="pyarrow"))
+
+    l_only = [c for c in lt if c not in keys]
+    r_only = [c for c in rt if c not in lt]
+
+    def part_join(t: pa.Table) -> pa.Table:
+        if "__side" not in t.column_names:      # all-empty partition
+            return pa.Table.from_arrays(
+                [pa.array([], lt.get(c) or rt.get(c)) for c in out_cols],
+                names=out_cols)
+        side = t["__side"]
+        lp = t.filter(pc.equal(side, 0)).select(keys + l_only)
+        rp = t.filter(pc.equal(side, 1)).select(keys + r_only)
+        return lp.join(rp, keys, join_type=how).select(out_cols)
+
+    return hash_reduce(tagged, keys, part_join,
+                       num_partitions=num_partitions)
