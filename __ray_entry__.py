@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": datapipe.pagerank,
         "q3_top_orders": datapipe.q3_top_orders,
         "customer_orders_join": datapipe.customer_orders_join,
+        "user_events_join": datapipe.user_events_join,
+        "customers_no_orders": datapipe.customers_no_orders,
     }
     return q
 
@@ -844,6 +846,24 @@ def oracle_sql() -> dict[str, str]:
                    AS totalprice_cents
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
+    """
+    sql["user_events_join"] = """
+        SELECT e.event_id,
+               CASE WHEN e.user_id % 10 = 0 THEN 1
+                    ELSE e.user_id END AS c_custkey,
+               c.c_name,
+               CAST(floor(e.value * 100) AS BIGINT) AS value_cents
+        FROM events e
+        JOIN customer c
+          ON c.c_custkey = CASE WHEN e.user_id % 10 = 0 THEN 1
+                                ELSE e.user_id END
+    """
+    sql["customers_no_orders"] = """
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
     """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"

@@ -254,6 +254,12 @@ def main():
     queries["sequence_pack"] = round(timed(datapipe.sequence_pack, SF_DIR), 3)
     queries["pagerank"] = round(timed(datapipe.pagerank, SF_DIR), 3)
     queries["q3_top_orders"] = round(timed(datapipe.q3_top_orders, SF_DIR), 3)
+    queries["customer_orders_join"] = round(
+        timed(datapipe.customer_orders_join, SF_DIR), 3)
+    queries["user_events_join"] = round(
+        timed(datapipe.user_events_join, SF_DIR), 3)
+    queries["customers_no_orders"] = round(
+        timed(datapipe.customers_no_orders, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap
@@ -269,6 +275,8 @@ def main():
     queries["skew_sessionize"] = round(timed(datapipe.sessionize, skew_path), 3)
     queries["skew_asof_join"] = round(
         timed(datapipe.asof_join_events, skew_path), 3)
+    queries["skew_user_join"] = round(timed(
+        lambda d: datapipe.user_events_join(d, dim_dir=SF_DIR), skew_path), 3)
 
     out = {
         "metric": "crawl+extract throughput and pipeline wall-times",

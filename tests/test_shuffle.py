@@ -153,3 +153,106 @@ def test_hash_join_matches_duckdb_on_random(ray_session):
     assert got["k"].to_pylist() == exp["k"].to_pylist()
     assert got["x"].to_pylist() == exp["x"].to_pylist()
     assert got["y"].to_pylist() == exp["y"].to_pylist()
+
+
+# ---------------------------------------------------------------- skew join
+
+def _skewed_pair(rng, n_left=2000, hot_frac=0.4):
+    """Left table where key 7 owns hot_frac of the rows; right is a dim."""
+    k = rng.randint(0, 60, n_left)
+    k[rng.random(n_left) < hot_frac] = 7
+    left = pa.table({"k": pa.array(k, pa.int64()),
+                     "x": pa.array(rng.randint(0, 10**6, n_left), pa.int64())})
+    right = pa.table({"k": pa.array(np.arange(0, 50), pa.int64()),
+                      "name": pa.array([f"dim-{i}" for i in range(50)])})
+    return left, right
+
+
+def test_detect_hot_keys(ray_session):
+    from upton_ray.shuffle import detect_hot_keys
+
+    rng = np.random.RandomState(3)
+    left, _ = _skewed_pair(rng)
+    ds = ray.data.from_arrow(left).repartition(6)
+    hot = detect_hot_keys(ds, "k", threshold=0.2)
+    assert hot.to_pylist() == [7]
+    # uniform input: nothing clears a 20% bar
+    uni = pa.table({"k": pa.array(rng.randint(0, 60, 2000), pa.int64())})
+    assert len(detect_hot_keys(ray.data.from_arrow(uni).repartition(6),
+                               "k", threshold=0.2)) == 0
+
+
+@pytest.mark.parametrize("how", ["inner", "left outer"])
+def test_skew_join_matches_duckdb(ray_session, how):
+    import duckdb
+
+    from upton_ray.shuffle import skew_join
+
+    rng = np.random.RandomState(5)
+    left, right = _skewed_pair(rng)
+    out = pa.concat_tables(ray.get(skew_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right).repartition(2),
+        "k", how=how, hot_threshold=0.2, num_partitions=4).to_arrow_refs()))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    exp = con.execute(
+        f"SELECT l.k, l.x, r.name FROM l {jt} r USING (k) "
+        "ORDER BY k, x, name NULLS FIRST").arrow()
+    got = out.sort_by([("k", "ascending"), ("x", "ascending"),
+                       ("name", "ascending")])
+    assert got.column_names == ["k", "x", "name"]
+    for c in ("k", "x", "name"):
+        assert got[c].to_pylist() == exp[c].to_pylist(), (how, c)
+
+
+def test_skew_join_uniform_falls_back(ray_session):
+    import duckdb
+
+    from upton_ray.shuffle import skew_join
+
+    rng = np.random.RandomState(9)
+    left = pa.table({"k": pa.array(rng.randint(0, 60, 1000), pa.int64()),
+                     "x": pa.array(np.arange(1000), pa.int64())})
+    right = pa.table({"k": pa.array(np.arange(0, 60), pa.int64()),
+                      "name": pa.array([f"d{i}" for i in range(60)])})
+    out = pa.concat_tables(ray.get(skew_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right), "k",
+        hot_threshold=0.2).to_arrow_refs()))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("SELECT count(*) c, sum(l.x) s FROM l JOIN r USING (k)"
+                      ).fetchone()
+    assert (out.num_rows, pc.sum(out["x"]).as_py()) == exp
+
+
+def test_skew_join_rejects_right_outer(ray_session):
+    from upton_ray.shuffle import skew_join
+
+    t = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        skew_join(t, t, "k", how="full outer")
+
+
+def test_hash_join_semi_anti(ray_session):
+    left = pa.table({"k": pa.array([1, 2, 3, 3, 4], pa.int64()),
+                     "x": pa.array(["a", "b", "c", "d", "e"])})
+    right = pa.table({"k": pa.array([2, 3, 3], pa.int64()),
+                      "y": pa.array([20, 30, 31], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right).repartition(2)
+    semi = pa.concat_tables(ray.get(hash_join(
+        lds, rds, "k", how="left semi",
+        num_partitions=3).to_arrow_refs())).sort_by([
+            ("k", "ascending"), ("x", "ascending")])
+    assert semi.column_names == ["k", "x"]
+    assert semi["x"].to_pylist() == ["b", "c", "d"]   # no dup from 2 matches
+    anti = pa.concat_tables(ray.get(hash_join(
+        lds, rds, "k", how="left anti",
+        num_partitions=3).to_arrow_refs())).sort_by("k")
+    assert anti.column_names == ["k", "x"]
+    assert anti["x"].to_pylist() == ["a", "e"]

@@ -3115,6 +3115,62 @@ def customer_orders_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def customers_no_orders(sf_dir: str, min_price: float = 300_000.0):
+    """Large-large ANTI join (:func:`upton_ray.shuffle.hash_join` with
+    ``left anti``): customers with no big-ticket order (none above
+    ``min_price``).  The price predicate is pushed into the parquet read
+    (row-group pruning); the join itself is the same one-shuffle hash
+    co-partition as the inner join — each partition sees every row of both
+    sides for its keys, so the local pyarrow anti join is exact."""
+    from upton_ray.shuffle import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        override_num_blocks=2)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pc.field("o_totalprice") > min_price),
+        override_num_blocks=4).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+    return hash_join(cust, orders, "c_custkey", how="left anti")
+
+
+def user_events_join(sf_dir: str, hot_threshold: float = 0.05,
+                     dim_dir: str | None = None):
+    """Skew-resistant join surfaced end-to-end
+    (:func:`upton_ray.shuffle.skew_join`): events x customer on a
+    deliberately skewed key — every 10th user folds onto custkey 1, so one
+    key owns ~10% of the left side.  The hot key is detected
+    (per-block top-k count combiner) and joined map-side against a
+    broadcast of its dimension rows; the uniform remainder goes through the
+    hash co-partitioned join.  Value emitted as floor-cents so the float
+    projection is bit-identical to the DuckDB oracle."""
+    from upton_ray.shuffle import skew_join
+
+    def fold(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return pa.table({
+            "event_id": b["event_id"],
+            "c_custkey": pa.array(np.where(u % 10 == 0, 1, u), pa.int64()),
+            "value_cents": pc.cast(pc.floor(pc.multiply(
+                b["value"], 100.0)), pa.int64())})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+        override_num_blocks=4).map_batches(fold, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{dim_dir or sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"], override_num_blocks=2)
+    return skew_join(ev, cust, "c_custkey",
+                     hot_threshold=hot_threshold).map_batches(
+        lambda b: b.select(["event_id", "c_custkey", "c_name",
+                            "value_cents"]),
+        batch_format="pyarrow")
+
+
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
                   cutoff: str = "1995-03-15", k: int = 10):
     """TPC-H-Q3-shaped three-way join (customer x orders x lineitem) — the

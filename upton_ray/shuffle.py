@@ -97,8 +97,9 @@ def hash_join(left, right, on, how: str = "inner",
     each partition holds every row of both sides for its keys and joins
     them with a local pyarrow hash join.  One all-to-all, no global sort,
     no edge residuals.  ``how``: inner / left outer / right outer / full
-    outer (pyarrow names).  Non-key columns sharing a name get ``suffix``
-    on the right side.  Same memory contract as any hash-partitioned join:
+    outer / left semi / left anti (pyarrow names; semi and anti emit the
+    left side's columns only).  Non-key columns sharing a name get
+    ``suffix`` on the right side.  Same memory contract as any hash-partitioned join:
     one partition (rows of both sides for its key range) fits one worker —
     pre-aggregate or raise ``num_partitions`` for skewed/huge keys."""
     keys = [on] if isinstance(on, str) else list(on)
@@ -136,16 +137,122 @@ def hash_join(left, right, on, how: str = "inner",
 
     l_only = [c for c in lt if c not in keys]
     r_only = [c for c in rt if c not in lt]
+    emit = list(lt) if how in ("left semi", "left anti") else out_cols
 
     def part_join(t: pa.Table) -> pa.Table:
         if "__side" not in t.column_names:      # all-empty partition
             return pa.Table.from_arrays(
-                [pa.array([], lt.get(c) or rt.get(c)) for c in out_cols],
-                names=out_cols)
+                [pa.array([], lt.get(c) or rt.get(c)) for c in emit],
+                names=emit)
         side = t["__side"]
         lp = t.filter(pc.equal(side, 0)).select(keys + l_only)
         rp = t.filter(pc.equal(side, 1)).select(keys + r_only)
-        return lp.join(rp, keys, join_type=how).select(out_cols)
+        return lp.join(rp, keys, join_type=how).select(emit)
 
     return hash_reduce(tagged, keys, part_join,
                        num_partitions=num_partitions)
+
+
+def detect_hot_keys(ds, key: str, threshold: float = 0.05,
+                    top_per_block: int = 64) -> pa.Array:
+    """Find keys owning at least ``threshold`` of ``ds``'s rows, without a
+    full-cardinality count: each block contributes its top ``top_per_block``
+    key counts (a combiner — bounded regardless of key cardinality), the
+    partials are hash-summed, and the driver keeps keys whose summed count
+    clears the bar.  The truncation only ever UNDER-counts, so a detected
+    key is truly frequent; a key hot in few blocks may be missed — callers
+    use this to route work (broadcast vs shuffle), where a miss costs
+    balance, never correctness.  Returns the (small) key array."""
+    ds = ds.materialize()
+    total = ds.count()
+    if total == 0:
+        return pa.array([], pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([key]).group_by([key]).aggregate([([], "count_all")])
+        if g.num_rows > top_per_block:
+            cnt = g["count_all"].to_numpy()
+            idx = np.argpartition(cnt, len(cnt) - top_per_block)
+            g = g.take(pa.array(idx[-top_per_block:], pa.int64()))
+        return g
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if key not in t.column_names:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "count_all": pa.array([], pa.int64())})
+        g = t.group_by([key]).aggregate([("count_all", "sum")])
+        return pa.table({key: g[key], "count_all": g["count_all_sum"]})
+
+    counts = pa.concat_tables(ray.get(hash_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), [key], reduce,
+        num_partitions=4).to_arrow_refs()))
+    bar = threshold * total
+    return counts.filter(pc.greater_equal(counts["count_all"], bar))[key] \
+        .combine_chunks()
+
+
+def skew_join(left, right, on: str, how: str = "inner",
+              hot_threshold: float = 0.05, num_partitions: int = 8,
+              suffix: str = "_r", top_per_block: int = 64):
+    """Skew-resistant equi-join: keys owning >= ``hot_threshold`` of the
+    LEFT side (:func:`detect_hot_keys`) are joined map-side against a
+    broadcast of the right side's rows for those keys (`ray.put` once, read
+    per task — never re-shipped per batch); everything else goes through the
+    ordinary hash co-partitioned :func:`hash_join`.  This keeps a hot key
+    from concentrating its whole row mass in one shuffle partition — the
+    failure mode of any hash-partitioned join at scale.
+
+    Contract: the RIGHT side is dimension-like on the hot keys (its rows
+    for them fit one broadcast object).  ``how`` is inner or ``left outer``
+    only — right/full outer would need the broadcast side's unmatched rows
+    emitted exactly once globally, which the map-side path cannot do.
+    Single key column (skew detection is per-key); multi-key joins take
+    :func:`hash_join` directly."""
+    if how not in ("inner", "left outer"):
+        raise ValueError(f"skew_join supports inner/left outer, got {how!r}")
+    left = left.materialize()
+    hot = detect_hot_keys(left, on, hot_threshold, top_per_block)
+    if len(hot) == 0:
+        return hash_join(left, right, on, how=how,
+                         num_partitions=num_partitions, suffix=suffix)
+
+    right = right.materialize()
+    lcols = left.schema().names
+    rcols = right.schema().names
+    rmap = {c: (c if (c == on or c not in lcols) else c + suffix)
+            for c in rcols}
+    out_cols = lcols + [rmap[c] for c in rcols if rmap[c] not in lcols]
+
+    # broadcast the right side's hot rows (small by contract)
+    right_hot = pa.concat_tables(ray.get(
+        [_filter_keys.remote(r, on, hot, True)
+         for r in right.to_arrow_refs()]))
+    right_hot = right_hot.rename_columns(
+        [rmap[c] for c in right_hot.column_names])
+    hot_ref = ray.put(right_hot)
+    hot_keys_ref = ray.put(hot)
+
+    def map_side(b: pa.Table) -> pa.Table:
+        keys = ray.get(hot_keys_ref)
+        mine = b.filter(pc.is_in(b[on], value_set=keys))
+        return mine.join(ray.get(hot_ref), on, join_type=how) \
+            .select(out_cols)
+
+    hot_joined = left.map_batches(map_side, batch_format="pyarrow")
+
+    def drop_hot(b: pa.Table) -> pa.Table:
+        keys = ray.get(hot_keys_ref)
+        return b.filter(pc.invert(pc.is_in(b[on], value_set=keys)))
+
+    cold = hash_join(
+        left.map_batches(drop_hot, batch_format="pyarrow"),
+        right.map_batches(drop_hot, batch_format="pyarrow"),
+        on, how=how, num_partitions=num_partitions, suffix=suffix)
+    return hot_joined.union(cold.map_batches(
+        lambda b: b.select(out_cols), batch_format="pyarrow"))
+
+
+@ray.remote
+def _filter_keys(t: pa.Table, key: str, keys: pa.Array, keep: bool):
+    m = pc.is_in(t[key], value_set=keys)
+    return t.filter(m if keep else pc.invert(m))
