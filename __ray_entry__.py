@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_join": datapipe.customer_orders_join,
         "user_events_join": datapipe.user_events_join,
         "customers_no_orders": datapipe.customers_no_orders,
+        "top_orders_per_customer": datapipe.top_orders_per_customer,
     }
     return q
 
@@ -864,6 +865,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 300000)
+    """
+    sql["top_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   AS totalprice_cents,
+               rn
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 2
     """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"

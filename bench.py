@@ -260,6 +260,8 @@ def main():
         timed(datapipe.user_events_join, SF_DIR), 3)
     queries["customers_no_orders"] = round(
         timed(datapipe.customers_no_orders, SF_DIR), 3)
+    queries["top_orders_per_customer"] = round(
+        timed(datapipe.top_orders_per_customer, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -256,3 +256,43 @@ def test_hash_join_semi_anti(ray_session):
         num_partitions=3).to_arrow_refs())).sort_by("k")
     assert anti.column_names == ["k", "x"]
     assert anti["x"].to_pylist() == ["a", "e"]
+
+
+def test_grouped_top_n_matches_duckdb(ray_session):
+    import duckdb
+
+    from upton_ray.shuffle import grouped_top_n
+
+    rng = np.random.RandomState(13)
+    t = pa.table({"g": pa.array(rng.randint(0, 30, 800), pa.int64()),
+                  "v": pa.array(rng.randint(0, 50, 800), pa.int64()),
+                  "id": pa.array(np.arange(800), pa.int64())})
+    out = pa.concat_tables(ray.get(grouped_top_n(
+        ray.data.from_arrow(t).repartition(5), ["g"],
+        [("v", "descending"), ("id", "ascending")], 3,
+        rn_col="rn", num_partitions=4).to_arrow_refs()))
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        SELECT g, v, id, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY g ORDER BY v DESC, id) AS rn FROM t)
+        WHERE rn <= 3 ORDER BY g, rn""").arrow()
+    got = out.sort_by([("g", "ascending"), ("rn", "ascending")])
+    for c in ("g", "v", "id", "rn"):
+        assert got[c].to_pylist() == exp[c].to_pylist(), c
+
+
+def test_grouped_top_n_string_groups_and_small_groups(ray_session):
+    from upton_ray.shuffle import grouped_top_n
+
+    t = pa.table({"g": pa.array(["a", "a", "b", "c", "c", "c"]),
+                  "v": pa.array([5, 9, 1, 3, 2, 8], pa.int64())})
+    out = pa.concat_tables(ray.get(grouped_top_n(
+        ray.data.from_arrow(t).repartition(3), ["g"],
+        [("v", "descending")], 2, rn_col="rn").to_arrow_refs()))
+    got = {(g, rn): v for g, v, rn in zip(out["g"].to_pylist(),
+                                          out["v"].to_pylist(),
+                                          out["rn"].to_pylist())}
+    assert got == {("a", 1): 9, ("a", 2): 5, ("b", 1): 1,
+                   ("c", 1): 8, ("c", 2): 3}

@@ -3115,6 +3115,33 @@ def customer_orders_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def top_orders_per_customer(sf_dir: str, n: int = 2):
+    """Distributed window function
+    (:func:`upton_ray.shuffle.grouped_top_n`): each customer's ``n``
+    priciest orders with their 1-based rank — ``ROW_NUMBER() OVER
+    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= n``.
+    Per-block combiner bounds the shuffle to n rows per group per block;
+    the rank is attached in the final co-partitioned scan where each
+    group's surviving candidates are all present."""
+    from upton_ray.shuffle import grouped_top_n
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        override_num_blocks=4)
+    return grouped_top_n(
+        orders, ["o_custkey"],
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        n, rn_col="rn").map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "totalprice_cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0), ndigits=0), pa.int64()),
+            "rn": b["rn"]}),
+        batch_format="pyarrow")
+
+
 def customers_no_orders(sf_dir: str, min_price: float = 300_000.0):
     """Large-large ANTI join (:func:`upton_ray.shuffle.hash_join` with
     ``left anti``): customers with no big-ticket order (none above

@@ -153,6 +153,53 @@ def hash_join(left, right, on, how: str = "inner",
                        num_partitions=num_partitions)
 
 
+def _first_n_per_group(t: pa.Table, group_cols, sort_keys, n: int,
+                       rn_col: str | None = None) -> pa.Table:
+    """Sort one table by group then sort keys and keep each group's first
+    ``n`` rows (vectorized: adjacent-row group-change scan, no per-group
+    loop).  ``rn_col`` optionally appends the 1-based rank within the
+    group — only meaningful when ``t`` holds ALL of a group's candidates."""
+    if t.num_rows == 0:
+        return t if rn_col is None else t.append_column(
+            rn_col, pa.array([], pa.int64()))
+    srt = t.sort_by([(c, "ascending") for c in group_cols]
+                    + list(sort_keys))
+    new = np.zeros(srt.num_rows, bool)
+    new[0] = True
+    for c in group_cols:
+        a = srt[c].to_numpy(zero_copy_only=False)
+        new[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(new)
+    gid = np.cumsum(new) - 1
+    pos = np.arange(srt.num_rows) - starts[gid]
+    out = srt.filter(pa.array(pos < n))
+    if rn_col is not None:
+        out = out.append_column(
+            rn_col, pa.array(pos[pos < n] + 1, pa.int64()))
+    return out
+
+
+def grouped_top_n(ds, group_cols, sort_keys, n: int,
+                  rn_col: str | None = None, num_partitions: int = 8):
+    """Top-``n`` rows per group, ordered by ``sort_keys`` (list of
+    ``(col, "ascending"|"descending")``) — the distributed window function
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY keys) <= n``.  Shape:
+    a per-block combiner keeps each group's local top ``n`` (so at most
+    ``n`` rows per group per block shuffle), then one hash co-partition
+    re-runs the same scan over each group's surviving candidates — where
+    the rank is exact, so ``rn_col`` is attached there."""
+    group_cols = list(group_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _first_n_per_group(b, group_cols, sort_keys, n)
+
+    def final(t: pa.Table) -> pa.Table:
+        return _first_n_per_group(t, group_cols, sort_keys, n, rn_col)
+
+    return hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                       group_cols, final, num_partitions=num_partitions)
+
+
 def detect_hot_keys(ds, key: str, threshold: float = 0.05,
                     top_per_block: int = 64) -> pa.Array:
     """Find keys owning at least ``threshold`` of ``ds``'s rows, without a
