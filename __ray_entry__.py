@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_events_join": datapipe.user_events_join,
         "customers_no_orders": datapipe.customers_no_orders,
         "top_orders_per_customer": datapipe.top_orders_per_customer,
+        "length_ntile": datapipe.length_ntile,
+        "nation_year_rollup": datapipe.nation_year_rollup,
     }
     return q
 
@@ -876,6 +878,25 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders)
         WHERE rn <= 2
+    """
+    sql["length_ntile"] = """
+        SELECT doc_id, n_chars,
+               CAST(NTILE(4) OVER (ORDER BY n_chars DESC, doc_id)
+                    AS BIGINT) AS tile
+        FROM documents
+    """
+    sql["nation_year_rollup"] = """
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               COALESCE(yr, -1) AS year,
+               SUM(cents) AS revenue_cents,
+               count(*) AS n_orders
+        FROM (SELECT n.n_name,
+                     CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                     CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey)
+        GROUP BY ROLLUP (n_name, yr)
     """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"

@@ -262,6 +262,9 @@ def main():
         timed(datapipe.customers_no_orders, SF_DIR), 3)
     queries["top_orders_per_customer"] = round(
         timed(datapipe.top_orders_per_customer, SF_DIR), 3)
+    queries["length_ntile"] = round(timed(datapipe.length_ntile, SF_DIR), 3)
+    queries["nation_year_rollup"] = round(
+        timed(datapipe.nation_year_rollup, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -894,3 +894,32 @@ def test_approx_quantiles_relative_error(ray_session):
             assert r["val"] == 0
         else:
             assert abs(r["val"] - truth) / truth <= alpha + 1e-9, (r, truth)
+
+
+def test_ntile_fill_matches_duckdb(ray_session):
+    """NTILE bucket fill with a remainder: first total%k buckets get one
+    extra row (the sf tables are divisible by 4, so the gate never hits
+    this path)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from upton_ray.datapipe import _attach_ntile
+
+    con = duckdb.connect()
+    for total, k in [(10, 4), (7, 3), (8, 4), (5, 7)]:
+        t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(total)]),
+                      "n_chars": pa.array(np.arange(total)[::-1].copy(),
+                                          pa.int64())})
+        # two blocks to exercise the base offset
+        cut = total // 2
+        got = pa.concat_tables(_ray.get([
+            _attach_ntile.remote(t.slice(0, cut), 0, total, k),
+            _attach_ntile.remote(t.slice(cut), cut, total, k)]))
+        exp = con.execute(
+            f"SELECT NTILE({k}) OVER (ORDER BY n_chars DESC, doc_id) "
+            "FROM t ORDER BY n_chars DESC, doc_id",
+        ).fetchnumpy()
+        assert got["tile"].to_numpy().tolist() == \
+            list(exp[list(exp)[0]]), (total, k)

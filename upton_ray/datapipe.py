@@ -2728,6 +2728,107 @@ def length_rank(sf_dir: str):
         [_attach_rank.remote(r, int(b)) for r, b in zip(refs, bases)])
 
 
+@ray.remote
+def _attach_ntile(t: pa.Table, base: int, total: int, k: int) -> pa.Table:
+    rank0 = base + np.arange(t.num_rows, dtype=np.int64)
+    size, rem = divmod(total, k)
+    big = rem * (size + 1)          # rows covered by the size+1 buckets
+    tile = np.where(rank0 < big, rank0 // (size + 1),
+                    rem + (rank0 - big) // max(size, 1)) + 1
+    return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                     "tile": pa.array(tile, pa.int64())})
+
+
+def length_ntile(sf_dir: str, k: int = 4):
+    """Curriculum bucketing: NTILE(k) over the global (n_chars desc,
+    doc_id) order — same distributed prefix-sum shape as
+    :func:`length_rank` (one range sort, one int per block to the driver,
+    per-block attach tasks).  Bucket fill matches SQL NTILE exactly: the
+    first ``total % k`` buckets get one extra row."""
+    srt = (_docs(sf_dir, ["doc_id", "n_chars"])
+           .sort([("n_chars"), ("doc_id")],
+                 descending=[True, False])).materialize()
+    refs = srt.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    total = int(sum(counts))
+    bases = np.r_[0, np.cumsum(counts)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_ntile.remote(r, int(b), total, k)
+         for r, b in zip(refs, bases)])
+
+
+def nation_year_rollup(sf_dir: str):
+    """ROLLUP aggregate — revenue by (nation, year), by (nation), and
+    grand total, as one result with 'ALL'/-1 sentinel levels.  Facts
+    stream through ONE combiner map_batches (small dims broadcast via
+    ray.put, per-row integer cents so every level is associative-exact);
+    leaves meet in one hash co-partition; the coarser levels are derived
+    FROM THE LEAVES (|nations| x |years| rows — constant-size), never from
+    a second pass over the fact table."""
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    c2n = np.zeros(int(pc.max(cust["c_custkey"]).as_py()) + 1, np.int64)
+    c2n[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    name_by_nk = np.empty(int(pc.max(nat["n_nationkey"]).as_py()) + 1,
+                          object)
+    name_by_nk[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_pylist()
+    side_ref = ray.put((c2n, name_by_nk))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c2n_m, names_m = ray.get(side_ref)
+        nk = c2n_m[batch["o_custkey"].to_numpy(zero_copy_only=False)]
+        g = pa.table({
+            "n_name": pa.array(names_m[nk], pa.string()),
+            "year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "revenue_cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], 100.0), ndigits=0), pa.int64()),
+        }).group_by(["n_name", "year"]).aggregate(
+            [("revenue_cents", "sum"), ([], "count_all")])
+        return pa.table({"n_name": g["n_name"], "year": g["year"],
+                         "revenue_cents": g["revenue_cents_sum"],
+                         "n_orders": g["count_all"]})
+
+    def final(t: pa.Table) -> pa.Table:
+        if "n_name" not in t.column_names:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "year": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        g = t.group_by(["n_name", "year"]).aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")])
+        return pa.table({"n_name": g["n_name"], "year": g["year"],
+                         "revenue_cents": g["revenue_cents_sum"],
+                         "n_orders": g["n_orders_sum"]})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+        override_num_blocks=8)
+    leaves = pa.concat_tables(ray.get(_hash_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["n_name", "year"], final, num_partitions=4).to_arrow_refs()))
+
+    by_nat = leaves.group_by("n_name").aggregate(
+        [("revenue_cents", "sum"), ("n_orders", "sum")])
+    lvl1 = pa.table({
+        "n_name": by_nat["n_name"],
+        "year": pa.array(np.full(by_nat.num_rows, -1), pa.int64()),
+        "revenue_cents": by_nat["revenue_cents_sum"],
+        "n_orders": by_nat["n_orders_sum"]})
+    lvl0 = pa.table({
+        "n_name": pa.array(["ALL"]),
+        "year": pa.array([-1], pa.int64()),
+        "revenue_cents": pa.array([pc.sum(leaves["revenue_cents"]).as_py()],
+                                  pa.int64()),
+        "n_orders": pa.array([pc.sum(leaves["n_orders"]).as_py()],
+                             pa.int64())})
+    return pa.concat_tables([leaves, lvl1, lvl0])
+
+
 def approx_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
                             alpha: float = 0.005) -> pa.Table:
     """Approximate quantiles from a MERGEABLE log-bucket sketch (DDSketch
