@@ -156,3 +156,37 @@ def test_hot_user_share(skew):
                           columns=["user_id"])["user_id"].to_numpy()
     share = float(np.mean(users == layout["hot_user"]))
     assert 0.25 < share < 0.35
+
+
+def test_skew_join_hot_user_matches_oracle(skew):
+    """The 30%-hot-user event log through skew_join: the hot key must be
+    DETECTED (routed to the broadcast map-side path) and the joined result
+    must be value-identical to the plain DuckDB join."""
+    import pyarrow as pa
+    import ray
+
+    from upton_ray.shuffle import detect_hot_keys, skew_join
+
+    corpus, layout = skew
+    ev = ray.data.read_parquet(f"{corpus}/events.parquet",
+                               columns=["event_id", "user_id", "value"],
+                               override_num_blocks=6)
+    hot = detect_hot_keys(ev, "user_id", threshold=0.1)
+    assert layout["hot_user"] in hot.to_pylist()
+
+    users = sorted(set(pa.concat_tables(
+        ray.get(ev.to_arrow_refs()))["user_id"].to_pylist()))
+    dim = pa.table({"user_id": pa.array(users, pa.int64()),
+                    "tier": pa.array([f"t{u % 3}" for u in users])})
+    out = pa.concat_tables(ray.get(skew_join(
+        ev, ray.data.from_arrow(dim).repartition(2), "user_id",
+        hot_threshold=0.1, num_partitions=4).to_arrow_refs()))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW e AS SELECT * FROM "
+            f"read_parquet('{corpus}/events.parquet')")
+    con.register("d", dim)
+    exp = con.sql("SELECT e.event_id, e.user_id, d.tier FROM e "
+                  "JOIN d USING (user_id)").df()
+    got = out.select(["event_id", "user_id", "tier"]).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))

@@ -1,5 +1,9 @@
-"""Manual hash-partitioned reduce — the engine's lightweight alternative to
-``Dataset.groupby`` for POST-COMBINER aggregates.
+"""Manual hash-partitioned exchange primitives: :func:`hash_reduce` (the
+engine's lightweight alternative to ``Dataset.groupby`` for POST-COMBINER
+aggregates) and the operator family built on it — :func:`hash_join`
+(large-large equi-join, inner/outer/semi/anti), :func:`skew_join` (hot keys
+broadcast map-side, cold keys shuffled), :func:`grouped_top_n` (distributed
+ROW_NUMBER window), :func:`detect_hot_keys`.
 
 ``Dataset.groupby`` (hash or sort strategy alike) carries a large fixed cost
 per operation: measured on this sandbox (238k-row 8-block table, 32 cpus),
