@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": datapipe.top_orders_per_customer,
         "length_ntile": datapipe.length_ntile,
         "nation_year_rollup": datapipe.nation_year_rollup,
+        "table_profile": datapipe.table_profile,
     }
     return q
 
@@ -897,6 +898,29 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer c ON c.c_custkey = o.o_custkey
               JOIN nation n ON n.n_nationkey = c.c_nationkey)
         GROUP BY ROLLUP (n_name, yr)
+    """
+    sql["table_profile"] = """
+        SELECT 'o_custkey' AS col, count(*) AS n,
+               count(*) - count(o_custkey) AS nulls,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_s,
+               CAST(max(o_custkey) AS VARCHAR) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_cents', count(*),
+               count(*) - count(o_totalprice),
+               count(DISTINCT CAST(round(o_totalprice * 100, 0) AS BIGINT)),
+               CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS VARCHAR),
+               CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS VARCHAR)
+        FROM orders
     """
     email_re = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
     phone_re = r"\+?[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}"

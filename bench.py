@@ -265,6 +265,8 @@ def main():
     queries["length_ntile"] = round(timed(datapipe.length_ntile, SF_DIR), 3)
     queries["nation_year_rollup"] = round(
         timed(datapipe.nation_year_rollup, SF_DIR), 3)
+    queries["table_profile"] = round(
+        timed(datapipe.table_profile, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -2829,6 +2829,82 @@ def nation_year_rollup(sf_dir: str):
     return pa.concat_tables([leaves, lvl1, lvl0])
 
 
+def table_profile(sf_dir: str) -> pa.Table:
+    """Column profiling over orders — exact rows / nulls / distinct / min /
+    max per column, the warehouse ANALYZE pass.  Per column: a streamed
+    combiner emits each block's UNIQUE values (only distincts travel), one
+    hash co-partition makes partitions value-disjoint, and each partition
+    reports (n_distinct, min, max) — the driver sees P rows per column,
+    never values.  Rows/nulls ride a two-ints-per-block combiner.  Exact
+    distinct is inherently a value shuffle; the HLL sketch
+    (:func:`approx_distinct_users`) is the constant-memory alternative.
+    Floats are profiled as integer cents so min/max stringify identically
+    to the SQL oracle."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+        override_num_blocks=8).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderstatus": b["o_orderstatus"],
+            "totalprice_cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0), ndigits=0), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def make_partial(col):
+        def partial(b: pa.Table) -> pa.Table:
+            v = pc.drop_null(b[col])
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return pa.table({"val": pc.unique(v)})
+        return partial
+
+    def make_counts(col):
+        def counts(b: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                             "nulls": pa.array([b[col].null_count],
+                                               pa.int64())})
+        return counts
+
+    def reduce_uniques(t: pa.Table) -> pa.Table:
+        if "val" not in t.column_names or t.num_rows == 0:
+            return pa.table({"n_distinct": pa.array([0], pa.int64()),
+                             "min_s": pa.array([None], pa.string()),
+                             "max_s": pa.array([None], pa.string())})
+        u = pc.unique(t["val"].combine_chunks())
+        mm = pc.min_max(u)
+        return pa.table({
+            "n_distinct": pa.array([len(u)], pa.int64()),
+            "min_s": pa.array([str(mm["min"].as_py())], pa.string()),
+            "max_s": pa.array([str(mm["max"].as_py())], pa.string())})
+
+    out = {"col": [], "n": [], "nulls": [], "n_distinct": [],
+           "min_s": [], "max_s": []}
+    for col in ("o_custkey", "o_orderstatus", "totalprice_cents"):
+        proj = orders.select_columns([col])
+        cnt = pa.concat_tables(ray.get(proj.map_batches(
+            make_counts(col), batch_format="pyarrow").to_arrow_refs()))
+        parts = pa.concat_tables(ray.get(_hash_reduce(
+            proj.map_batches(make_partial(col), batch_format="pyarrow"),
+            ["val"], reduce_uniques, num_partitions=4).to_arrow_refs()))
+        live = parts.filter(pc.greater(parts["n_distinct"], 0))
+        out["col"].append(col)
+        out["n"].append(pc.sum(cnt["n"]).as_py())
+        out["nulls"].append(pc.sum(cnt["nulls"]).as_py())
+        out["n_distinct"].append(pc.sum(live["n_distinct"]).as_py() or 0)
+        mins = [v for v in live["min_s"].to_pylist() if v is not None]
+        maxs = [v for v in live["max_s"].to_pylist() if v is not None]
+        key = (int if col != "o_orderstatus" else str)
+        out["min_s"].append(min(mins, key=key) if mins else None)
+        out["max_s"].append(max(maxs, key=key) if maxs else None)
+    return pa.table({"col": pa.array(out["col"], pa.string()),
+                     "n": pa.array(out["n"], pa.int64()),
+                     "nulls": pa.array(out["nulls"], pa.int64()),
+                     "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+                     "min_s": pa.array(out["min_s"], pa.string()),
+                     "max_s": pa.array(out["max_s"], pa.string())})
+
+
 def approx_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
                             alpha: float = 0.005) -> pa.Table:
     """Approximate quantiles from a MERGEABLE log-bucket sketch (DDSketch
