@@ -4,7 +4,8 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(49 queries, 45 oracle-checked; winnow/IVF/PQ/HLL are rows-only by design)
+(74 queries, 67 oracle-checked; the approximate/iterative ops are rows-only
+by design)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
 
@@ -313,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ntile": datapipe.length_ntile,
         "nation_year_rollup": datapipe.nation_year_rollup,
         "table_profile": datapipe.table_profile,
+        "bucketed_customer_orders": datapipe.bucketed_customer_orders,
     }
     return q
 
@@ -843,6 +845,15 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
     sql["customer_orders_join"] = """
+        SELECT o.o_orderkey,
+               o.o_custkey AS c_custkey,
+               c.c_name, c.c_mktsegment,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   AS totalprice_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """
+    sql["bucketed_customer_orders"] = """
         SELECT o.o_orderkey,
                o.o_custkey AS c_custkey,
                c.c_name, c.c_mktsegment,

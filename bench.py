@@ -267,6 +267,8 @@ def main():
         timed(datapipe.nation_year_rollup, SF_DIR), 3)
     queries["table_profile"] = round(
         timed(datapipe.table_profile, SF_DIR), 3)
+    queries["bucketed_customer_orders"] = round(
+        timed(datapipe.bucketed_customer_orders, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -296,3 +296,66 @@ def test_grouped_top_n_string_groups_and_small_groups(ray_session):
                                           out["rn"].to_pylist())}
     assert got == {("a", 1): 9, ("a", 2): 5, ("b", 1): 1,
                    ("c", 1): 8, ("c", 2): 3}
+
+
+# ------------------------------------------------------- co-bucketed layout
+
+def test_write_bucketed_layout_and_join(ray_session, tmp_path):
+    import os
+
+    import duckdb
+
+    from upton_ray.shuffle import bucketed_join, key_hash, write_bucketed
+
+    rng = np.random.RandomState(21)
+    left = pa.table({"k": pa.array(rng.randint(0, 100, 1200), pa.int64()),
+                     "x": pa.array(rng.randint(0, 10**6, 1200), pa.int64())})
+    right = pa.table({"k": pa.array(rng.randint(0, 100, 400), pa.int64()),
+                      "y": pa.array(rng.randint(0, 10**6, 400), pa.int64())})
+    B = 8
+    pl, pr = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(ray.data.from_arrow(left).repartition(4), ["k"], pl, B)
+    write_bucketed(ray.data.from_arrow(right).repartition(3), ["k"], pr, B)
+
+    # layout: every bucket dir holds only rows whose key hashes to it
+    import pyarrow.parquet as pq
+    seen_rows = 0
+    for i in range(B):
+        d = os.path.join(pl, f"__bucket={i}")
+        if not os.path.isdir(d):
+            continue
+        t = pq.read_table(d, columns=["k"])
+        seen_rows += t.num_rows
+        h = key_hash(t, ["k"]) % np.uint64(B)
+        assert (h == i).all(), i
+    assert seen_rows == left.num_rows
+
+    out = pa.concat_tables(ray.get(bucketed_join(
+        pl, pr, "k", num_buckets=B).to_arrow_refs()))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("SELECT l.k, l.x, r.y FROM l JOIN r USING (k) "
+                      "ORDER BY k, x, y").arrow()
+    got = out.sort_by([("k", "ascending"), ("x", "ascending"),
+                       ("y", "ascending")])
+    for c in ("k", "x", "y"):
+        assert got[c].to_pylist() == exp[c].to_pylist(), c
+
+
+def test_bucketed_join_left_outer_with_empty_bucket(ray_session, tmp_path):
+    from upton_ray.shuffle import bucketed_join, write_bucketed
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "x": pa.array(["a", "b", "c"])})
+    right = pa.table({"k": pa.array([2], pa.int64()),
+                      "y": pa.array([20], pa.int64())})
+    B = 16   # most buckets empty on both sides
+    pl, pr = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(ray.data.from_arrow(left), ["k"], pl, B)
+    write_bucketed(ray.data.from_arrow(right), ["k"], pr, B)
+    out = pa.concat_tables(ray.get(bucketed_join(
+        pl, pr, "k", how="left outer",
+        num_buckets=B).to_arrow_refs())).sort_by("k")
+    assert out["k"].to_pylist() == [1, 2, 3]
+    assert out["y"].to_pylist() == [None, 20, None]

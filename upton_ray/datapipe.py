@@ -3375,6 +3375,46 @@ def user_events_join(sf_dir: str, hot_threshold: float = 0.05,
         batch_format="pyarrow")
 
 
+def bucketed_customer_orders(sf_dir: str, num_buckets: int = 8):
+    """The orders x customer join through the co-bucketed DISK layout
+    (:func:`upton_ray.shuffle.write_bucketed` +
+    :func:`~upton_ray.shuffle.bucketed_join`): each side is written
+    hive-bucketed on the key once — paying the exchange at write time —
+    then the join reads matching bucket directories pairwise with zero
+    shuffle.  Value-identical to :func:`customer_orders_join` (same
+    oracle); the layout is the right trade whenever a co-bucketed fact
+    table joins against many consumers."""
+    import tempfile
+
+    from upton_ray.shuffle import bucketed_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="upton_ray_bucketed_")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        override_num_blocks=4).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"],
+                            "o_orderkey": b["o_orderkey"],
+                            "o_totalprice": b["o_totalprice"]}),
+        batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        override_num_blocks=2)
+    write_bucketed(orders, ["c_custkey"], f"{base}/orders", num_buckets)
+    write_bucketed(cust, ["c_custkey"], f"{base}/customer", num_buckets)
+    return bucketed_join(f"{base}/orders", f"{base}/customer", "c_custkey",
+                         num_buckets=num_buckets).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "c_mktsegment": b["c_mktsegment"],
+            "totalprice_cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0), ndigits=0), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
                   cutoff: str = "1995-03-15", k: int = 10):
     """TPC-H-Q3-shaped three-way join (customer x orders x lineitem) — the

@@ -18,6 +18,8 @@ stay on ``Dataset.groupby``'s external machinery on purpose.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -307,3 +309,64 @@ def skew_join(left, right, on: str, how: str = "inner",
 def _filter_keys(t: pa.Table, key: str, keys: pa.Array, keep: bool):
     m = pc.is_in(t[key], value_set=keys)
     return t.filter(m if keep else pc.invert(m))
+
+
+def write_bucketed(ds, key_cols, path: str, num_buckets: int = 16) -> None:
+    """Materialize a Dataset as hash-bucketed hive-partitioned parquet on
+    ``key_cols`` — the shuffle-once, reuse-many layout.  Two tables written
+    with the same keys and bucket count are co-partitioned ON DISK, so any
+    later join / groupby / dedup on those keys runs bucket-by-bucket with
+    zero further exchange (:func:`bucketed_join`); and because each bucket
+    is its own ``__bucket=i/`` directory, a crashed writer or reader
+    resumes per bucket, never per table."""
+    key_cols = list(key_cols)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = (key_hash(b, key_cols) % np.uint64(num_buckets)).astype(
+            np.int32)
+        return b.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["__bucket"])
+
+
+def bucketed_join(path_l: str, path_r: str, on, how: str = "inner",
+                  num_buckets: int = 16, suffix: str = "_r"):
+    """Join two :func:`write_bucketed` layouts (same keys, same
+    ``num_buckets``) bucket-by-bucket: one Ray task per bucket reads the
+    matching partition directory of each side and runs the local pyarrow
+    join.  NO shuffle happens here — the exchange was paid once at write
+    time, which is the right trade whenever one co-bucketed table joins
+    against many consumers (the fact-table pattern at 100 TB)."""
+    import pyarrow.parquet as _pq
+
+    keys = [on] if isinstance(on, str) else list(on)
+    sl = _pq.read_schema(_first_file(path_l))
+    sr = _pq.read_schema(_first_file(path_r))
+    lcols = [c for c in sl.names if c != "__bucket"]
+    rcols = [c for c in sr.names if c != "__bucket"]
+    rmap = {c: (c if (c in keys or c not in lcols) else c + suffix)
+            for c in rcols}
+
+    @ray.remote
+    def join_bucket(i: int) -> pa.Table:
+        def read(path, cols, schema):
+            d = os.path.join(path, f"__bucket={i}")
+            if os.path.isdir(d):
+                return _pq.read_table(d, columns=cols)
+            return schema.empty_table().select(cols)
+        lt = read(path_l, lcols, sl)
+        rt = read(path_r, rcols, sr).rename_columns(
+            [rmap[c] for c in rcols])
+        return lt.join(rt, keys, join_type=how)
+
+    return ray.data.from_arrow_refs(
+        [join_bucket.remote(i) for i in range(num_buckets)])
+
+
+def _first_file(path: str) -> str:
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no parquet files under {path}")
