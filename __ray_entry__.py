@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_rollup": datapipe.nation_year_rollup,
         "table_profile": datapipe.table_profile,
         "bucketed_customer_orders": datapipe.bucketed_customer_orders,
+        "connected_components": datapipe.connected_components,
     }
     return q
 
@@ -861,6 +862,25 @@ def oracle_sql() -> dict[str, str]:
                    AS totalprice_cents
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
+    """
+    sql["connected_components"] = """
+        WITH RECURSIVE
+        nodes AS (SELECT doc_id AS u FROM documents),
+        fwd AS (
+            SELECT u AS src, u + 25 AS dst FROM nodes
+            WHERE (u + 25) IN (SELECT u FROM nodes)
+            UNION ALL
+            SELECT u, u + 75 FROM nodes
+            WHERE (u + 75) IN (SELECT u FROM nodes)),
+        edges AS (SELECT src, dst FROM fwd
+                  UNION ALL
+                  SELECT dst AS src, src AS dst FROM fwd),
+        r(node, anc) AS (
+            SELECT u, u FROM nodes
+            UNION
+            SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.anc),
+        lab AS (SELECT node, min(anc) AS label FROM r GROUP BY node)
+        SELECT node AS doc_id, label FROM lab
     """
     sql["user_events_join"] = """
         SELECT e.event_id,

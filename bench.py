@@ -269,6 +269,8 @@ def main():
         timed(datapipe.table_profile, SF_DIR), 3)
     queries["bucketed_customer_orders"] = round(
         timed(datapipe.bucketed_customer_orders, SF_DIR), 3)
+    queries["connected_components"] = round(
+        timed(datapipe.connected_components, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

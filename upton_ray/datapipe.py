@@ -3159,6 +3159,132 @@ def sequence_pack(sf_dir: str, budget: int = 512):
          for r, bs in zip(refs, bases)])
 
 
+# ------------------------------------------------- connected components (BSP)
+
+
+@ray.remote
+def _cc_concat(*tabs):
+    live = [t for t in tabs if t.num_rows > 0]
+    return pa.concat_tables(live) if live else tabs[0]
+
+
+@ray.remote
+def _cc_msgs(labels: pa.Table, edges: pa.Table, P: int):
+    """One superstep's outgoing messages for one partition: join the
+    partition's labels onto its (stationary) edges by src and route
+    (dst, lab) rows to the dst partitions."""
+    from upton_ray.shuffle import key_hash
+
+    if edges.num_rows == 0 or labels.num_rows == 0:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "lab": pa.array([], pa.int64())})
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    msgs = edges.join(labels.rename_columns(["src", "lab"]), ["src"],
+                      join_type="inner").select(["dst", "lab"]) \
+        .rename_columns(["node", "lab"])
+    if P == 1:
+        return msgs
+    part = (key_hash(msgs, ["node"]) % np.uint64(P)).astype(np.int64)
+    idx = np.argsort(part, kind="stable")
+    srt = msgs.take(pa.array(idx, pa.int64()))
+    bounds = np.searchsorted(part[idx], np.arange(P + 1))
+    return tuple(srt.slice(bounds[i], bounds[i + 1] - bounds[i])
+                 for i in range(P))
+
+
+@ray.remote(num_returns=2)
+def _cc_min(labels: pa.Table, *msg_parts):
+    """Fold incoming labels into a partition's own: new = min(own, min
+    incoming per node).  Returns (new_labels, changed_count)."""
+    live = [m for m in msg_parts if m.num_rows > 0]
+    if not live:
+        return labels, 0
+    inc = pa.concat_tables(live).group_by("node").aggregate([("lab", "min")])
+    j = labels.join(inc.rename_columns(["node", "lab_in"]), ["node"],
+                    join_type="left outer")
+    own = j["lab"].to_numpy(zero_copy_only=False)
+    incoming = j["lab_in"].to_numpy(zero_copy_only=False).astype(np.float64)
+    new = np.fmin(own, np.nan_to_num(incoming, nan=np.inf)).astype(np.int64)
+    return (pa.table({"node": j["node"],
+                      "lab": pa.array(new, pa.int64())}),
+            int((new != own).sum()))
+
+
+def connected_components(sf_dir: str, k: int = 25, skip: int = 3,
+                         num_partitions: int = 8, max_iters: int = 256):
+    """Distributed connected components by min-label propagation — the
+    hash-min BSP algorithm — over a synthetic undirected link graph with
+    ``k`` components (node u links to u+k and u+skip*k where those docs
+    exist, so each residue class mod k is one component with real merges).
+
+    Scale shape: the EDGE list is hash co-partitioned by src ONCE and then
+    stays stationary; each superstep moves only (node, label) rows — a
+    partition-local pyarrow join emits messages, one exchange routes them
+    to the dst partitions, and convergence is decided by a per-partition
+    changed-row count (P ints to the driver, never data).  O(diameter)
+    supersteps; edge bytes are never reshuffled.  Oracle: DuckDB recursive
+    CTE over the same edge relation."""
+    from upton_ray.seen import IdMembership
+    from upton_ray.shuffle import _hash_split
+
+    member = IdMembership(num_shards=4)
+
+    def ingest(b: pa.Table) -> pa.Table:
+        member.add(b["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]) \
+        .map_batches(ingest, batch_format="pyarrow").count()
+    member.finalize()
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        u = b["doc_id"].to_numpy(zero_copy_only=False)
+        src, dst = [], []
+        for step in (k, skip * k):
+            tgt = u + step
+            ex = member.contains(tgt)
+            src.append(u[ex])
+            dst.append(tgt[ex])
+        s = np.concatenate(src)
+        d = np.concatenate(dst)
+        return pa.table({"src": pa.array(np.r_[s, d], pa.int64()),
+                         "dst": pa.array(np.r_[d, s], pa.int64())})
+
+    P = num_partitions
+    edge_blocks = _docs(sf_dir, ["doc_id"]).map_batches(
+        mk_edges, batch_format="pyarrow").materialize().to_arrow_refs()
+    esplits = [_hash_split.options(num_returns=P).remote(r, ["src"], P)
+               for r in edge_blocks]
+    if P == 1:
+        esplits = [[s] for s in esplits]
+    edges = [_cc_concat.remote(*[s[i] for s in esplits]) for i in range(P)]
+
+    lab_blocks = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b["doc_id"], "lab": b["doc_id"]}),
+        batch_format="pyarrow").materialize().to_arrow_refs()
+    lsplits = [_hash_split.options(num_returns=P).remote(r, ["node"], P)
+               for r in lab_blocks]
+    if P == 1:
+        lsplits = [[s] for s in lsplits]
+    labels = [_cc_concat.remote(*[s[i] for s in lsplits]) for i in range(P)]
+
+    for _ in range(max_iters):
+        msgs = [_cc_msgs.options(num_returns=P).remote(labels[i], edges[i], P)
+                for i in range(P)]
+        if P == 1:
+            msgs = [[m] for m in msgs]
+        outs = [_cc_min.remote(labels[i], *[msgs[j][i] for j in range(P)])
+                for i in range(P)]
+        labels = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+
+    return ray.data.from_arrow_refs(labels).map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "label": b["lab"]}),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ pagerank
 
 
