@@ -923,3 +923,22 @@ def test_ntile_fill_matches_duckdb(ray_session):
         ).fetchnumpy()
         assert got["tile"].to_numpy().tolist() == \
             list(exp[list(exp)[0]]), (total, k)
+
+
+def test_connected_components_both_paths(ray_session):
+    """Hash-min CC labels equal the residue-class minima, with and without
+    pointer jumping (the two must agree exactly — shortcut only
+    accelerates convergence, never changes the fixed point)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from upton_ray.datapipe import connected_components
+
+    outs = []
+    for sc in (False, True):
+        t = pa.concat_tables(_ray.get(connected_components(
+            "/root/testdata/sf0.001", shortcut=sc).to_arrow_refs()))
+        outs.append(dict(zip(t["doc_id"].to_pylist(),
+                             t["label"].to_pylist())))
+    assert outs[0] == outs[1]
+    assert all(v == k % 25 for k, v in outs[0].items())
