@@ -359,3 +359,28 @@ def test_bucketed_join_left_outer_with_empty_bucket(ray_session, tmp_path):
         num_buckets=B).to_arrow_refs())).sort_by("k")
     assert out["k"].to_pylist() == [1, 2, 3]
     assert out["y"].to_pylist() == [None, 20, None]
+
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    """SQL semantics: NULL keys never match (inner drops them; left outer
+    keeps the left rows unmatched) — and the hash ROUTING of null keys
+    must not lose rows."""
+    left = pa.table({"k": pa.array([1, None, 2, None], pa.int64()),
+                     "x": pa.array(["a", "b", "c", "d"])})
+    right = pa.table({"k": pa.array([None, 2], pa.int64()),
+                      "y": pa.array([99, 20], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right).repartition(2)
+    inner = pa.concat_tables(ray.get(hash_join(
+        lds, rds, "k", num_partitions=3).to_arrow_refs()))
+    assert inner.num_rows == 1
+    assert inner["x"].to_pylist() == ["c"]
+    lo = pa.concat_tables(ray.get(hash_join(
+        lds, rds, "k", how="left outer",
+        num_partitions=3).to_arrow_refs()))
+    assert lo.num_rows == 4
+    got = {x: (k, y) for k, x, y in zip(lo["k"].to_pylist(),
+                                        lo["x"].to_pylist(),
+                                        lo["y"].to_pylist())}
+    assert got == {"a": (1, None), "b": (None, None),
+                   "c": (2, 20), "d": (None, None)}

@@ -33,11 +33,30 @@ def key_hash(t: pa.Table, key_cols) -> np.ndarray:
     """Deterministic uint64 partitioning hash over one or more key columns
     (SipHash per column via pd.util.hash_array, mixed).  Only used to ROUTE
     rows — different keys landing in one partition are re-separated by the
-    reduce's own group_by, so mixer collisions cannot affect results."""
+    reduce's own group_by, so mixer collisions cannot affect results.
+
+    Null keys are filled with the type's zero BEFORE hashing: without
+    this, an int64 block containing any null converts to float64 while a
+    null-free block stays int64, and ``hash_array`` hashes 2 and 2.0
+    differently — the same key would route to different partitions
+    depending on its block's null content (nulls never MATCH anyway —
+    the local joins keep SQL semantics — they only need a consistent
+    routing home)."""
     h = None
-    for c in key_cols:
+    for name in key_cols:
+        c = t[name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.null_count:
+            if pa.types.is_integer(c.type) or pa.types.is_floating(c.type):
+                c = pc.fill_null(c, 0)
+            elif pa.types.is_boolean(c.type):
+                c = pc.fill_null(c, False)
+            elif (pa.types.is_string(c.type)
+                  or pa.types.is_large_string(c.type)):
+                c = pc.fill_null(c, "")
         hc = pd.util.hash_array(
-            t[c].to_numpy(zero_copy_only=False), categorize=False)
+            c.to_numpy(zero_copy_only=False), categorize=False)
         h = hc if h is None else (h * _HASH_COMBINE) ^ hc
     return h
 
