@@ -384,3 +384,56 @@ def test_hash_join_null_keys_sql_semantics(ray_session):
                                         lo["y"].to_pylist())}
     assert got == {"a": (1, None), "b": (None, None),
                    "c": (2, 20), "d": (None, None)}
+
+
+def test_grouped_top_n_null_groups(ray_session):
+    """SQL PARTITION BY semantics: all NULL group keys form ONE group."""
+    import duckdb
+
+    from upton_ray.shuffle import grouped_top_n
+
+    t = pa.table({"g": pa.array([1, None, 1, None, None, 2], pa.int64()),
+                  "v": pa.array([5, 9, 7, 3, 8, 1], pa.int64())})
+    out = pa.concat_tables(ray.get(grouped_top_n(
+        ray.data.from_arrow(t).repartition(3), ["g"],
+        [("v", "descending")], 2, rn_col="rn",
+        num_partitions=3).to_arrow_refs()))
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        SELECT g, v, rn FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY g ORDER BY v DESC) AS rn FROM t)
+        WHERE rn <= 2 ORDER BY g NULLS FIRST, rn""").arrow()
+    got = out.sort_by([("g", "ascending"), ("rn", "ascending")])
+    # align null-first ordering
+    gotl = sorted(zip(got["g"].to_pylist(), got["v"].to_pylist(),
+                      got["rn"].to_pylist()),
+                  key=lambda r: (r[0] is not None, r[0], r[2]))
+    expl = list(zip(exp["g"].to_pylist(), exp["v"].to_pylist(),
+                    exp["rn"].to_pylist()))
+    assert gotl == expl
+
+
+@pytest.mark.parametrize("how,nrows", [("inner", 3), ("left outer", 5),
+                                       ("left semi", 3), ("left anti", 2)])
+def test_broadcast_join(ray_session, how, nrows):
+    from upton_ray.shuffle import broadcast_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 3, 4], pa.int64()),
+                     "v": pa.array([10, 20, 30, 31, 40], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3], pa.int64()),
+                      "v": pa.array([200, 300], pa.int64())})
+    out = pa.concat_tables(ray.get(broadcast_join(
+        ray.data.from_arrow(left).repartition(3), right, "k",
+        how=how).to_arrow_refs()))
+    assert out.num_rows == nrows
+    if how == "inner":
+        s = out.sort_by([("k", "ascending"), ("v", "ascending")])
+        assert s.column_names == ["k", "v", "v_r"]
+        assert s["v_r"].to_pylist() == [200, 300, 300]
+    if how == "left anti":
+        assert sorted(out["k"].to_pylist()) == [1, 4]
+        assert out.column_names == ["k", "v"]
+    with pytest.raises(ValueError):
+        broadcast_join(ray.data.from_arrow(left), right, "k",
+                       how="full outer")

@@ -192,8 +192,19 @@ def _first_n_per_group(t: pa.Table, group_cols, sort_keys, n: int,
     new = np.zeros(srt.num_rows, bool)
     new[0] = True
     for c in group_cols:
-        a = srt[c].to_numpy(zero_copy_only=False)
-        new[1:] |= a[1:] != a[:-1]
+        col = srt[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # null-aware adjacent compare: all NULLs are ONE group (SQL
+        # GROUP BY semantics) — a raw to_numpy turns int64-with-null into
+        # float64 whose NaN != NaN would split every null into its own
+        a = col.to_numpy(zero_copy_only=False)
+        diff = a[1:] != a[:-1]
+        if col.null_count:
+            isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+            both_null = isnull[1:] & isnull[:-1]
+            diff = (diff & ~both_null) | (isnull[1:] != isnull[:-1])
+        new[1:] |= diff
     starts = np.flatnonzero(new)
     gid = np.cumsum(new) - 1
     pos = np.arange(srt.num_rows) - starts[gid]
@@ -328,6 +339,30 @@ def skew_join(left, right, on: str, how: str = "inner",
 def _filter_keys(t: pa.Table, key: str, keys: pa.Array, keep: bool):
     m = pc.is_in(t[key], value_set=keys)
     return t.filter(m if keep else pc.invert(m))
+
+
+def broadcast_join(left, right: pa.Table, on, how: str = "inner",
+                   suffix: str = "_r"):
+    """Map-side join of a Dataset against a SMALL in-memory right side:
+    the table is ``ray.put`` ONCE and every task joins its batch against
+    it locally — zero shuffle, the dimension-lookup pattern
+    (nation_revenue et al.) as a generic primitive.  ``how`` is inner /
+    left outer / left semi / left anti — the types a map-side pass can
+    emit exactly; right/full outer need global unmatched-row accounting
+    and belong to :func:`hash_join`."""
+    if how not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(f"broadcast_join cannot do {how!r} map-side")
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = left.schema().names
+    right = right.rename_columns(
+        [c if (c in keys or c not in lcols) else c + suffix
+         for c in right.column_names])
+    ref = ray.put(right)
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.join(ray.get(ref), keys, join_type=how)
+
+    return left.map_batches(fn, batch_format="pyarrow")
 
 
 def write_bucketed(ds, key_cols, path: str, num_buckets: int = 16) -> None:
