@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": datapipe.table_profile,
         "bucketed_customer_orders": datapipe.bucketed_customer_orders,
         "connected_components": datapipe.connected_components,
+        "group_zscore": datapipe.group_zscore,
     }
     return q
 
@@ -881,6 +882,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.anc),
         lab AS (SELECT node, min(anc) AS label FROM r GROUP BY node)
         SELECT node AS doc_id, label FROM lab
+    """
+    sql["group_zscore"] = """
+        SELECT event_id, event_type,
+               round((value - AVG(value) OVER (PARTITION BY event_type))
+                     / STDDEV_POP(value) OVER (PARTITION BY event_type),
+                     6) AS z
+        FROM events
     """
     sql["user_events_join"] = """
         SELECT e.event_id,

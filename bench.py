@@ -271,6 +271,7 @@ def main():
         timed(datapipe.bucketed_customer_orders, SF_DIR), 3)
     queries["connected_components"] = round(
         timed(datapipe.connected_components, SF_DIR), 3)
+    queries["group_zscore"] = round(timed(datapipe.group_zscore, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

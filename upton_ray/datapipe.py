@@ -2829,6 +2829,69 @@ def nation_year_rollup(sf_dir: str):
     return pa.concat_tables([leaves, lvl1, lvl0])
 
 
+def group_zscore(sf_dir: str):
+    """Per-group feature normalization: z = (value - mean_g) / std_g over
+    events grouped by event_type — the standard ML feature-scaling pass.
+    One combiner map_batches computes (n, sum, sumsq) per group per block;
+    the group-stats table (|groups| rows) is hash-reduced, broadcast back
+    via ``ray.put``, and a second streamed pass normalizes in place — the
+    event rows themselves are NEVER shuffled.  Output rounded to 6dp so
+    float summation order cannot show through vs the SQL window oracle."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "event_type": b["event_type"],
+            "s": b["value"],
+            "s2": pa.array(v * v, pa.float64()),
+        }).group_by("event_type").aggregate(
+            [("s", "sum"), ("s2", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "s": g["s_sum"],
+                         "s2": g["s2_sum"], "n": g["count_all"]})
+
+    def final(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "s": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by("event_type").aggregate(
+            [("s", "sum"), ("s2", "sum"), ("n", "sum")])
+        return pa.table({"event_type": g["event_type"], "s": g["s_sum"],
+                         "s2": g["s2_sum"], "n": g["n_sum"]})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        override_num_blocks=8).materialize()
+    stats = pa.concat_tables(ray.get(_hash_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], final, num_partitions=4).to_arrow_refs()))
+    n = stats["n"].to_numpy().astype(np.float64)
+    mean = stats["s"].to_numpy() / n
+    var = stats["s2"].to_numpy() / n - mean * mean
+    lut = {t: (m, float(np.sqrt(max(v, 0.0))))
+           for t, m, v in zip(stats["event_type"].to_pylist(), mean, var)}
+    lut_ref = ray.put(lut)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        col = b["event_type"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)       # |groups| lookups, not |rows|
+        cats = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        mu = np.array([m[t][0] for t in cats])[idx]
+        sd = np.array([m[t][1] for t in cats])[idx]
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "z": pa.array(np.round((v - mu) / sd, 6), pa.float64())})
+
+    return ev.map_batches(normalize, batch_format="pyarrow")
+
+
 def table_profile(sf_dir: str) -> pa.Table:
     """Column profiling over orders — exact rows / nulls / distinct / min /
     max per column, the warehouse ANALYZE pass.  Per column: a streamed
