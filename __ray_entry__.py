@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_customer_orders": datapipe.bucketed_customer_orders,
         "connected_components": datapipe.connected_components,
         "group_zscore": datapipe.group_zscore,
+        "funnel_conversion": datapipe.funnel_conversion,
     }
     return q
 
@@ -889,6 +890,18 @@ def oracle_sql() -> dict[str, str]:
                      / STDDEV_POP(value) OVER (PARTITION BY event_type),
                      6) AS z
         FROM events
+    """
+    sql["funnel_conversion"] = """
+        WITH fa AS (SELECT user_id, min(ts) AS first_a FROM events
+                    WHERE event_type = 'click' GROUP BY user_id)
+        SELECT fa.user_id, fa.first_a,
+               EXISTS(SELECT 1 FROM events b
+                      WHERE b.user_id = fa.user_id
+                        AND b.event_type = 'purchase'
+                        AND b.ts > fa.first_a
+                        AND b.ts <= fa.first_a + INTERVAL 1 HOUR)
+                   AS converted
+        FROM fa
     """
     sql["user_events_join"] = """
         SELECT e.event_id,

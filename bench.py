@@ -272,6 +272,8 @@ def main():
     queries["connected_components"] = round(
         timed(datapipe.connected_components, SF_DIR), 3)
     queries["group_zscore"] = round(timed(datapipe.group_zscore, SF_DIR), 3)
+    queries["funnel_conversion"] = round(
+        timed(datapipe.funnel_conversion, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -2829,6 +2829,53 @@ def nation_year_rollup(sf_dir: str):
     return pa.concat_tables([leaves, lvl1, lvl0])
 
 
+def funnel_conversion(sf_dir: str, step_a: str = "click",
+                      step_b: str = "purchase", window_s: int = 3600):
+    """Funnel analysis: for every user with a ``step_a`` event, did a
+    ``step_b`` event follow within ``window_s`` seconds of their FIRST
+    ``step_a``?  One hash co-partition on user_id (only rows of the two
+    step types travel — pruned in the combiner); inside each partition the
+    check is pure vectorized Arrow: per-user min over the A rows, one
+    semi-join against the B rows with the time predicate.  The classic
+    conversion query with exactly one exchange."""
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array([step_a, step_b]))
+        return b.filter(keep).select(["user_id", "ts", "event_type"])
+
+    def resolve(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "first_a": pa.array([], pa.timestamp("us")),
+            "converted": pa.array([], pa.bool_())})
+        if "user_id" not in t.column_names or t.num_rows == 0:
+            return empty
+        a = t.filter(pc.equal(t["event_type"], step_a))
+        if a.num_rows == 0:
+            return empty
+        fa = a.group_by("user_id").aggregate([("ts", "min")])
+        fa = pa.table({"user_id": fa["user_id"], "first_a": fa["ts_min"]})
+        b = t.filter(pc.equal(t["event_type"], step_b)) \
+            .select(["user_id", "ts"])
+        j = b.join(fa, ["user_id"], join_type="inner")
+        ok = pc.and_(
+            pc.greater(j["ts"], j["first_a"]),
+            pc.less_equal(j["ts"], pc.add(
+                j["first_a"],
+                pa.scalar(window_s * 1_000_000, pa.duration("us")))))
+        conv = pc.unique(j.filter(ok)["user_id"].combine_chunks())
+        return pa.table({
+            "user_id": fa["user_id"],
+            "first_a": fa["first_a"],
+            "converted": pc.is_in(fa["user_id"], value_set=conv)})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        override_num_blocks=8).map_batches(prune, batch_format="pyarrow")
+    return _hash_reduce(ev, ["user_id"], resolve, num_partitions=4)
+
+
 def group_zscore(sf_dir: str):
     """Per-group feature normalization: z = (value - mean_g) / std_g over
     events grouped by event_type — the standard ML feature-scaling pass.
