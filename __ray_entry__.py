@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": datapipe.connected_components,
         "group_zscore": datapipe.group_zscore,
         "funnel_conversion": datapipe.funnel_conversion,
+        "winsorize_values": datapipe.winsorize_values,
+        "percentile_rank": datapipe.percentile_rank,
     }
     return q
 
@@ -902,6 +904,19 @@ def oracle_sql() -> dict[str, str]:
                         AND b.ts <= fa.first_a + INTERVAL 1 HOUR)
                    AS converted
         FROM fa
+    """
+    sql["winsorize_values"] = """
+        WITH c AS (SELECT quantile_cont(value, 0.05) AS lo,
+                          quantile_cont(value, 0.95) AS hi
+                   FROM events)
+        SELECT e.event_id, LEAST(GREATEST(e.value, c.lo), c.hi) AS value_w
+        FROM events e, c
+    """
+    sql["percentile_rank"] = """
+        SELECT doc_id, n_chars,
+               round(PERCENT_RANK() OVER (ORDER BY n_chars DESC, doc_id),
+                     6) AS pr
+        FROM documents
     """
     sql["user_events_join"] = """
         SELECT e.event_id,

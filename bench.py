@@ -274,6 +274,10 @@ def main():
     queries["group_zscore"] = round(timed(datapipe.group_zscore, SF_DIR), 3)
     queries["funnel_conversion"] = round(
         timed(datapipe.funnel_conversion, SF_DIR), 3)
+    queries["winsorize_values"] = round(
+        timed(datapipe.winsorize_values, SF_DIR), 3)
+    queries["percentile_rank"] = round(
+        timed(datapipe.percentile_rank, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -3015,6 +3015,53 @@ def table_profile(sf_dir: str) -> pa.Table:
                      "max_s": pa.array(out["max_s"], pa.string())})
 
 
+def winsorize_values(sf_dir: str, p_lo: float = 0.05, p_hi: float = 0.95):
+    """Percentile clamp (winsorization) of events.value at the exact
+    [p_lo, p_hi] quantiles — the outlier-taming pass before
+    normalization.  Cut points come from :func:`value_quantiles`
+    (histogram + candidate-bin, no global sort, bit-identical to DuckDB
+    ``quantile_cont``); the clamp itself is one streamed map_batches with
+    two scalars in the closure — no rounding needed, min/max is exact."""
+    qt = value_quantiles(sf_dir, qs=(p_lo, p_hi))
+    vals = dict(zip(qt["q"].to_pylist(), qt["val"].to_pylist()))
+    lo, hi = float(vals[p_lo]), float(vals[p_hi])
+
+    def clamp(b: pa.Table) -> pa.Table:
+        w = pc.min_element_wise(
+            pc.max_element_wise(b["value"], pa.scalar(lo, pa.float64())),
+            pa.scalar(hi, pa.float64()))
+        return pa.table({"event_id": b["event_id"], "value_w": w})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"],
+        override_num_blocks=8).map_batches(clamp, batch_format="pyarrow")
+
+
+@ray.remote
+def _attach_prank(t: pa.Table, base: int, total: int) -> pa.Table:
+    r0 = base + np.arange(t.num_rows, dtype=np.int64)
+    pr = np.round(r0 / max(total - 1, 1), 6)
+    return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                     "pr": pa.array(pr, pa.float64())})
+
+
+def percentile_rank(sf_dir: str):
+    """PERCENT_RANK() over the global (n_chars desc, doc_id) order —
+    (rank-1)/(n-1) from the same distributed prefix-sum shape as
+    :func:`length_rank` (tie-broken total order, so rank == row_number).
+    6dp rounding pins the division against the SQL window oracle."""
+    srt = (_docs(sf_dir, ["doc_id", "n_chars"])
+           .sort([("n_chars"), ("doc_id")],
+                 descending=[True, False])).materialize()
+    refs = srt.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    total = int(sum(counts))
+    bases = np.r_[0, np.cumsum(counts)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_prank.remote(r, int(b), total)
+         for r, b in zip(refs, bases)])
+
+
 def approx_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
                             alpha: float = 0.005) -> pa.Table:
     """Approximate quantiles from a MERGEABLE log-bucket sketch (DDSketch
