@@ -437,3 +437,35 @@ def test_broadcast_join(ray_session, how, nrows):
     with pytest.raises(ValueError):
         broadcast_join(ray.data.from_arrow(left), right, "k",
                        how="full outer")
+
+
+def test_bucketed_lookup_prunes_reads(ray_session, tmp_path):
+    """Point lookup touches ONLY the requested keys' bucket dirs — proven
+    behaviorally: deleting every other bucket directory changes nothing."""
+    import os
+    import shutil
+
+    from upton_ray.shuffle import bucketed_lookup, key_hash, write_bucketed
+
+    rng = np.random.RandomState(31)
+    t = pa.table({"k": pa.array(np.arange(500), pa.int64()),
+                  "x": pa.array(rng.randint(0, 10**6, 500), pa.int64())})
+    B = 16
+    p = str(tmp_path / "t")
+    write_bucketed(ray.data.from_arrow(t).repartition(4), ["k"], p, B)
+
+    want = pa.table({"k": pa.array([3, 77, 431], pa.int64())})
+    out1 = pa.concat_tables(ray.get(bucketed_lookup(
+        p, ["k"], want, B).to_arrow_refs())).sort_by("k")
+    assert out1["k"].to_pylist() == [3, 77, 431]
+    exp = {k: x for k, x in zip(t["k"].to_pylist(), t["x"].to_pylist())}
+    assert out1["x"].to_pylist() == [exp[3], exp[77], exp[431]]
+
+    needed = set((key_hash(want, ["k"]) % np.uint64(B)).astype(int))
+    for i in range(B):
+        if i not in needed:
+            shutil.rmtree(os.path.join(p, f"__bucket={i}"),
+                          ignore_errors=True)
+    out2 = pa.concat_tables(ray.get(bucketed_lookup(
+        p, ["k"], want, B).to_arrow_refs())).sort_by("k")
+    assert out2.equals(out1)

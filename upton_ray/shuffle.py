@@ -418,6 +418,33 @@ def bucketed_join(path_l: str, path_r: str, on, how: str = "inner",
         [join_bucket.remote(i) for i in range(num_buckets)])
 
 
+def bucketed_lookup(path: str, key_cols, values: pa.Table,
+                    num_buckets: int = 16):
+    """Point lookups against a :func:`write_bucketed` layout: hash the
+    requested keys, read ONLY their bucket directories, and semi-join each
+    against the request — the read touches O(buckets hit / num_buckets) of
+    the table, the same pruning the crawl engine's ParquetWebStore does
+    for fetch.  Pruning is behavioral, not advisory: no other bucket
+    directory is opened at all (pinned in tests by deleting them)."""
+    import pyarrow.parquet as _pq
+
+    keys = list(key_cols)
+    schema = _pq.read_schema(_first_file(path))
+    bks = np.unique((key_hash(values, keys)
+                     % np.uint64(num_buckets)).astype(np.int64))
+    vref = ray.put(values.select(keys))
+
+    @ray.remote
+    def grab(i: int) -> pa.Table:
+        d = os.path.join(path, f"__bucket={i}")
+        if not os.path.isdir(d):
+            return schema.empty_table()
+        return _pq.read_table(d).join(ray.get(vref), keys,
+                                      join_type="left semi")
+
+    return ray.data.from_arrow_refs([grab.remote(int(i)) for i in bks])
+
+
 def _first_file(path: str) -> str:
     for root, _dirs, files in sorted(os.walk(path)):
         for f in sorted(files):
