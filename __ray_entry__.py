@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": datapipe.funnel_conversion,
         "winsorize_values": datapipe.winsorize_values,
         "percentile_rank": datapipe.percentile_rank,
+        "prepare_corpus": datapipe.prepare_corpus,
     }
     return q
 
@@ -917,6 +918,59 @@ def oracle_sql() -> dict[str, str]:
                round(PERCENT_RANK() OVER (ORDER BY n_chars DESC, doc_id),
                      6) AS pr
         FROM documents
+    """
+    sql["prepare_corpus"] = f"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+              FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(w) >= 3 THEN list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                   ELSE [] END) AS sh
+          FROM t),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.8),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        cc(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN e ON e.u = cc.node),
+        lose AS (
+          SELECT node FROM (SELECT node, min(label) AS lbl FROM cc
+                            GROUP BY node) WHERE lbl < node),
+        surv AS (SELECT doc_id, w FROM t
+                 WHERE doc_id NOT IN (SELECT node FROM lose)),
+        g2 AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3 THEN list_transform(
+                             generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                           ELSE [] END AS gr
+               FROM surv),
+        c2 AS (SELECT doc_id, gram, count(*) AS n
+               FROM (SELECT doc_id, unnest(gr) AS gram FROM g2)
+               GROUP BY doc_id, gram),
+        st AS (SELECT doc_id, sum(n) AS total, count(*) AS nd
+               FROM c2 GROUP BY doc_id),
+        keep AS (SELECT surv.doc_id, surv.w
+                 FROM surv LEFT JOIN st USING (doc_id)
+                 WHERE coalesce((st.total - st.nd) * 1000000 // st.total, 0)
+                       <= 200000),
+        ch AS (SELECT doc_id, unnest(generate_series(1, len(w), 12)) AS s2,
+                      w
+               FROM keep)
+        SELECT doc_id, CAST((s2 - 1) / 12 AS BIGINT) AS chunk_no,
+               array_to_string(w[s2:s2+15], ' ') AS chunk,
+               CAST(len(w[s2:s2+15]) AS BIGINT) AS n_tokens
+        FROM ch
     """
     sql["user_events_join"] = """
         SELECT e.event_id,

@@ -278,6 +278,8 @@ def main():
         timed(datapipe.winsorize_values, SF_DIR), 3)
     queries["percentile_rank"] = round(
         timed(datapipe.percentile_rank, SF_DIR), 3)
+    queries["prepare_corpus"] = round(
+        timed(datapipe.prepare_corpus, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -190,3 +190,32 @@ def test_skew_join_hot_user_matches_oracle(skew):
                   "JOIN d USING (user_id)").df()
     got = out.select(["event_id", "user_id", "tier"]).to_pandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+def test_grouped_top_n_hot_group(skew):
+    """grouped_top_n under skew: the hot user owns ~30% of events, but the
+    per-block combiner bounds the shuffle to n rows per group per block —
+    result must equal the window oracle exactly."""
+    import pyarrow as pa
+    import ray
+
+    from upton_ray.shuffle import grouped_top_n
+
+    corpus, layout = skew
+    ev = ray.data.read_parquet(f"{corpus}/events.parquet",
+                               columns=["event_id", "user_id", "value"],
+                               override_num_blocks=6)
+    out = pa.concat_tables(ray.get(grouped_top_n(
+        ev, ["user_id"],
+        [("value", "descending"), ("event_id", "ascending")], 3,
+        rn_col="rn", num_partitions=4).to_arrow_refs()))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW e AS SELECT * FROM "
+            f"read_parquet('{corpus}/events.parquet')")
+    exp = con.sql("""
+        SELECT event_id, user_id, value, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY value DESC, event_id) AS rn FROM e)
+        WHERE rn <= 3""").df()
+    got = out.select(["event_id", "user_id", "value", "rn"]).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))

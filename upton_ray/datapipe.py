@@ -2152,27 +2152,34 @@ def doc_chunk(sf_dir: str, size: int = 16, stride: int = 12):
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         toks = pc.split_pattern(_norm_text(toks), pattern=" ")
-        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        if len(nt) == 0:
-            return empty
-        out, k = [], 0
-        max_n = int(nt.max())
-        while k == 0 or k < max_n:
-            keep_mask = nt > k
-            keep = pa.array(keep_mask)
-            piece = pc.list_slice(toks.filter(keep), k, k + size)
-            out.append(pa.table({
-                "doc_id": b["doc_id"].filter(keep),
-                "chunk_no": pa.array(
-                    np.full(int(keep_mask.sum()), k // stride, np.int64)),
-                "chunk": pc.binary_join(piece, " "),
-                "n_tokens": pc.cast(pc.list_value_length(piece), pa.int64()),
-            }))
-            k += stride
-        return pa.concat_tables(out)
+        return _chunk_batch(b["doc_id"], toks, size, stride, empty)
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunks, batch_format="pyarrow")
+
+
+def _chunk_batch(doc_ids, toks: pa.Array, size: int, stride: int,
+                 empty: pa.Table) -> pa.Table:
+    """Offset-vectorized overlapping chunker over a list<string> token
+    column: one list_slice + binary_join per chunk OFFSET (not per doc)."""
+    nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    if len(nt) == 0:
+        return empty
+    out, k = [], 0
+    max_n = int(nt.max())
+    while k == 0 or k < max_n:
+        keep_mask = nt > k
+        keep = pa.array(keep_mask)
+        piece = pc.list_slice(toks.filter(keep), k, k + size)
+        out.append(pa.table({
+            "doc_id": doc_ids.filter(keep),
+            "chunk_no": pa.array(
+                np.full(int(keep_mask.sum()), k // stride, np.int64)),
+            "chunk": pc.binary_join(piece, " "),
+            "n_tokens": pc.cast(pc.list_value_length(piece), pa.int64()),
+        }))
+        k += stride
+    return pa.concat_tables(out)
 
 
 @ray.remote
@@ -3173,6 +3180,72 @@ def _ragged_ngrams(toks: pa.Array, n: int):
     return doc_of, grams, g
 
 
+def _repetition_ppm(toks: pa.Array, n: int = 3):
+    """Per-doc Gopher repetition fractions (dup_ppm, top_ppm) over a
+    list<string> token column — pure per-batch Arrow groupby + bincount."""
+    doc_of, grams, g = _ragged_ngrams(toks, n)
+    ndocs = len(toks)
+    dup = np.zeros(ndocs, dtype=np.int64)
+    top = np.zeros(ndocs, dtype=np.int64)
+    if len(doc_of):
+        gt = pa.table({"d": pa.array(doc_of, pa.int64()), "g": grams}) \
+            .group_by(["d", "g"]).aggregate([([], "count_all")])
+        d = gt["d"].to_numpy(zero_copy_only=False)
+        c = gt["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        distinct = np.bincount(d, minlength=ndocs)
+        maxc = np.zeros(ndocs, dtype=np.int64)
+        np.maximum.at(maxc, d, c)
+        nz = g > 0
+        dup[nz] = (g[nz] - distinct[nz]) * 1_000_000 // g[nz]
+        top[nz] = maxc[nz] * 1_000_000 // g[nz]
+    return dup, top
+
+
+def prepare_corpus(sf_dir: str, threshold: float = 0.8,
+                   max_dup_ppm: int = 200_000, size: int = 16,
+                   stride: int = 12):
+    """The end-to-end corpus-prep composition a training pipeline ships:
+    near-dup REMOVAL (cluster losers, :func:`dedup_filter`'s machinery) ->
+    Gopher repetition gate (keep dup_ppm <= ``max_dup_ppm``) -> overlapping
+    context-window chunking — fused into ONE streamed map_batches after the
+    dedup pair-finding exchange.  Stage boundaries move nothing: losers are
+    one broadcast sorted id array; the gate and the chunker are the same
+    per-batch Arrow kernels as their standalone gates
+    (:func:`_repetition_ppm`, :func:`_chunk_batch`).  Oracle: the three
+    stages' SQL spliced into one recursive-CTE query — the composition is
+    hash-checked end to end, not just its parts."""
+    clusters = dedup_clusters(sf_dir, threshold)
+    ids = clusters["doc_id"].to_numpy(zero_copy_only=False)
+    labels = clusters["cluster_id"].to_numpy(zero_copy_only=False)
+    losers_ref = ray.put(np.sort(ids[ids != labels]))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_no": pa.array([], pa.int64()),
+                      "chunk": pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64())})
+
+    def prep(b: pa.Table) -> pa.Table:
+        losers = ray.get(losers_ref)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(losers, d)
+        inb = pos < len(losers)
+        drop = np.zeros(len(d), dtype=bool)
+        drop[inb] = losers[pos[inb]] == d[inb]
+        b = b.filter(pa.array(~drop))
+        if b.num_rows == 0:
+            return empty
+        toks = b["text"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = pc.split_pattern(_norm_text(toks), pattern=" ")
+        dup, _top = _repetition_ppm(toks, 3)
+        ok = pa.array(dup <= max_dup_ppm)
+        return _chunk_batch(b["doc_id"].filter(ok), toks.filter(ok),
+                            size, stride, empty)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pyarrow")
+
+
 def repetition_score(sf_dir: str, n: int = 3):
     """Gopher-style within-document repetition filters (Rae et al. 2021,
     "Scaling Language Models"): per doc, the fraction of word n-gram
@@ -3187,21 +3260,7 @@ def repetition_score(sf_dir: str, n: int = 3):
 
     def score(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
-        doc_of, grams, g = _ragged_ngrams(toks, n)
-        ndocs = b.num_rows
-        dup = np.zeros(ndocs, dtype=np.int64)
-        top = np.zeros(ndocs, dtype=np.int64)
-        if len(doc_of):
-            gt = pa.table({"d": pa.array(doc_of, pa.int64()), "g": grams}) \
-                .group_by(["d", "g"]).aggregate([([], "count_all")])
-            d = gt["d"].to_numpy(zero_copy_only=False)
-            c = gt["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
-            distinct = np.bincount(d, minlength=ndocs)
-            maxc = np.zeros(ndocs, dtype=np.int64)
-            np.maximum.at(maxc, d, c)
-            nz = g > 0
-            dup[nz] = (g[nz] - distinct[nz]) * 1_000_000 // g[nz]
-            top[nz] = maxc[nz] * 1_000_000 // g[nz]
+        dup, top = _repetition_ppm(toks, n)
         return pa.table({"doc_id": b["doc_id"],
                          "dup_ppm": pa.array(dup, pa.int64()),
                          "top_ppm": pa.array(top, pa.int64())})
