@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(74 queries, 67 oracle-checked; the approximate/iterative ops are rows-only
+(82 queries, 75 oracle-checked; the approximate/iterative ops are rows-only
 by design)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_values": datapipe.winsorize_values,
         "percentile_rank": datapipe.percentile_rank,
         "prepare_corpus": datapipe.prepare_corpus,
+        "pivot_events": datapipe.pivot_events,
     }
     return q
 
@@ -918,6 +919,16 @@ def oracle_sql() -> dict[str, str]:
                round(PERCENT_RANK() OVER (ORDER BY n_chars DESC, doc_id),
                      6) AS pr
         FROM documents
+    """
+    sql["pivot_events"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase')
+                   AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error
+        FROM events GROUP BY user_id
     """
     sql["prepare_corpus"] = f"""
         WITH RECURSIVE

@@ -2883,6 +2883,51 @@ def funnel_conversion(sf_dir: str, step_a: str = "click",
     return _hash_reduce(ev, ["user_id"], resolve, num_partitions=4)
 
 
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_events(sf_dir: str):
+    """PIVOT / wide conditional aggregate: one row per user with per-type
+    event counts as columns.  Combiner emits (user, type, n) partials —
+    at most |types| rows per user per block — one hash co-partition sums
+    them, and the pivot itself is a numpy 2-D bincount per partition
+    (factorized users x fixed type axis), never a per-row loop."""
+    tlist = list(_PIVOT_TYPES)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id", "event_type"]) \
+            .group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "n": g["count_all"]})
+
+    def pivot(t: pa.Table) -> pa.Table:
+        cols = ["user_id"] + [f"n_{x}" for x in tlist]
+        if "user_id" not in t.column_names or t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        users, uidx = np.unique(
+            g["user_id"].to_numpy(zero_copy_only=False), return_inverse=True)
+        enc = pc.dictionary_encode(g["event_type"].combine_chunks())
+        t2fixed = np.array([tlist.index(x) for x in
+                            enc.dictionary.to_pylist()], np.int64)
+        tidx = t2fixed[enc.indices.to_numpy(zero_copy_only=False)]
+        mat = np.zeros((len(users), len(tlist)), np.int64)
+        np.add.at(mat, (uidx, tidx),
+                  g["n_sum"].to_numpy(zero_copy_only=False))
+        out = {"user_id": pa.array(users, pa.int64())}
+        for j, x in enumerate(tlist):
+            out[f"n_{x}"] = pa.array(mat[:, j], pa.int64())
+        return pa.table(out)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+        override_num_blocks=8)
+    return _hash_reduce(ev.map_batches(partial, batch_format="pyarrow"),
+                        ["user_id"], pivot, num_partitions=4)
+
+
 def group_zscore(sf_dir: str):
     """Per-group feature normalization: z = (value - mean_g) / std_g over
     events grouped by event_type — the standard ML feature-scaling pass.
