@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(82 queries, 75 oracle-checked; the approximate/iterative ops are rows-only
+(81 queries, 74 oracle-checked; the approximate/iterative ops are rows-only
 by design)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
