@@ -469,3 +469,18 @@ def test_bucketed_lookup_prunes_reads(ray_session, tmp_path):
     out2 = pa.concat_tables(ray.get(bucketed_lookup(
         p, ["k"], want, B).to_arrow_refs())).sort_by("k")
     assert out2.equals(out1)
+
+
+def test_hash_reduce_coalesces_many_blocks(ray_session):
+    """With more blocks than max_split_tasks, blocks are pre-coalesced in
+    concat tasks — result identical, far fewer split tasks."""
+    rng = np.random.RandomState(17)
+    src = pa.table({"k": pa.array(rng.randint(0, 40, 3000), pa.int64()),
+                    "v": pa.array(rng.randint(0, 100, 3000), pa.int64())})
+    ds = ray.data.from_arrow(src).repartition(24)
+    out = pa.concat_tables(
+        ray.get(hash_reduce(ds, ["k"], _make_reduce_fn(),
+                            num_partitions=4,
+                            max_split_tasks=3).to_arrow_refs()))
+    assert _sum_by(out) == _sum_by(src)
+    assert len(set(out["k"].to_pylist())) == out.num_rows

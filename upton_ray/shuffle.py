@@ -89,7 +89,8 @@ def _hash_reduce_part(fn, *tabs):
     return fn(pa.concat_tables(live))
 
 
-def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8):
+def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8,
+                max_split_tasks: int = 1024):
     """Manual hash-partitioned reduce: every input block is split by
     key-hash into P slices (one task per block), then P reduce tasks apply
     ``reduce_fn`` to their partition's concatenated slices.  Returns a
@@ -101,10 +102,15 @@ def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8):
     reduce): one partition's rows fit one worker; callers pass
     partial-aggregated inputs (one row per key per block) so that holds by
     construction.  At cluster scale raise ``num_partitions`` to ~total
-    cores; the B x P object fan-out is the classic map-shuffle quadratic —
-    beyond ~10^4 blocks, coalesce partials (or fall back to
-    ``Dataset.groupby``'s push-based shuffle) before splitting."""
+    cores.  The B x P object fan-out is the classic map-shuffle quadratic;
+    when B exceeds ``max_split_tasks`` the blocks are first coalesced in
+    a tree of concat tasks so at most that many split tasks (and
+    ``max_split_tasks`` x P objects) ever exist."""
     refs = ds.materialize().to_arrow_refs()
+    if len(refs) > max_split_tasks:
+        group = -(-len(refs) // max_split_tasks)    # ceil: blocks per task
+        refs = [_concat_blocks.remote(*refs[i:i + group])
+                for i in range(0, len(refs), group)]
     splits = [_hash_split.options(num_returns=num_partitions)
               .remote(r, list(key_cols), num_partitions) for r in refs]
     if num_partitions == 1:     # num_returns=1 yields a bare ref
@@ -112,6 +118,12 @@ def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8):
     outs = [_hash_reduce_part.remote(reduce_fn, *[s[i] for s in splits])
             for i in range(num_partitions)]
     return ray.data.from_arrow_refs(outs)
+
+
+@ray.remote
+def _concat_blocks(*tabs):
+    live = [t for t in tabs if t.num_rows > 0]
+    return pa.concat_tables(live) if live else tabs[0]
 
 
 def hash_join(left, right, on, how: str = "inner",
