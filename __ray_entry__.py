@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(81 queries, 74 oracle-checked; the approximate/iterative ops are rows-only
+(82 queries, 75 oracle-checked; the approximate/iterative ops are rows-only
 by design)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank": datapipe.percentile_rank,
         "prepare_corpus": datapipe.prepare_corpus,
         "pivot_events": datapipe.pivot_events,
+        "melt_events": datapipe.melt_events,
     }
     return q
 
@@ -929,6 +930,10 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                count(*) FILTER (WHERE event_type = 'error') AS n_error
         FROM events GROUP BY user_id
+    """
+    sql["melt_events"] = """
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
     """
     sql["prepare_corpus"] = f"""
         WITH RECURSIVE

@@ -2928,6 +2928,29 @@ def pivot_events(sf_dir: str):
                         ["user_id"], pivot, num_partitions=4)
 
 
+def melt_events(sf_dir: str):
+    """UNPIVOT / melt: the wide per-user count matrix
+    (:func:`pivot_events`) back to long (user_id, event_type, n) rows
+    with zero cells dropped — the inverse reshape as one per-batch
+    transform over the pivot output (one column filter per type, no
+    exchange beyond pivot's own co-partition).  The oracle is the plain
+    long-form groupby, so the gate checks the pivot -> melt round trip
+    end to end."""
+    def melt(b: pa.Table) -> pa.Table:
+        outs = []
+        for x in _PIVOT_TYPES:
+            n = b[f"n_{x}"]
+            keep = pc.greater(n, 0)
+            kept = b["user_id"].filter(keep)
+            outs.append(pa.table({
+                "user_id": kept,
+                "event_type": pa.array([x] * len(kept), pa.string()),
+                "n": n.filter(keep)}))
+        return pa.concat_tables(outs)
+
+    return pivot_events(sf_dir).map_batches(melt, batch_format="pyarrow")
+
+
 def group_zscore(sf_dir: str):
     """Per-group feature normalization: z = (value - mean_g) / std_g over
     events grouped by event_type — the standard ML feature-scaling pass.
