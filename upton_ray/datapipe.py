@@ -46,6 +46,7 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -60,10 +61,14 @@ NORM_RE = r"\s+"
 
 def _docs(sf_dir: str, columns):
     # the test tables are ONE small parquet file -> one read block; split so
-    # downstream map_batches actually parallelizes (a real corpus is many
-    # files and needs no override)
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=columns, override_num_blocks=8)
+    # downstream map_batches actually parallelizes. A real corpus (a
+    # DIRECTORY of part files, e.g. tools/datapipe_1m.py) gets no override —
+    # Ray's own parallelism heuristic is right when there are many files.
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=8)
 
 
 from upton_ray.shuffle import hash_reduce as _hash_reduce  # noqa: E402
