@@ -464,17 +464,28 @@ def _hash_bucket_pairs(sigs, key_cols: list[str], id_col: str,
         bounds = np.flatnonzero(change)
         lens = np.diff(bounds)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        outs = [empty]
-        for s, m in zip(bounds[:-1][lens >= 2], lens[lens >= 2]):
+        outs_a, outs_b = [], []
+        # pairs (the overwhelmingly common segment size) fully vectorized —
+        # a Python iteration + pa.table per segment costs ~50us each and
+        # dominated the 10^6-doc soak before this split
+        two = bounds[:-1][lens == 2]
+        if two.size:
+            outs_a.append(ids[two])
+            outs_b.append(ids[two + 1])
+        for s, m in zip(bounds[:-1][lens > 2], lens[lens > 2]):
             if m > max_bucket:
-                outs.append(pa.table({a_name: pa.array([-1], pa.int64()),
-                                      b_name: pa.array([m], pa.int64())}))
+                outs_a.append(np.array([-1], np.int64))
+                outs_b.append(np.array([m], np.int64))
                 continue
             v = ids[s:s + m]                  # id-sorted within the segment
             i, j = np.triu_indices(m, k=1)
-            outs.append(pa.table({a_name: pa.array(v[i], pa.int64()),
-                                  b_name: pa.array(v[j], pa.int64())}))
-        return pa.concat_tables(outs)
+            outs_a.append(v[i])
+            outs_b.append(v[j])
+        if not outs_a:
+            return empty
+        return pa.table({
+            a_name: pa.array(np.concatenate(outs_a), pa.int64()),
+            b_name: pa.array(np.concatenate(outs_b), pa.int64())})
 
     return _hash_reduce(sigs, key_cols, part_pairs)
 
