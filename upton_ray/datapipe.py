@@ -597,6 +597,17 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
 # --------------------------------------------------------------- embeddings
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet METADATA (file or directory of parts) —
+    never a data read."""
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path):
+        return sum(_pq.read_metadata(os.path.join(path, f)).num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return _pq.read_metadata(path).num_rows
+
+
 def _emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
@@ -1284,16 +1295,23 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
 
 
 def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
-                        n_bits: int = 64, band_bits: int = 8,
+                        n_bits: int | None = None,
+                        band_bits: int | None = None,
                         seed: int = 42, max_bucket: int = 1024) -> pa.Table:
     """Embedding near-dup via sign-random-projection LSH — the scale path
     promised by :func:`embedding_dedup`: signatures -> banded buckets ->
     within-bucket candidates -> exact cosine verification, so no stage ever
-    forms the O(n^2) pair space. Band sizing balances bucket occupancy
-    (256 buckets/band keeps candidate pairs ~linear) against recall: ~0.99
-    at cos = 0.95 exactly, ->1 as similarity ->1 (true near-dups sit far
-    above threshold). Every emitted pair is exactly verified, so output ⊆
-    brute force — the gate shares embedding_dedup's SQL oracle.
+    forms the O(n^2) pair space.  Band sizing is OCCUPANCY-ADAPTIVE by
+    default: ``band_bits = max(8, ceil(log2(n)))`` keeps ~1 row per bucket
+    at any corpus size, so spurious candidates stay ~n/2 per band (a fixed
+    8-bit band means 256 buckets/band — linear at 2k vectors but
+    ~n^2/512 candidate pairs per band at 10^5+; measured: the 10^6-vector
+    soak never finished before this rule), with 8 bands so recall at
+    cos -> 1 stays ~1 (true near-dups sit far above threshold; recall at
+    exactly the 0.95 boundary decreases with corpus size — the price of
+    linearity, pay more bands to buy it back).  Every emitted
+    pair is exactly verified, so output ⊆ brute force — the gate shares
+    embedding_dedup's SQL oracle.
 
     Driver discipline: the (d x n_bits) projection planes are DETERMINISTIC
     (seeded), so each task regenerates them from (seed, dim) — zero
@@ -1306,6 +1324,11 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
     """
     import logging
 
+    if band_bits is None:
+        n_rows = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+        band_bits = max(8, int(np.ceil(np.log2(max(n_rows, 256)))))
+    if n_bits is None:
+        n_bits = 8 * band_bits
     n_bands = n_bits // band_bits
 
     def signatures(batch: pa.Table) -> pa.Table:
@@ -1356,10 +1379,11 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
                             .to_arrow_refs()) if t.num_rows])
     mm = _emb_matrix(sub)
     mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
-    pos = {int(v): k for k, v in enumerate(
-        sub["vec_id"].to_numpy(zero_copy_only=False))}
-    a = np.array([pos[int(x)] for x in df["vec_a"]])
-    b = np.array([pos[int(x)] for x in df["vec_b"]])
+    vid = sub["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vid)                   # vectorized id -> row lookup
+    svid = vid[order]
+    a = order[np.searchsorted(svid, df["vec_a"].to_numpy())]
+    b = order[np.searchsorted(svid, df["vec_b"].to_numpy())]
     sims = np.einsum("ij,ij->i", mm[a], mm[b])
     out = df[sims >= threshold].sort_values(["vec_a", "vec_b"])
     return pa.Table.from_pandas(out.reset_index(drop=True),
