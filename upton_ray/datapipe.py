@@ -2494,9 +2494,11 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
         S = np.zeros((k, dim))
         cnt = np.zeros(k, dtype=np.int64)
         for t in parts:
-            cnt += t["count"].to_numpy(zero_copy_only=False)
-            for c, blob in zip(t["cluster"].to_pylist(),
-                               t["vsum"].to_pylist()):
+            # one BLOCK may hold several batches' k-row partials stacked —
+            # fold by the cluster column, never by position
+            cl = t["cluster"].to_numpy(zero_copy_only=False)
+            np.add.at(cnt, cl, t["count"].to_numpy(zero_copy_only=False))
+            for c, blob in zip(cl, t["vsum"].to_pylist()):
                 S[c] += np.frombuffer(blob)
         nz = cnt > 0
         cents = cents.copy()
