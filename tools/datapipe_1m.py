@@ -85,6 +85,26 @@ def build_corpus(n_docs: int, seed: int = 7, tokens_per_doc: int = 60,
     return out
 
 
+def planted_pairs(n_docs: int, bucket_rows: int = 62_500) -> set:
+    """The exact (src, dup) near-dup pairs build_corpus plants — ground
+    truth for the minhash recovery assertion."""
+    pairs = set()
+    written = 0
+    while written < n_docs:
+        rows = min(bucket_rows, n_docs - written)
+        half = rows // 2
+        ids = np.arange(written, written + half, dtype=np.int64)
+        for m in ids[(ids % 10) == 0]:
+            pairs.add((int(m), int(m + half)))
+        written += rows
+    return pairs
+
+
+def _maxrss_mb() -> float:
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=1_000_000)
@@ -108,6 +128,7 @@ def main():
     results = {}
     for op in args.ops.split(","):
         fn = getattr(datapipe, op)
+        rss0 = _maxrss_mb()
         t0 = time.time()
         out = fn(corpus)
         if hasattr(out, "count"):
@@ -116,7 +137,23 @@ def main():
             n = out.num_rows
         dt = time.time() - t0
         results[op] = {"sec": round(dt, 2), "rows": int(n),
-                       "docs_per_sec": round(args.n_docs / dt, 1)}
+                       "docs_per_sec": round(args.n_docs / dt, 1),
+                       "driver_rss_delta_mb": round(_maxrss_mb() - rss0, 1)}
+        if op == "minhash_dedup":
+            # ground-truth recovery: the verified output must be EXACTLY
+            # the planted near-dup family, and (post round-4 distributed
+            # verify) the driver high-water mark must stay flat — the
+            # candidate pairs and shingle sets never land on the driver
+            want = planted_pairs(args.n_docs)
+            got = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+            assert got == want, (
+                f"minhash recovery mismatch: {len(got)} found vs "
+                f"{len(want)} planted; missing={len(want - got)} "
+                f"spurious={len(got - want)}")
+            results[op]["planted_recovered"] = len(want)
+            delta = results[op]["driver_rss_delta_mb"]
+            assert delta < 400, \
+                f"driver RSS grew {delta} MB during the distributed verify"
     print(json.dumps({"n_docs": args.n_docs, "corpus_build_s": build_s,
                       "ops": results}))
     ray.shutdown()

@@ -106,11 +106,7 @@ def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8,
     when B exceeds ``max_split_tasks`` the blocks are first coalesced in
     a tree of concat tasks so at most that many split tasks (and
     ``max_split_tasks`` x P objects) ever exist."""
-    refs = ds.materialize().to_arrow_refs()
-    if len(refs) > max_split_tasks:
-        group = -(-len(refs) // max_split_tasks)    # ceil: blocks per task
-        refs = [_concat_blocks.remote(*refs[i:i + group])
-                for i in range(0, len(refs), group)]
+    refs = _coalesce_refs(ds.materialize().to_arrow_refs(), max_split_tasks)
     splits = [_hash_split.options(num_returns=num_partitions)
               .remote(r, list(key_cols), num_partitions) for r in refs]
     if num_partitions == 1:     # num_returns=1 yields a bare ref
@@ -124,6 +120,35 @@ def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8,
 def _concat_blocks(*tabs):
     live = [t for t in tabs if t.num_rows > 0]
     return pa.concat_tables(live) if live else tabs[0]
+
+
+def _coalesce_refs(refs, max_split_tasks: int):
+    if len(refs) <= max_split_tasks:
+        return list(refs)
+    group = -(-len(refs) // max_split_tasks)        # ceil: blocks per task
+    return [_concat_blocks.remote(*refs[i:i + group])
+            for i in range(0, len(refs), group)]
+
+
+def hash_partition_refs(ds, key_cols, num_partitions: int,
+                        max_split_tasks: int = 1024):
+    """Hash-partition a Dataset by ``key_cols`` into exactly P tables and
+    return their object refs (partition ``i`` holds every row whose
+    ``key_hash % P == i``).  The building block for PARTITION-ONCE /
+    PROBE-MANY plans: pay the all-to-all on the big side a single time,
+    then co-partition any number of probe sides against the same refs
+    (used by the distributed near-dup verify stages, which attach each
+    candidate pair's two payloads in two successive probe passes without
+    re-exchanging the payload table).  Same memory contract as
+    :func:`hash_reduce`: one partition fits one worker."""
+    P = num_partitions
+    refs = _coalesce_refs(ds.materialize().to_arrow_refs(), max_split_tasks)
+    splits = [_hash_split.options(num_returns=P)
+              .remote(r, list(key_cols), P) for r in refs]
+    if P == 1:
+        splits = [[s] for s in splits]
+    return [_concat_blocks.remote(*[s[i] for s in splits])
+            for i in range(P)]
 
 
 def hash_join(left, right, on, how: str = "inner",
