@@ -1152,8 +1152,11 @@ def oracle_sql() -> dict[str, str]:
         WITH tok AS (
           SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
           FROM documents),
+        -- term <> '' mirrors the Ray side's str.split semantics: an
+        -- empty/whitespace-only doc contributes no tokens (DuckDB's
+        -- string_split('', ' ') yields [''] instead)
         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-               FROM tok GROUP BY 1, 2),
+               FROM tok WHERE term <> '' GROUP BY 1, 2),
         cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
         tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS T FROM cf)
         SELECT tf.doc_id,

@@ -3132,8 +3132,14 @@ def pivot_events(sf_dir: str):
         users, uidx = np.unique(
             g["user_id"].to_numpy(zero_copy_only=False), return_inverse=True)
         enc = pc.dictionary_encode(g["event_type"].combine_chunks())
-        t2fixed = np.array([tlist.index(x) for x in
-                            enc.dictionary.to_pylist()], np.int64)
+        vocab = {x: j for j, x in enumerate(tlist)}
+        dic = enc.dictionary.to_pylist()
+        unknown = sorted(x for x in dic if x not in vocab)
+        if unknown:          # surface a clear error, not a bare list.index
+            raise ValueError(
+                f"pivot_events: unknown event_type values {unknown!r} "
+                f"(expected one of {tlist})")
+        t2fixed = np.array([vocab[x] for x in dic], np.int64)
         tidx = t2fixed[enc.indices.to_numpy(zero_copy_only=False)]
         mat = np.zeros((len(users), len(tlist)), np.int64)
         np.add.at(mat, (uidx, tidx),

@@ -763,14 +763,16 @@ class Crawler:
         # https-only corpus stores robots under https://, so a fixed http://
         # probe would silently find no rules; the other scheme stays as the
         # fallback probe
+        str_urls = [u for u in urls if isinstance(u, str)]
         host_scheme: dict[str, str] = {}
-        for u in urls:
-            if not isinstance(u, str):
-                continue
-            h = hosts_of(np.array([u], dtype=object))[0]
-            if h and h not in host_scheme:
-                host_scheme[h] = "https" if u.lower().startswith("https:") \
-                    else "http"
+        if str_urls:
+            # one vectorized hosts_of over every URL — a per-URL call costs
+            # a numpy array construction each on 10^7-URL crawls
+            hs = hosts_of(np.array(str_urls, dtype=object))
+            for u, h in zip(str_urls, hs):
+                if h and h not in host_scheme:
+                    host_scheme[h] = "https" \
+                        if u.lower().startswith("https:") else "http"
         hosts = sorted(h for h in host_scheme if h not in cfg.robots_txt)
         if not hosts:
             return

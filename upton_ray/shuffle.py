@@ -80,6 +80,11 @@ def _hash_split(t: pa.Table, key_cols, P: int):
 
 @ray.remote
 def _hash_reduce_part(fn, *tabs):
+    # a dataset that materializes to ZERO blocks gives every reduce task
+    # an empty tabs tuple — emit a zero-column table (downstream consumers
+    # already skip those) instead of crashing on tabs[0]
+    if not tabs:
+        return pa.table({})
     # empty upstream blocks can carry a stale (pre-map) schema — drop them;
     # if the whole partition is empty, reduce any non-zero-column table so
     # fn still sees the real column set
@@ -285,8 +290,12 @@ def detect_hot_keys(ds, key: str, threshold: float = 0.05,
     balance, never correctness.  Returns the (small) key array."""
     ds = ds.materialize()
     total = ds.count()
+    sch = ds.schema()
+    # real key type, not a hardcoded int64 (schema() is None only for a
+    # zero-block dataset, where no better answer exists)
+    ktype = sch.types[sch.names.index(key)] if sch is not None else pa.int64()
     if total == 0:
-        return pa.array([], pa.int64())
+        return pa.array([], ktype)
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select([key]).group_by([key]).aggregate([([], "count_all")])
@@ -298,7 +307,7 @@ def detect_hot_keys(ds, key: str, threshold: float = 0.05,
 
     def reduce(t: pa.Table) -> pa.Table:
         if key not in t.column_names:
-            return pa.table({key: pa.array([], pa.int64()),
+            return pa.table({key: pa.array([], ktype),
                              "count_all": pa.array([], pa.int64())})
         g = t.group_by([key]).aggregate([("count_all", "sum")])
         return pa.table({key: g[key], "count_all": g["count_all_sum"]})
