@@ -1,0 +1,226 @@
+"""Real-HTTP fetch path: HttpWebStore + html_to_spans conformance.
+
+The reference's raison d'être is RestClient GETs
+(/root/reference/lib/upton/downloader.rb:46-68).  These tests stand up a
+REAL localhost HTTP server and drive the same golden RSpec-conformance
+scenarios through :class:`upton_ray.fetch.HttpWebStore` that the dict /
+parquet stores pass — plus the HTML parse leg (htmlspans) and the
+downloader semantics (error statuses → empty page, LRU stash, bounded
+retry)."""
+
+import copy
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from upton_ray.htmlspans import html_to_spans
+from upton_ray.oracle import UptonOracle
+from upton_ray.scenarios import scenario_configs
+from upton_ray.synth import BASE
+
+CFGS = scenario_configs()
+# same pure fetch/extract scenarios the parquet-store conformance runs
+NAMES = ["basic", "relative", "list", "table", "paginated",
+         "paginated_error", "instance_error", "dedup_stash", "continuation"]
+
+
+@pytest.fixture(scope="module")
+def http_web(fixture_web):
+    """Serve the RSpec fixture web over localhost HTTP as JSON span docs
+    (404 for anything not in the corpus)."""
+    web = fixture_web
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            url = BASE + self.path.lstrip("/")
+            spans = web.get(url)
+            if spans is None:
+                self.send_error(404)
+                return
+            body = json.dumps(spans).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):      # silence per-request stderr lines
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield ("http", {"url_map": {BASE: f"http://127.0.0.1:{srv.server_port}/"},
+                    "timeout": 5.0, "max_retries": 1})
+    srv.shutdown()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_scenario_over_http(name, ray_session, fixture_web, http_web):
+    """The golden crawls byte-match the sequential oracle when every page
+    body arrives via a real HTTP GET."""
+    from upton_ray.engine import Crawler
+
+    cfg = CFGS[name]
+    oracle = UptonOracle(copy.deepcopy(cfg), fixture_web).scrape()
+    res = Crawler(cfg, http_web).crawl(trace=True)
+    assert res.documents() == oracle.documents, f"{name}: documents differ"
+    if cfg.url_array is None:
+        assert res.index_urls == oracle.index_urls, f"{name}: index order differs"
+    assert res.fetched_urls == oracle.seen, f"{name}: URL-seen set differs"
+    assert res.sleeps == oracle.sleeps, f"{name}: sleep count differs"
+
+
+def test_store_equivalence_and_lru(http_web, fixture_web):
+    """Store-level contract: every fixture page round-trips the network
+    identically to the dict store; misses are None; the LRU absorbs the
+    walkers' page_len + lookup_table double hit (ONE GET per URL)."""
+    from upton_ray.fetch import DictWebStore, make_store
+
+    http_store = make_store(http_web)
+    dict_store = DictWebStore(fixture_web)
+    urls = sorted(fixture_web)
+    for u in urls:
+        assert http_store.lookup_one(u) == dict_store.lookup_one(u), u
+    n_after_first = http_store.n_requests
+    assert n_after_first == len(urls)
+    # second pass (page_len + lookup_table) is served from the LRU
+    for u in urls:
+        assert http_store.page_len(u) == dict_store.page_len(u)
+    tab = http_store.lookup_table(urls)
+    assert len(tab) == len(urls)
+    assert http_store.n_requests == n_after_first
+    # a miss GETs (404), returns None, and is cached as a miss too
+    assert http_store.lookup_one(BASE + "nope.html") is None
+    assert http_store.page_len(BASE + "nope.html") is None
+    assert http_store.n_requests == n_after_first + 1
+
+
+def test_connection_error_maps_to_empty_page():
+    """Unreachable host: bounded retry, then the empty page — never an
+    exception out of the fetch stage (downloader.rb timeout analog, but
+    BOUNDED per T4)."""
+    from upton_ray.fetch import HttpWebStore
+
+    store = HttpWebStore(timeout=0.2, max_retries=1)
+    assert store.lookup_one("http://127.0.0.1:9/unreachable") is None
+    assert store.n_requests == 2        # initial + 1 retry
+
+
+def test_html_crawl_over_http(ray_session):
+    """End-to-end over real HTML bodies: a mini index → instance crawl whose
+    pages are served as text/html and parsed by html_to_spans on fetch."""
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+
+    pages = {
+        "/index.html": """<html><body>
+            <div id="header"><a href="/">Home</a></div>
+            <section id="river">
+              <section><h1><a href="art1.html">First story</a></h1></section>
+              <section><h1><a href="art2.html">Second story</a></h1></section>
+            </section>
+            <div id="footer"><a href="about.html">About</a></div>
+            </body></html>""",
+        "/art1.html": """<html><body>
+            <h1 class="article-title">Headline One</h1>
+            <p>Body one.</p></body></html>""",
+        "/art2.html": """<html><body>
+            <h1 class="article-title">Headline Two</h1>
+            <p>Body two.</p></body></html>""",
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = pages.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/"
+        cfg = CrawlConfig(index_selector="section#river section h1 a",
+                          extractor="css:h1.article-title",
+                          sleep_time_between_requests=0,
+                          num_seen_shards=2, fetch_concurrency=2)
+        c = Crawler(cfg, ("http", {}),
+                    seeds=[(0, base + "index.html",
+                            "section#river section h1 a")])
+        res = c.crawl()
+        t = res.records_table()   # consume BEFORE shutdown (lazy Dataset)
+        c.shutdown()
+        got = sorted(zip(t["instance_url"].to_pylist(),
+                         [r[0] if r else "" for r in
+                          t["record"].to_pylist()]))
+        assert got == [(base + "art1.html", "Headline One"),
+                       (base + "art2.html", "Headline Two")]
+    finally:
+        srv.shutdown()
+
+
+# ------------------------------------------------------- html_to_spans unit
+
+
+def test_html_to_spans_paths_and_kinds():
+    spans = html_to_spans("""
+        <html><head><title>t</title><script>var x=1;</script></head><body>
+        <section id="river"><section><h1><a href="a.html">Story</a></h1>
+        </section></section>
+        <div id="jamb" class="wNarrow"><div id="most-commented"><ul>
+          <li><a href="b.html">Items <b>bold</b> tail</a></li>
+        </ul></div></div>
+        <h1 class="article-title">Headline</h1>
+        <p>  Some   text  </p>
+        <img src="assets/x.jpg">
+        <a>nil href kept</a>
+        </body></html>""")
+    by_kind = {s["kind"]: s for s in spans}
+    # html/body/head dropped; full element paths; anchors carry inner text
+    a1 = by_kind["section#river/section/h1/a"]
+    assert a1["text"] == "Story" and a1["media_ref"] == "a.html"
+    a2 = by_kind["div#jamb.wNarrow/div#most-commented/ul/li/a"]
+    assert a2["text"] == "Items bold tail" and a2["media_ref"] == "b.html"
+    assert by_kind["h1.article-title"]["text"] == "Headline"
+    assert by_kind["p"]["text"] == "Some text"     # whitespace collapsed
+    assert by_kind["media.img"]["media_ref"] == "assets/x.jpg"
+    assert by_kind["a"]["media_ref"] == ""         # nil-href row KEPT (Q2)
+    assert "title" in by_kind                      # head content visible? no:
+    # (title sits under head → dropped segment, but its text is still a
+    # span with kind "title"; script content must NOT appear anywhere)
+    assert not any("var x" in s["text"] for s in spans)
+    # offsets strictly increasing from 0
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_html_to_spans_table_ordinals():
+    spans = html_to_spans("""
+        <table class="wikitable"><tr><th>Decoy</th></tr></table>
+        <table class="wikitable">
+          <tr><th>H1</th><th>H2</th></tr>
+          <tr><td>a</td><td>b</td></tr>
+        </table>""")
+    kinds = [s["kind"] for s in spans]
+    assert "table.wikitable[1]/tr[1]/th[1]" in kinds
+    assert "table.wikitable[2]/tr[1]/th[2]" in kinds
+    assert "table.wikitable[2]/tr[2]/td[2]" in kinds
+    cell = {s["kind"]: s["text"] for s in spans}
+    assert cell["table.wikitable[2]/tr[2]/td[1]"] == "a"
+
+
+def test_html_to_spans_malformed_never_raises():
+    spans = html_to_spans("<div><p>unclosed<a href='x'>link")
+    texts = {s["text"] for s in spans}
+    assert "unclosed" in texts and "link" in texts

@@ -60,6 +60,15 @@ from upton_ray.shuffle import hash_reduce
 from upton_ray.urlops import hosts_of, shard_hashes
 
 
+def _bucket_count(web_ref) -> int | None:
+    """Bucket count of a BUCKETED corpus source (("parquet"|"lance", path,
+    n_buckets)), None for every other store — the ("http", opts) source is
+    a tuple too but has no bucket layout to route by."""
+    if isinstance(web_ref, tuple) and web_ref[0] in ("parquet", "lance"):
+        return web_ref[2]
+    return None
+
+
 RECORDS_OUT = pa.schema([
     ("instance_index", pa.int64()), ("pagination_index", pa.int32()),
     ("row_no", pa.int32()), ("instance_url", pa.string()),
@@ -472,7 +481,7 @@ class Crawler:
         """Frontier Dataset -> fetched instance-page Dataset."""
         cfg = self.cfg
         walker_args = (cfg, self.web_ref, self.seen)
-        if isinstance(self.web_ref, tuple) and not cfg.needs_host_affinity():
+        if _bucket_count(self.web_ref) and not cfg.needs_host_affinity():
             # frontier-routing shuffle (SURVEY.md §7.3): co-locate each corpus
             # bucket's URLs so every bucket is decoded ONCE, not per batch —
             # the shuffle moves only (url, ints) rows, the cheap side
@@ -605,8 +614,8 @@ class Crawler:
         })
         n_seeds = len(self.seeds)
         conc = min(cfg.fetch_concurrency, max(1, n_seeds))
-        if isinstance(self.web_ref, tuple):
-            _, _, n_buckets = self.web_ref
+        n_buckets = _bucket_count(self.web_ref)
+        if n_buckets:
             hb = shard_hashes(hosts_of(np.array([s[1] for s in self.seeds],
                                                 dtype=object)), n_buckets)
             order = np.lexsort((seeds_t["seed_id"].to_numpy(), hb))
@@ -677,8 +686,7 @@ class Crawler:
         p = self._ckpt("metrics.parquet")
         if not p:
             return
-        buckets = self.web_ref[2] if isinstance(self.web_ref, tuple) else \
-            self.cfg.num_seen_shards
+        buckets = _bucket_count(self.web_ref) or self.cfg.num_seen_shards
 
         def partial(b: pa.Table) -> pa.Table:
             hs = hosts_of(b["instance_url"].to_numpy(zero_copy_only=False))

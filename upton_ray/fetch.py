@@ -187,13 +187,131 @@ class LanceWebStore(ParquetWebStore):
         self._cache_max = cache_buckets
 
 
+class HttpWebStore:
+    """A REAL network fetch: one HTTP GET per URL — the reference's core
+    capability (lib/upton/downloader.rb:46-68), absent from this engine
+    until round 4.  Same store interface as the corpus stores, so every
+    walker / politeness / robots / stash mechanism applies unchanged.
+
+    Semantics mirror the reference downloader:
+
+    * 404 / 500 / 503 (any HTTP error status) → the empty page
+      (``None`` here; the walkers map it to an empty span list with the
+      row kept positionally — M8, downloader.rb:50-57);
+    * timeouts / connection errors → BOUNDED retry with backoff
+      (``max_retries``; the reference's bare ``retry`` is unbounded —
+      T4 deliberately bounds it), then the empty page;
+    * response bodies become span documents: ``application/json`` bodies
+      are parsed as the native span-row list, anything else goes through
+      :func:`upton_ray.htmlspans.html_to_spans` (the Nokogiri-parse
+      analog, upton.rb:281);
+    * a small per-actor LRU (the downloader's stash analog) absorbs the
+      walkers' ``page_len`` probe + ``lookup_table`` double hit without
+      a second GET; ``n_requests`` counts true network GETs for tests.
+
+    GETs within a batch are sequential by default (the reference is
+    strictly sequential; per-host pacing happens in the walkers' host
+    scheduler).  ``max_workers > 1`` opts into a thread pool for
+    multi-host batches at scale.
+
+    ``url_map`` rewrites URL prefixes before the GET (test plumbing: a
+    fixture web keyed by ``http://www.example.com/`` can be served from
+    ``http://127.0.0.1:<port>/``) — crawl outputs still carry the
+    original URLs.
+    """
+
+    def __init__(self, url_map: dict[str, str] | None = None,
+                 timeout: float = 10.0, max_retries: int = 3,
+                 cache_pages: int = 256, max_workers: int = 1):
+        self.url_map = dict(url_map or {})
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.max_workers = max_workers
+        self._cache: dict[str, list | None] = {}
+        self._cache_max = cache_pages
+        self.n_requests = 0
+
+    def _target(self, url: str) -> str:
+        for pre, to in self.url_map.items():
+            if url.startswith(pre):
+                return to + url[len(pre):]
+        return url
+
+    def _get(self, url: str):
+        import json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        target = self._target(url)
+        for attempt in range(self.max_retries + 1):
+            try:
+                self.n_requests += 1
+                with urllib.request.urlopen(target,
+                                            timeout=self.timeout) as resp:
+                    body = resp.read()
+                    ctype = resp.headers.get("Content-Type", "")
+                break
+            except urllib.error.HTTPError:
+                return None               # 404/500/503/...: the empty page
+            except ValueError:
+                return None               # invalid/relative URL: empty page
+                                          # (downloader.rb:58-68 analog)
+            except (urllib.error.URLError, TimeoutError, OSError):
+                if attempt < self.max_retries:  # timeout/conn: bounded retry
+                    _time.sleep(min(0.1 * (2 ** attempt), 2.0))
+        else:
+            return None                   # retries exhausted: empty page
+        text = body.decode("utf-8", errors="replace")
+        if "json" in ctype or text[:1] in ("[", "{"):
+            try:
+                spans = json.loads(text)
+                if isinstance(spans, list):
+                    return spans
+            except ValueError:
+                pass
+        from upton_ray.htmlspans import html_to_spans
+
+        return html_to_spans(text)
+
+    def _fetch(self, url: str):
+        hit = url in self._cache
+        spans = self._cache.pop(url) if hit else self._get(url)
+        self._cache[url] = spans          # re-insert = most-recently-used
+        while len(self._cache) > self._cache_max:
+            self._cache.pop(next(iter(self._cache)))
+        return spans
+
+    def lookup_one(self, url: str):
+        return self._fetch(url)
+
+    def page_len(self, url: str):
+        spans = self._fetch(url)
+        return None if spans is None else len(spans)
+
+    def lookup_table(self, urls) -> pa.Array:
+        urls = list(urls)
+        if self.max_workers > 1 and len(urls) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            missing = [u for u in urls if u not in self._cache]
+            if missing:
+                with ThreadPoolExecutor(self.max_workers) as ex:
+                    for u, spans in zip(missing, ex.map(self._get, missing)):
+                        self._cache[u] = spans
+        return schema.spans_array(
+            [self._fetch(u) or EMPTY_SPANS for u in urls])
+
+
 def make_store(web_source):
     """web_source: dict | synth.ScaleParams |
-    ("parquet" | "lance", path, num_buckets)."""
+    ("parquet" | "lance", path, num_buckets) | ("http", options_dict)."""
     if isinstance(web_source, dict):
         return DictWebStore(web_source)
     if isinstance(web_source, synth.ScaleParams):
         return GeneratorWebStore(web_source)
+    if web_source[0] == "http":
+        return HttpWebStore(**(web_source[1] if len(web_source) > 1 else {}))
     kind, path, buckets = web_source
     if kind == "lance":
         return LanceWebStore(path, buckets)
