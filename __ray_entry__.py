@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": datapipe.ann_topk,
         "ann_ivf": datapipe.ann_ivf,     # approximate (IVF): rows-only gate
         "ann_pq": datapipe.ann_pq,       # approximate (PQ codes): rows-only
+        # rows-only BUT self-asserting: recall@10 vs ann_topk computed
+        # inside the query with pinned floors (query errors on regression)
+        "ann_recall": datapipe.ann_recall,
         "embedding_dedup": datapipe.embedding_dedup,
         "embedding_dedup_lsh": datapipe.embedding_dedup_lsh,
         "events_window": datapipe.events_window,

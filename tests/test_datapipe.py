@@ -138,6 +138,17 @@ def test_ann_ivf_full_probe_equals_brute_force(ray_session):
     assert ivf.values.tolist() == exact.values.tolist()
 
 
+def test_ann_recall_gate_pins_floors(ray_session):
+    """The self-asserting recall gate (VERDICT r3 item 5): every approximate
+    ANN entry clears its pinned floor, full-probe IVF is exactly 1.0, and
+    the output table carries the measured numbers."""
+    t = datapipe.ann_recall("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 5
+    assert (t["recall_at_k"] >= t["floor"]).all()
+    full = t[t["method"] == "ann_ivf_full_probe"]
+    assert full["recall_at_k"].iloc[0] == 1.0
+
+
 def test_ann_ivf_partial_probe_recall(ray_session):
     sf = "/root/testdata/sf0.001"
     exact = datapipe.ann_topk(sf).to_pandas()

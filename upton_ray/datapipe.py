@@ -2046,6 +2046,58 @@ def dedup_keep_best(sf_dir: str):
     return agg.map_batches(decode, batch_format="pyarrow")
 
 
+def ann_recall(sf_dir: str, k: int = 10) -> pa.Table:
+    """Pinned recall contract for the approximate ANN family (VERDICT r3
+    item 5): each approximate entry's recall@k is computed against the
+    brute-force :func:`ann_topk` ground truth INSIDE the query and asserted
+    against its documented floor, so the rows-only driver gate fails loudly
+    (query error) if an ANN regression ever drops recall — "no_oracle"
+    stops meaning "unchecked".
+
+    Floors hold with margin at every test scale (measured round 4 across
+    sf0.001/0.01/0.1 on the synthetic gaussian embeddings; see BASELINE.md
+    recall ladder): IVF nprobe=4/8 ≥ 0.7 (measured 0.80–0.85), IVF at full
+    probe EXACTLY 1.0 (degrades to brute force), PQ 16×256 ≥ 0.7 (0.725 at
+    sf0.1 — the VERDICT's number), default PQ 16×64 ≥ 0.45 (its knob ladder
+    is the documented trade), PQ+exact-rerank k'=50 ≥ 0.85 (0.90–1.0)."""
+    truth = ann_topk(sf_dir, k=k)
+
+    def per_query(t: pa.Table) -> dict[int, set]:
+        d: dict[int, set] = {}
+        for q, v in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()):
+            d.setdefault(q, set()).add(v)
+        return d
+
+    want = per_query(truth)
+
+    def recall_of(t: pa.Table) -> float:
+        got = per_query(t)
+        return float(np.mean([len(got.get(q, set()) & want[q]) / len(want[q])
+                              for q in want]))
+
+    entries = [
+        ("ann_ivf_nprobe4", ann_ivf(sf_dir, k=k), 0.70),
+        ("ann_ivf_full_probe", ann_ivf(sf_dir, k=k, nprobe=8), 1.00),
+        ("ann_pq_16x64", ann_pq(sf_dir, k=k), 0.45),
+        ("ann_pq_16x256", ann_pq(sf_dir, k=k, n_cent=256), 0.70),
+        ("ann_pq_rerank_k50", ann_pq_rerank(sf_dir, k=k), 0.85),
+    ]
+    rows = []
+    for name, table, floor in entries:
+        r = recall_of(table)
+        if name == "ann_ivf_full_probe":
+            assert r == 1.0, \
+                f"{name}: full-probe IVF must equal brute force, recall={r}"
+        else:
+            assert r >= floor, \
+                f"{name}: recall@{k} {r:.3f} below pinned floor {floor}"
+        rows.append((name, round(r, 4), floor))
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "recall_at_k": pa.array([r[1] for r in rows], pa.float64()),
+        "floor": pa.array([r[2] for r in rows], pa.float64())})
+
+
 def ann_range_search(sf_dir: str, n_queries: int = 4,
                      threshold: float = 0.3) -> pa.Table:
     """Range similarity search: ALL vectors with cosine >= threshold of each
