@@ -143,3 +143,46 @@ def test_repeated_crash_resume_never_duplicates(crawled, tmp_path):
         assert set(m[m["rows"] > 0]["partition"]) <= {v}, \
             "a _SUCCESS-marked bucket re-emitted rows during resume"
         c.shutdown()
+
+
+def test_checkpoint_carries_stash_key(crawled):
+    """Each checkpointed page row carries the reference's stash filename
+    (downloader.rb:122-139): md5(url).html by default."""
+    import pyarrow.parquet as pq
+
+    from upton_ray.urlops import md5_hash
+
+    _, _, _, stash, _ = crawled
+    ckpt = os.path.join(stash, "fetched_round1")
+    d = sorted(x for x in os.listdir(ckpt) if x.startswith("bucket="))[0]
+    t = pq.read_table(os.path.join(ckpt, d, "data-0.parquet"))
+    assert "stash_key" in t.column_names
+    urls = t["instance_url"].to_pylist()
+    keys = t["stash_key"].to_pylist()
+    assert keys == [md5_hash(u) + ".html" for u in urls]
+
+
+def test_checkpoint_readable_filenames(ray_session, tmp_path, crawled):
+    """cfg.readable_filenames switches the checkpoint stash_key to the
+    sanitized human-readable form (downloader.rb:131-139) and the crawl
+    output is unchanged."""
+    import pyarrow.parquet as pq
+
+    from upton_ray.engine import Crawler
+    from upton_ray.urlops import readable_filename
+
+    corpus, seeds, cfg, _, golden = crawled
+    stash2 = str(tmp_path / "stash_readable")
+    c2cfg = cfg(stash2)
+    c2cfg.readable_filenames = True
+    c = Crawler(c2cfg, ("parquet", corpus, 4), seeds=seeds)
+    t = c.crawl().records_table()
+    c.shutdown()
+    assert _key_rows(t) == _key_rows(golden)
+    ckpt = os.path.join(stash2, "fetched_round1")
+    d = sorted(x for x in os.listdir(ckpt) if x.startswith("bucket="))[0]
+    tk = pq.read_table(os.path.join(ckpt, d, "data-0.parquet"))
+    urls = tk["instance_url"].to_pylist()
+    keys = tk["stash_key"].to_pylist()
+    assert keys == [readable_filename(u, stash2) for u in urls]
+    assert all(k.endswith(".html") for k in keys)

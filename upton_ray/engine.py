@@ -543,7 +543,8 @@ class Crawler:
                 return ray.data.from_arrow(FETCHED_OUT.empty_table())
             return ray.data.read_parquet(
                 [os.path.join(ckpt, f"bucket={b}", "data-0.parquet")
-                 for b in all_done])
+                 for b in all_done],
+                columns=[f.name for f in FETCHED_OUT])
         if cfg.needs_host_affinity():
             # the designed shuffle: co-locate each host on one worker so the
             # per-host deadline heap is authoritative cluster-wide.
@@ -671,8 +672,20 @@ class Crawler:
                 shutil.rmtree(ckpt)   # stale partial output from a crashed run
             cols = ["instance_index", "pagination_index", "instance_url", "spans",
                     "from_resource", "slept", "status", "robots_blocked"]
-            fetched.select_columns(cols).write_parquet(ckpt)
-            fetched = ray.data.read_parquet(ckpt)
+            from upton_ray.urlops import stash_filenames
+            cfg = self.cfg
+
+            def add_stash_key(b: pa.Table) -> pa.Table:
+                # the reference's per-page stash filename
+                # (downloader.rb:122-139; readable via cfg.readable_filenames)
+                return b.append_column("stash_key", pa.array(
+                    stash_filenames(b["instance_url"].to_pylist(),
+                                    cfg.readable_filenames,
+                                    cfg.stash_folder or ""), pa.string()))
+
+            fetched.select_columns(cols).map_batches(
+                add_stash_key, batch_format="pyarrow").write_parquet(ckpt)
+            fetched = ray.data.read_parquet(ckpt, columns=cols)
             self._write_metrics(fetched)
             self._mark_done("round1")
             self._dump_seen()

@@ -479,8 +479,16 @@ def make_group_walker(token: str, cfg, web_source, seen_handle,
 
         d = os.path.join(ckpt_dir, f"bucket={bucket}")
         os.makedirs(d, exist_ok=True)
+        from upton_ray.urlops import stash_filenames
+
+        # stash_key = the reference's per-page stash filename
+        # (downloader.rb:122-139; readable mode via cfg.readable_filenames)
+        out_ck = out.append_column("stash_key", pa.array(
+            stash_filenames(out["instance_url"].to_pylist(),
+                            cfg.readable_filenames,
+                            cfg.stash_folder or ""), pa.string()))
         # fixed filename: a Ray task retry overwrites instead of duplicating
-        pq.write_table(out, os.path.join(d, "data-0.parquet"))
+        pq.write_table(out_ck, os.path.join(d, "data-0.parquet"))
         open(os.path.join(d, "_SUCCESS"), "w").close()
         status = out["status"]
         fetched_n = int(pc.sum(out["from_resource"]).as_py() or 0)

@@ -35,6 +35,7 @@ __all__ = [
     "hosts_of",
     "next_index_page_url",
     "readable_filename",
+    "stash_filenames",
 ]
 
 
@@ -192,6 +193,18 @@ def readable_filename(url: str, cache_location: str) -> str:
     clean_max = MAX_FILENAME_LENGTH - len("html") - len(cache_location)
     clean = re.sub(r"[^A-Za-z0-9\-_]", "", url)[:clean_max]
     return f"{clean}.html"
+
+
+def stash_filenames(urls, readable: bool, cache_location: str = "") -> np.ndarray:
+    """Reference-exact stash filename per checkpointed page
+    (downloader.rb:122-139): ``md5(url).html`` by default, the sanitized
+    readable form under ``cfg.readable_filenames`` — carried as the
+    ``stash_key`` column of the page checkpoint so an external consumer
+    can map checkpoint rows onto the reference's stash files."""
+    if readable:
+        return np.array([readable_filename(u, cache_location) for u in urls],
+                        dtype=object)
+    return np.array([h + ".html" for h in md5_hashes(urls)], dtype=object)
 
 
 def canonicalize_url(url: str) -> str:
