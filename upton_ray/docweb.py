@@ -175,6 +175,7 @@ def crawl_documents(sf_dir: str, *, as_dataset: bool = False,
     see __ray_entry__.oracle_sql()["crawl_documents"].
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as _pq
 
     from upton_ray.engine import Crawler
@@ -218,8 +219,11 @@ def crawl_documents(sf_dir: str, *, as_dataset: bool = False,
             lambda b: pa.table({
                 "instance_index": b["instance_index"],
                 "instance_url": b["instance_url"],
-                "title": pa.array([r[0] if r else "" for r in
-                                   b["record"].to_pylist()], pa.string()),
+                # first record element, "" for empty — vectorized (the
+                # former per-row to_pylist loop was the one Python loop on
+                # this path, flagged by the r3 audit)
+                "title": pc.binary_join(
+                    pc.list_slice(b["record"], 0, 1), pa.scalar("")),
             }), batch_format="pyarrow")
         if as_dataset:
             return ds
