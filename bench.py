@@ -113,7 +113,11 @@ def run_synthetic_crawl() -> dict:
     }
 
 
-def timed(fn, *args):
+BENCH_REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+FAST_THRESHOLD_S = 5.0
+
+
+def _timed_once(fn, *args) -> float:
     t0 = time.time()
     out = fn(*args)
     try:
@@ -124,6 +128,21 @@ def timed(fn, *args):
     except ImportError:
         pass
     return time.time() - t0
+
+
+def timed(fn, *args):
+    """Wall time for one pipeline.  Sub-5 s entries are re-run and the
+    median of GRAFT_BENCH_REPEATS (default 3) is reported: single runs on
+    this box swing 2-4x from scheduler/actor-startup jitter (BASELINE.md),
+    which made real regressions undetectable (VERDICT r3 item 8).  Entries
+    >=5 s stay single-run — jitter is proportionally small there and the
+    repeat cost isn't."""
+    t = _timed_once(fn, *args)
+    if t >= FAST_THRESHOLD_S or BENCH_REPEATS <= 1:
+        return t
+    ts = sorted([t] + [_timed_once(fn, *args)
+                       for _ in range(BENCH_REPEATS - 1)])
+    return ts[len(ts) // 2]
 
 
 def polite():

@@ -900,10 +900,13 @@ class Crawler:
           EQUALS Upton's sequential order, then rank-remapped to the dense
           prefix-sum value at finalize (every link yields >= 1 record row,
           so the rank domain is complete);
-        * politeness (when real) needs no host-affinity shuffle: every host
-          — index chains AND instance fetches — leases its fetch windows
-          from the shared HostPacer token-bucket actor, so global pacing
-          holds regardless of which worker fetches.
+        * politeness (when real) routes instance fetches by HOST (the same
+          host_shard groupby as :meth:`crawl`) while EVERY host still leases
+          its windows from the shared HostPacer token-bucket actor — the
+          lease keeps global pacing airtight even though a host's index
+          chain may still be walking on another worker while its instances
+          fetch; the affinity keeps a host's leased windows contiguous on
+          one worker instead of fragmented across the pool.
 
         Checkpoint / trace / url_array runs use :meth:`crawl` (the surrogate
         would leak into their artifacts).
@@ -911,14 +914,13 @@ class Crawler:
         Measured tradeoff (192-host zipf bench corpus, this sandbox): at
         sleep=0 throughput is on par with :meth:`crawl` (the removed barrier
         is offset by losing bucket-routed corpus decodes + the rank-remap
-        pass); under real politeness it LOSES to host-affinity — round-2
-        re-measurement: 117.8 s (0.49 of the 57.8 s skew floor) vs 67-71 s
-        (0.81-0.86) — because random routing fragments a hot host's leased
-        windows across workers, and (since round 2) index chains correctly
-        consume pacer tokens too. So :meth:`crawl` stays the default for
-        both regimes; this mode exists for pipelines that need index
-        discovery and instance processing to overlap (e.g. when the extract
-        stage, not the fetch budget, dominates).
+        pass); under real politeness the round-4 host-affine routing closed
+        the round-2 gap — 67.1 s, 0.861 of the 57.8 s skew floor, vs 117.8 s
+        (0.49) when fetches were randomly routed, on par with :meth:`crawl`'s
+        0.81-0.86. :meth:`crawl` stays the default (it adds hot-host
+        SPLITTING + checkpointing); this mode is for pipelines that need
+        index discovery and instance processing to overlap (e.g. when the
+        extract stage, not the fetch budget, dominates).
         """
         cfg = self.cfg
         assert cfg.url_array is None and not cfg.stash_folder, \
@@ -951,11 +953,42 @@ class Crawler:
             })
 
         frontier = links.map_batches(pack, batch_format="pyarrow")
-        fetched = frontier.map_batches(
-            InstanceWalker,
-            fn_constructor_args=(cfg, self.web_ref, self.seen, pacer, hot),
-            batch_size=cfg.fetch_batch_size, batch_format="pyarrow",
-            concurrency=cfg.fetch_concurrency, num_cpus=0.5)
+        if pacer is not None:
+            # real politeness: route instance fetches by HOST so each host's
+            # leased windows are requested by ONE worker in one contiguous
+            # block.  Random routing fragmented a hot host's windows across
+            # workers, each blocking out its slice serially (r2 measurement:
+            # 0.49 of the skew floor vs 0.81-0.86 host-affine).  Every host
+            # still leases from the shared pacer (hot_hosts=None), so global
+            # pacing stays airtight even while the host's index chain — which
+            # may still be walking on another worker — fetches concurrently.
+            # The groupby is a barrier on the LINK stream only; under real
+            # politeness the fetch floor dominates wall time, so the lost
+            # overlap is noise (measured: BASELINE.md round-4 addendum).
+            from upton_ray.fetch import make_group_walker
+
+            def add_shard(b: pa.Table) -> pa.Table:
+                urls = b["url"].to_numpy(zero_copy_only=False)
+                return b.append_column(
+                    "host_shard",
+                    pa.array(shard_hashes(hosts_of(urls),
+                                          cfg.fetch_concurrency), pa.int32()))
+
+            token = f"overlapwalk-{os.getpid()}-{id(self)}"
+            fetched = (frontier
+                       .map_batches(add_shard, batch_format="pyarrow")
+                       .repartition(cfg.fetch_concurrency * 2)
+                       .groupby("host_shard")
+                       .map_groups(make_group_walker(
+                           token, cfg, self.web_ref, self.seen,
+                           drop=("host_shard",), pacer=pacer, hot_hosts=None),
+                           batch_format="pyarrow"))
+        else:
+            fetched = frontier.map_batches(
+                InstanceWalker,
+                fn_constructor_args=(cfg, self.web_ref, self.seen, pacer, hot),
+                batch_size=cfg.fetch_batch_size, batch_format="pyarrow",
+                concurrency=cfg.fetch_concurrency, num_cpus=0.5)
         records = self.extract_records(fetched).materialize()
         # rank-remap: surrogate -> dense index. The distinct-key set is one
         # entry per LINK (records/row_no-fold smaller than the crawl); at
