@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(82 queries, 75 oracle-checked; the approximate/iterative ops are rows-only
+(84 queries, 77 oracle-checked; the approximate/iterative ops are rows-only
 by design)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_corpus": datapipe.prepare_corpus,
         "pivot_events": datapipe.pivot_events,
         "melt_events": datapipe.melt_events,
+        "bm25_score": datapipe.bm25_score,
+        "hash_split": datapipe.hash_split,
     }
     return q
 
@@ -1200,6 +1202,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE user_id IN (SELECT DISTINCT user_id FROM events
                           WHERE event_type = 'purchase' AND value > 190)
         GROUP BY user_id
+    """
+    sql["bm25_score"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents),
+        tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok2 GROUP BY 1),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT avg(dl) FROM dl) AS avgdl),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok2
+               WHERE term IN ('scan', 'window', 'customer', 'hash')
+               GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tok2
+               WHERE term IN ('scan', 'window', 'customer', 'hash')
+               GROUP BY 1)
+        SELECT tf.doc_id,
+               round(sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * tf.tf * (1.2 + 1)
+                         / (tf.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * dl.dl / st.avgdl))),
+                     6) AS bm25
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id), st
+        GROUP BY tf.doc_id
+    """
+    sql["hash_split"] = """
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10 AS BIGINT) AS split
+        FROM documents
     """
     sql.update(_fixture_goldens())
     return sql

@@ -301,6 +301,8 @@ def main():
         timed(datapipe.prepare_corpus, SF_DIR), 3)
     queries["pivot_events"] = round(timed(datapipe.pivot_events, SF_DIR), 3)
     queries["melt_events"] = round(timed(datapipe.melt_events, SF_DIR), 3)
+    queries["bm25_score"] = round(timed(datapipe.bm25_score, SF_DIR), 3)
+    queries["hash_split"] = round(timed(datapipe.hash_split, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -953,3 +953,55 @@ def test_connected_components_both_paths(ray_session):
                              t["label"].to_pylist())))
     assert outs[0] == outs[1]
     assert all(v == k % 25 for k, v in outs[0].items())
+
+
+def test_bm25_score_matches_hand_formula(ray_session, tmp_path):
+    """Tiny corpus with hand-checkable tf/df/dl: the distributed two-pass
+    BM25 must equal the textbook formula computed directly."""
+    import math
+
+    texts = ["fox fox dog", "dog cat", "bird bird bird bird", ""]
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["src0"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    terms, k1, b = ("fox", "dog"), 1.2, 0.75
+    t = _collect(datapipe.bm25_score(str(tmp_path), terms=terms),
+                 ("doc_id", pa.int64()), ("bm25", pa.float64()))
+    got = dict(zip(t["doc_id"].to_pylist(), t["bm25"].to_pylist()))
+
+    # by hand: dl over docs with tokens (the '' doc has none)
+    dls = {0: 3, 1: 2, 2: 4}
+    avgdl = (3 + 2 + 4) / 3
+    n_docs = 4
+    df = {"fox": 1, "dog": 2}
+    tf = {0: {"fox": 2, "dog": 1}, 1: {"dog": 1}, 2: {}}
+
+    def idf(term):
+        return math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1)
+
+    want = {}
+    for d, tfs in tf.items():
+        s = sum(idf(x) * c * (k1 + 1)
+                / (c + k1 * (1 - b + b * dls[d] / avgdl))
+                for x, c in tfs.items())
+        if tfs:
+            want[d] = round(s, 6)
+    assert got == pytest.approx(want)
+    assert set(got) == {0, 1}          # doc 2 (no query terms) and empty
+                                       # doc 3 are filtered out
+
+
+def test_hash_split_is_md5_replayable(ray_session, dup_dir):
+    import hashlib
+
+    t = _collect(datapipe.hash_split(dup_dir, n_splits=10),
+                 ("doc_id", pa.int64()), ("split", pa.int64()))
+    got = dict(zip(t["doc_id"].to_pylist(), t["split"].to_pylist()))
+    want = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+            for i in range(5)}
+    assert got == want

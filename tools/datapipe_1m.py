@@ -139,6 +139,7 @@ def main():
         results[op] = {"sec": round(dt, 2), "rows": int(n),
                        "docs_per_sec": round(args.n_docs / dt, 1),
                        "driver_rss_delta_mb": round(_maxrss_mb() - rss0, 1)}
+        print(f"# {op}: {json.dumps(results[op])}", flush=True)
         if op == "minhash_dedup":
             # ground-truth recovery: the verified output must be EXACTLY
             # the planted near-dup family, and (post round-4 distributed
@@ -151,6 +152,7 @@ def main():
                 f"{len(want)} planted; missing={len(want - got)} "
                 f"spurious={len(got - want)}")
             results[op]["planted_recovered"] = len(want)
+            print(f"# planted recovery OK: {len(want)} pairs", flush=True)
             delta = results[op]["driver_rss_delta_mb"]
             assert delta < 400, \
                 f"driver RSS grew {delta} MB during the distributed verify"

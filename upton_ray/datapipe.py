@@ -675,8 +675,18 @@ def _pair_verify(pairs, payload_ds, P: int, a_col: str, b_col: str,
     comment above): payload partitioned ONCE by id-hash, candidates probed
     through two co-partitioned attach stages.  Returns the verified pairs
     sorted by (a, b) — the only rows the driver ever materializes."""
+    from upton_ray.shuffle import _exchange_block_count, _table_nbytes
+
     payload_refs = _hash_partition_refs(payload_ds, [id_col], P)
-    pair_refs = _coalesce_refs(pairs.materialize().to_arrow_refs(), 1024)
+    # both split fan-outs size their block count so each B x P slice stays
+    # ~1 MB: smaller slices are returned into the DRIVER's in-process store
+    # (the driver owns every object of this exchange) and the whole
+    # candidate/payload volume becomes driver heap — the 10M-doc soak's RSS
+    # gate caught exactly that (shuffle._exchange_block_count)
+    pmat = pairs.materialize()
+    pair_refs = _coalesce_refs(
+        pmat.to_arrow_refs(),
+        _exchange_block_count(pmat.size_bytes(), P, 1024))
     splits = [_hash_split.options(num_returns=P).remote(r, [a_col], P)
               for r in pair_refs]
     if P == 1:
@@ -685,6 +695,10 @@ def _pair_verify(pairs, payload_ds, P: int, a_col: str, b_col: str,
                                        payload_col, [a_col, b_col],
                                        *[s[i] for s in splits])
            for i in range(P)]
+    # the stage-B rows carry the attached payload column, so their slice
+    # volume is the big one — measure it (tiny int fetches) and coalesce
+    mid_bytes = sum(ray.get([_table_nbytes.remote(m) for m in mid]))
+    mid = _coalesce_refs(mid, _exchange_block_count(mid_bytes, P, 1024))
     splits2 = [_hash_split.options(num_returns=P).remote(r, [b_col], P)
                for r in mid]
     if P == 1:
@@ -4299,3 +4313,127 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
     return pa.concat_tables(parts).sort_by(
         [("revenue_e4", "descending"), ("o_orderdate", "ascending"),
          ("o_orderkey", "ascending")]).slice(0, k)
+
+
+# -------------------------------------------------------- retrieval scoring
+
+
+def _masked_row_counts(mask_i64: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-list-row sums of a flat 0/1 array — cumsum-diff, safe for empty
+    rows (``np.add.reduceat`` mis-handles repeated offsets)."""
+    c = np.zeros(len(mask_i64) + 1, dtype=np.int64)
+    np.cumsum(mask_i64, out=c[1:])
+    return c[off[1:]] - c[off[:-1]]
+
+
+def _tok_flat(texts) -> tuple:
+    """(offsets, flat_string_array) of the normalized whitespace tokens."""
+    toks = pc.split_pattern(_norm_text(texts), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return off, flat
+
+
+def bm25_score(sf_dir: str,
+               terms: tuple = ("scan", "window", "customer", "hash"),
+               k1: float = 1.2, b: float = 0.75):
+    """Per-document BM25 relevance against a fixed query-term set — the
+    retrieval-scoring primitive a curation pipeline uses to weight training
+    documents by relevance to a target domain (domain-aware sampling).
+
+    Two streamed passes, no shuffle at all:
+    1. a combiner ``map_batches`` emits per-batch partials (per-term df,
+       doc-length sum, non-empty doc count); the driver folds O(blocks x
+       |terms|) tiny rows into global idf / avgdl — the only driver state;
+    2. a scoring pass recomputes tf and dl per batch fully vectorized
+       (one ``pc.equal`` over the flattened token values per query term +
+       cumsum-diff per row) and emits only docs matching >= 1 term.
+
+    Scores are ``round(6)`` so the DuckDB ``ln()`` oracle hash-matches
+    (same libm; association error ~1e-12 absorbed — the repo's standard
+    float-oracle contract).  tf=0 terms contribute exactly 0.0, matching
+    the oracle's absent tf rows.
+    """
+    import math
+
+    from upton_ray.engine import collect
+
+    nt = len(terms)
+
+    def stats(bt: pa.Table) -> pa.Table:
+        off, flat = _tok_flat(bt["text"])
+        ne = pc.cast(pc.not_equal(flat, ""), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dl = _masked_row_counts(ne, off)
+        dfs = []
+        for t in terms:
+            eq = pc.cast(pc.equal(flat, t), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            dfs.append(int((_masked_row_counts(eq, off) > 0).sum()))
+        return pa.table({
+            "term": pa.array(list(terms), pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            # dl partials ride the first term row only (one row per batch)
+            "dl_sum": pa.array([int(dl.sum())] + [0] * (nt - 1), pa.int64()),
+            "n_dl": pa.array([int((dl > 0).sum())] + [0] * (nt - 1),
+                             pa.int64()),
+            "n_docs": pa.array([len(dl)] + [0] * (nt - 1), pa.int64()),
+        })
+
+    st = collect(_docs(sf_dir, ["text"]).map_batches(
+        stats, batch_format="pyarrow"),
+        pa.schema([("term", pa.string()), ("df", pa.int64()),
+                   ("dl_sum", pa.int64()), ("n_dl", pa.int64()),
+                   ("n_docs", pa.int64())]))
+    sdf = st.to_pandas()
+    n_docs = int(sdf["n_docs"].sum())
+    avgdl = float(sdf["dl_sum"].sum()) / max(1, int(sdf["n_dl"].sum()))
+    df_by_term = sdf.groupby("term")["df"].sum().to_dict()
+    idf = {t: math.log((n_docs - df_by_term[t] + 0.5)
+                       / (df_by_term[t] + 0.5) + 1.0) for t in terms}
+
+    def score(bt: pa.Table) -> pa.Table:
+        off, flat = _tok_flat(bt["text"])
+        ne = pc.cast(pc.not_equal(flat, ""), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dl = _masked_row_counts(ne, off).astype(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(dl), dtype=np.float64)
+        hit = np.zeros(len(dl), dtype=bool)
+        for t in terms:
+            eq = pc.cast(pc.equal(flat, t), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            tf = _masked_row_counts(eq, off).astype(np.float64)
+            s += idf[t] * tf * (k1 + 1.0) / (tf + denom_base)
+            hit |= tf > 0
+        return pa.table({
+            "doc_id": bt["doc_id"],
+            "bm25": pc.round(pa.array(s, pa.float64()), ndigits=6),
+        }).filter(pa.array(hit))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def hash_split(sf_dir: str, n_splits: int = 10):
+    """Deterministic train/val/test split assignment: split = first 8 hex
+    chars of md5(doc_id) mod ``n_splits`` — replayable across runs, engines
+    and cluster sizes (no RNG state), the same md5-replayable contract as
+    :func:`sample_stratified`.  Pure map stage: at 100 TB this is one
+    streamed pass that routes each doc to its split with zero shuffle.
+
+    Python-loop md5 per row is the documented oracle-compat cost
+    (:func:`fingerprint`); a production variant swaps in vectorized xxhash
+    behind the same column contract."""
+    def f(bt: pa.Table) -> pa.Table:
+        ids = bt["doc_id"].to_numpy(zero_copy_only=False)
+        split = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 % n_splits for i in ids]
+        return pa.table({"doc_id": bt["doc_id"],
+                         "split": pa.array(split, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(f, batch_format="pyarrow")

@@ -110,8 +110,14 @@ def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8,
     cores.  The B x P object fan-out is the classic map-shuffle quadratic;
     when B exceeds ``max_split_tasks`` the blocks are first coalesced in
     a tree of concat tasks so at most that many split tasks (and
-    ``max_split_tasks`` x P objects) ever exist."""
-    refs = _coalesce_refs(ds.materialize().to_arrow_refs(), max_split_tasks)
+    ``max_split_tasks`` x P objects) ever exist; B is also sized so each
+    split SLICE stays ~1 MB (plasma, not driver heap — see
+    :func:`_exchange_block_count`)."""
+    mat = ds.materialize()
+    refs = _coalesce_refs(mat.to_arrow_refs(), min(
+        max_split_tasks,
+        _exchange_block_count(mat.size_bytes(), num_partitions,
+                              max_split_tasks)))
     splits = [_hash_split.options(num_returns=num_partitions)
               .remote(r, list(key_cols), num_partitions) for r in refs]
     if num_partitions == 1:     # num_returns=1 yields a bare ref
@@ -127,12 +133,43 @@ def _concat_blocks(*tabs):
     return pa.concat_tables(live) if live else tabs[0]
 
 
+@ray.remote
+def _table_nbytes(t: pa.Table) -> int:
+    return t.nbytes
+
+
 def _coalesce_refs(refs, max_split_tasks: int):
     if len(refs) <= max_split_tasks:
         return list(refs)
     group = -(-len(refs) // max_split_tasks)        # ceil: blocks per task
     return [_concat_blocks.remote(*refs[i:i + group])
             for i in range(0, len(refs), group)]
+
+
+# worker memory bound for one coalesced exchange block
+_MAX_BLOCK_BYTES = 256 * 1024 * 1024
+# target bytes for one B x P split slice — comfortably above Ray's ~100 KB
+# direct-call threshold so slices land in plasma, not the driver
+_SLICE_TARGET_BYTES = 1_000_000
+
+
+def _exchange_block_count(total_bytes: int, P: int,
+                          max_split_tasks: int) -> int:
+    """Split-stage block count whose P-way slices average ~1 MB.
+
+    Every object of a driver-orchestrated exchange is OWNED by the driver,
+    and Ray returns task outputs below the ~100 KB direct-call threshold
+    into the owner's in-process store — so a B x P fan-out of tiny slices
+    silently copies the whole exchanged volume into driver heap (the 10M-doc
+    near-dup soak's RSS gate caught exactly this: the payload-bearing
+    verify slices averaged ~80 KB and grew the driver ~1 GB).  Keeping
+    slices ~1 MB keeps them in plasma; the floor keeps any single coalesced
+    block under the worker-memory bound."""
+    if total_bytes <= 0:
+        return 1
+    b = max(1, total_bytes // (P * _SLICE_TARGET_BYTES))
+    b = max(b, -(-total_bytes // _MAX_BLOCK_BYTES))     # block fits a worker
+    return int(min(b, max_split_tasks))
 
 
 def hash_partition_refs(ds, key_cols, num_partitions: int,
@@ -147,7 +184,10 @@ def hash_partition_refs(ds, key_cols, num_partitions: int,
     re-exchanging the payload table).  Same memory contract as
     :func:`hash_reduce`: one partition fits one worker."""
     P = num_partitions
-    refs = _coalesce_refs(ds.materialize().to_arrow_refs(), max_split_tasks)
+    mat = ds.materialize()
+    refs = _coalesce_refs(mat.to_arrow_refs(), min(
+        max_split_tasks,
+        _exchange_block_count(mat.size_bytes(), P, max_split_tasks)))
     splits = [_hash_split.options(num_returns=P)
               .remote(r, list(key_cols), P) for r in refs]
     if P == 1:
