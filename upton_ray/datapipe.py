@@ -489,7 +489,9 @@ def _hash_bucket_pairs(sigs, key_cols: list[str], id_col: str,
             a_name: pa.array(np.concatenate(outs_a), pa.int64()),
             b_name: pa.array(np.concatenate(outs_b), pa.int64())})
 
-    return _hash_reduce(sigs, key_cols, part_pairs)
+    # the bucket table is ~N_BANDS rows per doc — auto-scale the partition
+    # count with its size (fixed P=8 serialized this stage at the 10M soak)
+    return _hash_reduce(sigs, key_cols, part_pairs, num_partitions=None)
 
 
 # ------------------------------------- distributed candidate verification

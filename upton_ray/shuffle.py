@@ -94,7 +94,11 @@ def _hash_reduce_part(fn, *tabs):
     return fn(pa.concat_tables(live))
 
 
-def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8,
+# target bytes of one reduce partition when num_partitions=None (auto)
+_REDUCE_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int | None = 8,
                 max_split_tasks: int = 1024):
     """Manual hash-partitioned reduce: every input block is split by
     key-hash into P slices (one task per block), then P reduce tasks apply
@@ -112,8 +116,17 @@ def hash_reduce(ds, key_cols, reduce_fn, num_partitions: int = 8,
     a tree of concat tasks so at most that many split tasks (and
     ``max_split_tasks`` x P objects) ever exist; B is also sized so each
     split SLICE stays ~1 MB (plasma, not driver heap — see
-    :func:`_exchange_block_count`)."""
+    :func:`_exchange_block_count`).
+
+    ``num_partitions=None`` auto-scales P to ~128 MB partitions (clamped to
+    [8, 512]) — for exchanges whose input grows with the corpus (e.g. the
+    LSH band-bucket table at 32 rows/doc): a fixed P=8 put 40M-row
+    partitions in single reduce tasks at the 10M-doc soak and serialized
+    the whole stage."""
     mat = ds.materialize()
+    if num_partitions is None:
+        num_partitions = int(min(512, max(
+            8, mat.size_bytes() // _REDUCE_PARTITION_BYTES)))
     refs = _coalesce_refs(mat.to_arrow_refs(), min(
         max_split_tasks,
         _exchange_block_count(mat.size_bytes(), num_partitions,
