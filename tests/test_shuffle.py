@@ -484,3 +484,50 @@ def test_hash_reduce_coalesces_many_blocks(ray_session):
                             max_split_tasks=3).to_arrow_refs()))
     assert _sum_by(out) == _sum_by(src)
     assert len(set(out["k"].to_pylist())) == out.num_rows
+
+
+def test_exchange_block_count_slice_sizing():
+    """Exchange block counts keep B x P slices ~1 MB (above Ray's direct-call
+    inline threshold: smaller slices land in the DRIVER's in-process store)
+    while each coalesced block stays under the worker bound."""
+    from upton_ray.shuffle import (_exchange_block_count, _MAX_BLOCK_BYTES,
+                                   _SLICE_TARGET_BYTES)
+
+    # tiny dataset: single block
+    assert _exchange_block_count(10_000, 8, 1024) == 1
+    assert _exchange_block_count(0, 8, 1024) == 1
+
+    # the measured 10M-doc shape: ~520 MB of payload-bearing pairs at P=80
+    # previously split into 80x80 ~80 KB slices -> must now target ~1 MB
+    B = _exchange_block_count(520_000_000, 80, 1024)
+    assert 520_000_000 / (B * 80) >= _SLICE_TARGET_BYTES / 2
+    assert 520_000_000 / B <= _MAX_BLOCK_BYTES
+
+    # block never exceeds the worker bound even when slices would be huge
+    B = _exchange_block_count(10 * _MAX_BLOCK_BYTES, 2, 1024)
+    assert 10 * _MAX_BLOCK_BYTES / B <= _MAX_BLOCK_BYTES
+
+    # respects the task cap
+    assert _exchange_block_count(10**14, 512, 1024) == 1024
+
+
+def test_hash_reduce_auto_partitions(ray_session):
+    """num_partitions=None scales with input bytes (floor 8) and gives the
+    same results as the fixed default."""
+    import ray.data
+    from upton_ray.shuffle import hash_reduce
+
+    t = pa.table({"k": pa.array(list(range(100)) * 20, pa.int64()),
+                  "v": pa.array(range(2000), pa.int64())})
+
+    def agg(part: pa.Table) -> pa.Table:
+        g = part.group_by("k").aggregate([("v", "sum")])
+        return pa.table({"k": g["k"], "s": g["v_sum"]})
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    fixed = hash_reduce(ds, ["k"], agg).to_pandas()
+    auto = hash_reduce(ds, ["k"], agg, num_partitions=None).to_pandas()
+    f = fixed.sort_values("k").reset_index(drop=True)
+    a = auto.sort_values("k").reset_index(drop=True)
+    assert f.equals(a)
+    assert len(f) == 100
