@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_events": datapipe.melt_events,
         "bm25_score": datapipe.bm25_score,
         "hash_split": datapipe.hash_split,
+        "interleave_sources": datapipe.interleave_sources,
+        "oov_rate": datapipe.oov_rate,
+        "source_gate": datapipe.source_gate,
     }
     return q
 
@@ -1236,6 +1239,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                          AS BIGINT) % 10 AS BIGINT) AS split
         FROM documents
+    """
+    sql["interleave_sources"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS rn,
+                 1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS w
+          FROM documents),
+        p AS (SELECT doc_id, source,
+                     CAST(rn * (12 // w) AS BIGINT) AS pri FROM r)
+        SELECT doc_id, source, pri,
+               CAST(row_number() OVER (ORDER BY pri, source, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM p
+    """
+    sql["oov_rate"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents),
+        tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, count(*) AS c FROM tok2 GROUP BY 1
+            ORDER BY c DESC, term LIMIT 32)),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)
+                          THEN 0 ELSE 1 END) AS BIGINT) AS oov_cnt
+          FROM tok2 GROUP BY 1)
+        SELECT doc_id, n_tokens, oov_cnt,
+               round(oov_cnt * 1.0 / n_tokens, 6) AS oov_rate
+        FROM per
+    """
+    sql["source_gate"] = """
+        WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sc,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1),
+        g AS (SELECT CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*) AS gm
+              FROM documents)
+        SELECT d.doc_id, d.source, round(s.sc * 1.0 / s.c, 6) AS src_mean
+        FROM documents d JOIN s USING (source), g
+        WHERE s.sc * 1.0 / s.c >= g.gm
     """
     sql.update(_fixture_goldens())
     return sql

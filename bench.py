@@ -303,6 +303,10 @@ def main():
     queries["melt_events"] = round(timed(datapipe.melt_events, SF_DIR), 3)
     queries["bm25_score"] = round(timed(datapipe.bm25_score, SF_DIR), 3)
     queries["hash_split"] = round(timed(datapipe.hash_split, SF_DIR), 3)
+    queries["interleave_sources"] = round(
+        timed(datapipe.interleave_sources, SF_DIR), 3)
+    queries["oov_rate"] = round(timed(datapipe.oov_rate, SF_DIR), 3)
+    queries["source_gate"] = round(timed(datapipe.source_gate, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -4448,3 +4448,177 @@ def hash_split(sf_dir: str, n_splits: int = 10):
                          "split": pa.array(split, pa.int64())})
 
     return _docs(sf_dir, ["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------- corpus mixing / vocab gates
+
+
+@ray.remote
+def _attach_mix_pos(t: pa.Table, base: int) -> pa.Table:
+    return pa.table({
+        "pos": pa.array(base + np.arange(t.num_rows, dtype=np.int64),
+                        pa.int64()),
+        "doc_id": t["doc_id"], "source": t["source"], "pri": t["pri"]})
+
+
+def interleave_sources(sf_dir: str):
+    """Deterministic weighted interleaving of corpus sources — the
+    training-mixture operator (HF ``interleave_datasets`` semantics, stride
+    scheduling): source s with weight w contributes every (1/w)-th slot of
+    the merged stream, so the prefix of any length holds sources in
+    proportion to their weights, reproducibly on any cluster size.
+
+    Each doc's priority is integer-exact stride scheduling: with per-source
+    rank rn (1-based, doc_id order) and weight w in {1..4} (derived here
+    from the source id, ``1 + src_num % 4``; production passes a weight
+    table), pri = rn * (LCM(1..4)=12 / w).  Global mixed order is
+    (pri, source, doc_id) — all-integer, so the Ray and SQL sides agree
+    bit-for-bit (no float priority drift).
+
+    Scale shape: ONE hash co-partition on source assigns within-source
+    ranks (a source's rows land whole in one partition; rank is a
+    sort + group-local arange — for a source too hot for one partition,
+    rank is a per-block prefix-sum over (source, id-range) like
+    :func:`length_rank`), then ONE range-partitioned sort on the integer
+    priority with the distributed prefix-sum position attach
+    (:func:`seeded_shuffle` shape — driver reads one int per block)."""
+    def rank_part(t: pa.Table) -> pa.Table:
+        if "source" not in t.column_names or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "pri": pa.array([], pa.int64())})
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        codes = pc.dictionary_encode(t["source"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        # group-local 1-based rank over the (source, doc_id) sort
+        starts = np.r_[0, np.flatnonzero(np.diff(codes)) + 1]
+        rn = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])) + 1
+        src_num = pc.cast(pc.utf8_slice_codeunits(
+            t["source"].combine_chunks(), start=3, stop=32), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = 1 + (src_num % 4)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "pri": pa.array(rn * (12 // w), pa.int64())})
+
+    ranked = _hash_reduce(_docs(sf_dir, ["doc_id", "source"]),
+                          ["source"], rank_part)
+    srt = ranked.sort(["pri", "source", "doc_id"]).materialize()
+    refs = srt.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    bases = np.r_[0, np.cumsum(counts)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_mix_pos.remote(r, int(b)) for r, b in zip(refs, bases)])
+
+
+def oov_rate(sf_dir: str, vocab_k: int = 32):
+    """Out-of-vocabulary gate: build the corpus vocabulary (global top-k
+    terms by count, ties term-asc) and score every doc by the fraction of
+    its tokens outside it — the classic cheap filter for encoding noise /
+    wrong-language / gibberish docs before an expensive model pass.
+
+    Scale shape: the vocab pass is :func:`term_frequencies`' bounded
+    heavy-hitters exchange (one row per distinct term per block, exact
+    because a term's global count lives whole in one hash partition); the
+    tiny vocab array broadcasts via ray.put and the corpus streams through
+    ONE membership map_batches (pc.is_in + segment bincount — no per-token
+    Python, no second shuffle).  Empty/whitespace docs have no tokens and
+    drop out, matching the SQL GROUP BY."""
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(_norm_text(batch["text"]), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def part_topk(t: pa.Table) -> pa.Table:
+        if "term" not in t.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by("term").aggregate([("n", "sum")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["n_sum"], pa.int64())}) \
+            .sort_by([("n", "descending"), ("term", "ascending")]) \
+            .slice(0, vocab_k)
+
+    agg = _hash_reduce(_docs(sf_dir, ["text"])
+                       .map_batches(partial, batch_format="pyarrow"),
+                       ["term"], part_topk)
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
+    top = pa.concat_tables(parts).sort_by(
+        [("n", "descending"), ("term", "ascending")]).slice(0, vocab_k)
+    vocab_ref = ray.put(top["term"].combine_chunks())
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(n_per)), n_per)
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        in_vocab = pc.is_in(flat, value_set=vocab) \
+            .to_numpy(zero_copy_only=False)
+        n_docs = len(n_per)
+        n_tok = np.bincount(doc_idx[valid], minlength=n_docs)
+        oov = np.bincount(doc_idx[valid & ~in_vocab], minlength=n_docs)
+        keep = n_tok > 0
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            "oov_cnt": pa.array(oov[keep], pa.int64()),
+            "oov_rate": pc.round(pa.array(
+                oov[keep] / n_tok[keep], pa.float64()), ndigits=6)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def source_gate(sf_dir: str):
+    """Domain-level curation (the RefinedWeb/C4 move): aggregate a quality
+    proxy per SOURCE (here mean doc length), then keep only docs from
+    sources at or above the corpus-wide mean — filtering whole domains, not
+    individual docs, catches boilerplate farms that per-doc gates miss.
+
+    Scale shape: zero shuffle.  One combiner map_batches emits per-source
+    (sum, count) partials (|sources| rows per block — bounded by the domain
+    cardinality, not the corpus); the driver folds them (tiny), decides the
+    kept-source set, broadcasts it via ray.put, and the corpus streams
+    through one filter pass.  Same broadcast-small-side pattern as
+    :func:`contamination_check`."""
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate(
+            [("n_chars", "sum"), ([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "sc": pc.cast(g["n_chars_sum"], pa.int64()),
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    parts = [t for t in ray.get(
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    st = pa.concat_tables(parts).group_by("source").aggregate(
+        [("sc", "sum"), ("c", "sum")])
+    sc = st["sc_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = st["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    means = sc / c
+    gmean = float(sc.sum() / c.sum())
+    keep_mask = means >= gmean
+    kept_srcs = st["source"].combine_chunks().filter(pa.array(keep_mask))
+    kept_means = pc.round(pa.array(means[keep_mask], pa.float64()),
+                          ndigits=6).to_numpy(zero_copy_only=False)
+    kept_ref = ray.put((kept_srcs, kept_means))
+
+    def gate(b: pa.Table) -> pa.Table:
+        srcs_arr, means_arr = ray.get(kept_ref)
+        idx = pc.index_in(b["source"], value_set=srcs_arr)
+        t = b.filter(pc.is_valid(idx))
+        hit = idx.drop_null().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "src_mean": pa.array(means_arr[hit], pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        gate, batch_format="pyarrow")
