@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_sources": datapipe.interleave_sources,
         "oov_rate": datapipe.oov_rate,
         "source_gate": datapipe.source_gate,
+        "decontaminate_large": datapipe.decontaminate_large,
+        "event_dedup": datapipe.event_dedup,
     }
     return q
 
@@ -1271,6 +1273,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, oov_cnt,
                round(oov_cnt * 1.0 / n_tokens, 6) AS oov_rate
         FROM per
+    """
+    sql["decontaminate_large"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(w) >= 3 THEN list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   WHEN array_to_string(w, ' ') = '' THEN []
+                   ELSE [array_to_string(w, ' ')] END) AS sh
+          FROM t),
+        b AS (SELECT DISTINCT unnest(sh) AS gram FROM s
+              WHERE doc_id % 2 = 0),
+        c AS (SELECT doc_id, unnest(sh) AS gram FROM s
+              WHERE doc_id % 2 = 1)
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM c JOIN b USING (gram) GROUP BY c.doc_id
+    """
+    sql["event_dedup"] = """
+        WITH o AS (
+          SELECT event_id, user_id, event_type, ts,
+                 lag(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS pts
+          FROM events)
+        SELECT event_id, user_id, event_type, ts FROM o
+        WHERE pts IS NULL OR ts - pts > INTERVAL 10 SECOND
     """
     sql["source_gate"] = """
         WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sc,

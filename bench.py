@@ -307,6 +307,9 @@ def main():
         timed(datapipe.interleave_sources, SF_DIR), 3)
     queries["oov_rate"] = round(timed(datapipe.oov_rate, SF_DIR), 3)
     queries["source_gate"] = round(timed(datapipe.source_gate, SF_DIR), 3)
+    queries["decontaminate_large"] = round(
+        timed(datapipe.decontaminate_large, SF_DIR), 3)
+    queries["event_dedup"] = round(timed(datapipe.event_dedup, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

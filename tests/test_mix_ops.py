@@ -128,3 +128,71 @@ def test_source_gate_keeps_exact_boundary_source(ray_session, tmp_path):
     assert list(got["doc_id"]) == list(want["doc_id"]) == [0, 2]
     assert list(got["source"]) == list(want["source"])
     assert np.allclose(got["src_mean"], want["src_mean"], atol=0)
+
+
+def _write_events(tmp_path, rows):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def test_event_dedup_boundary_and_ties(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from upton_ray import datapipe
+
+    # user 1 / click: t=0 keep, t=5 drop (<=10s), t=10 drop (gap 5),
+    #                 t=21 keep (gap 11 > 10)
+    # user 1 / view : independent stream, t=3 keep
+    # user 2 / click: tie at t=0 (two events, same ts) -> second dropped
+    #                 (lag diff 0, not > 10)
+    # exact-boundary: user 3, gaps of exactly 10s -> dropped (strict >)
+    rows = [(0, 0, 1, "click"), (1, 5, 1, "click"), (2, 10, 1, "click"),
+            (3, 21, 1, "click"), (4, 3, 1, "view"),
+            (5, 0, 2, "click"), (6, 0, 2, "click"),
+            (7, 0, 3, "buy"), (8, 10, 3, "buy"), (9, 20, 3, "buy")]
+    _write_events(tmp_path, rows)
+
+    got = _collect(datapipe.event_dedup(str(tmp_path))) \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.sql(e.oracle_sql()["event_dedup"]).df() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(got["event_id"]) == list(want["event_id"]) == [0, 3, 4, 5, 7]
+
+
+def test_decontaminate_large_short_and_empty_docs(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from upton_ray import datapipe
+
+    texts = [
+        "the cat sat on the mat",   # 0 train
+        "the cat sat on a rug",     # 1 heldout: shares 'the cat sat' -> 1
+        "tiny doc",                 # 2 train: whole-text shingle
+        "tiny doc",                 # 3 heldout: exact short match -> 1
+        "",                         # 4 train: no shingles
+        "completely different words here now",  # 5 heldout: no overlap
+        "the cat sat quietly on the mat today",  # 6 train
+        "on the mat the cat sat on the mat",     # 7 heldout: several
+    ]
+    _write_docs(tmp_path, list(range(len(texts))), texts=texts)
+
+    got = _collect(datapipe.decontaminate_large(str(tmp_path))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = _con(tmp_path)
+    want = con.sql(e.oracle_sql()["decontaminate_large"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_overlap"]) == list(want["n_overlap"])
+    assert 5 not in got["doc_id"].values          # clean doc absent
+    assert got[got["doc_id"] == 3]["n_overlap"].iloc[0] == 1

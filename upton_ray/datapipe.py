@@ -4622,3 +4622,97 @@ def source_gate(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         gate, batch_format="pyarrow")
+
+
+def decontaminate_large(sf_dir: str, n: int = 3):
+    """Corpus-vs-corpus decontamination — the BIG-BIG variant
+    :func:`contamination_check` defers: both the train side (even doc_ids)
+    and the held-out side (odd doc_ids) are corpus-sized, so neither
+    shingle set can broadcast.  Emits every held-out doc sharing >= 1
+    distinct n-gram shingle with ANY train doc, with the shared count.
+
+    Scale shape: one explode to distinct (gram, doc, side) rows (same
+    linear row volume as minhash's shingle stage), then a gram-keyed hash
+    co-partition — a gram's train/held-out rows meet in one partition, the
+    match is a vectorized is_in, and per-doc counts leave as partials — and
+    a doc-keyed co-partition folds them.  No set ever materializes whole;
+    both exchanges move one row per (doc, distinct gram)."""
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        grams, gids, train = [], [], []
+        for did, txt in zip(ids, _norm_text(b["text"]).to_pylist()):
+            sh = set(shingles(txt, n))
+            grams.extend(sh)
+            gids.extend([did] * len(sh))
+            train.extend([did % 2 == 0] * len(sh))
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "doc_id": pa.array(gids, pa.int64()),
+                         "train": pa.array(train, pa.bool_())})
+
+    def part_gram(t: pa.Table) -> pa.Table:
+        if "gram" not in t.column_names or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64())})
+        tr_grams = pc.unique(t.filter(t["train"])["gram"].combine_chunks())
+        he = t.filter(pc.invert(t["train"]))
+        hit = he.filter(pc.is_in(he["gram"], value_set=tr_grams))
+        g = pa.table({"doc_id": hit["doc_id"]}).group_by(
+            "doc_id").aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "hits": pc.cast(g["count_all"], pa.int64())})
+
+    def part_doc(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_overlap": pa.array([], pa.int64())})
+        g = t.group_by("doc_id").aggregate([("hits", "sum")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "n_overlap": pc.cast(g["hits_sum"], pa.int64())})
+
+    ex = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    return _hash_reduce(_hash_reduce(ex, ["gram"], part_gram),
+                        ["doc_id"], part_doc)
+
+
+def event_dedup(sf_dir: str, window_seconds: int = 10):
+    """Windowed event debounce — drop an event if the previous event of the
+    same (user_id, event_type) is <= ``window_seconds`` older (SQL lag
+    semantics: the comparison is against the immediately preceding event,
+    kept or not).  The streaming-ingest dedup every event pipeline runs in
+    front of sessionization.
+
+    Scale shape: ONE hash co-partition on user_id (all of a key's events
+    meet in one partition — finer-grained than sessionize's global sort),
+    then a fully vectorized in-partition sort + lag sweep: key-change
+    breaks and timestamp gaps computed across the whole partition at once,
+    no per-key Python.  A pathologically hot user falls under the same
+    residual-split story as the sorted-sweep family (documented, not hit
+    by the 10M-event soak shapes)."""
+    win = np.timedelta64(window_seconds, "s")
+
+    def part(t: pa.Table) -> pa.Table:
+        if "user_id" not in t.column_names or t.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us"))})
+        t = t.sort_by([("user_id", "ascending"),
+                       ("event_type", "ascending"),
+                       ("ts", "ascending"), ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = pc.dictionary_encode(t["event_type"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+            keep[1:] = ~same | (ts[1:] - ts[:-1] > win)
+        return t.select(["event_id", "user_id", "event_type", "ts"]) \
+            .filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return _hash_reduce(ds, ["user_id"], part)
