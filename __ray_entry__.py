@@ -333,6 +333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gate": datapipe.source_gate,
         "decontaminate_large": datapipe.decontaminate_large,
         "event_dedup": datapipe.event_dedup,
+        "span_explode": datapipe.span_explode,
+        "line_dedup": datapipe.line_dedup,
+        "heavy_hitters": datapipe.heavy_hitters,
     }
     return q
 
@@ -1311,6 +1314,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source, round(s.sc * 1.0 / s.c, 6) AS src_mean
         FROM documents d JOIN s USING (source), g
         WHERE s.sc * 1.0 / s.c >= g.gm
+    """
+    sql["span_explode"] = """
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN len(text) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(text, ' ') END AS toks
+          FROM documents),
+        m AS (SELECT doc_id, text, toks,
+                     CAST(ceil(len(toks) / 12.0) AS BIGINT) AS n_p
+              FROM t),
+        title AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS seq,
+                 'h1.article-title' AS kind,
+                 substr(text, 1, 48) AS span_text, '' AS media_ref,
+                 CAST(0 AS BIGINT) AS span_offset
+          FROM m),
+        body AS (
+          SELECT doc_id, CAST(1 + i AS BIGINT) AS seq, 'p' AS kind,
+                 array_to_string(list_slice(toks, i * 12 + 1, i * 12 + 12),
+                                 ' ') AS span_text,
+                 '' AS media_ref, CAST(1 + i AS BIGINT) AS span_offset
+          FROM m, LATERAL (SELECT unnest(generate_series(0, CAST(n_p AS INT) - 1)) AS i) g),
+        media AS (
+          SELECT doc_id, n_p + 1 AS seq, 'media.img' AS kind,
+                 '' AS span_text,
+                 'assets/' || doc_id || '.img' AS media_ref,
+                 n_p + 1 AS span_offset
+          FROM m)
+        SELECT * FROM title UNION ALL
+        SELECT * FROM body UNION ALL
+        SELECT * FROM media
+    """
+    sql["line_dedup"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN len(text) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(text, ' ') END AS toks
+          FROM documents),
+        seg AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+                 array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8),
+                                 ' ') AS seg
+          FROM t, LATERAL (SELECT unnest(generate_series(
+                 0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS i) g),
+        c AS (SELECT seg, count(*) AS n FROM seg GROUP BY 1),
+        k AS (SELECT s.doc_id, s.seg_id, s.seg, (c.n <= 2) AS keep
+              FROM seg s JOIN c USING (seg))
+        SELECT d.doc_id,
+               coalesce(string_agg(CASE WHEN k.keep THEN k.seg END, ' '
+                                   ORDER BY k.seg_id)
+                        FILTER (WHERE k.keep), '') AS text_clean,
+               CAST(coalesce(count(*) FILTER (WHERE k.keep), 0) AS BIGINT)
+                 AS n_kept,
+               CAST(coalesce(count(*) FILTER (WHERE NOT k.keep), 0)
+                 AS BIGINT) AS n_dropped
+        FROM documents d LEFT JOIN k USING (doc_id)
+        GROUP BY d.doc_id
+    """
+    sql["heavy_hitters"] = """
+        WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT user_id, n FROM c, t
+        WHERE n >= CAST(ceil(0.007 * total) AS BIGINT)
+        ORDER BY n DESC, user_id
     """
     sql.update(_fixture_goldens())
     return sql

@@ -310,6 +310,9 @@ def main():
     queries["decontaminate_large"] = round(
         timed(datapipe.decontaminate_large, SF_DIR), 3)
     queries["event_dedup"] = round(timed(datapipe.event_dedup, SF_DIR), 3)
+    queries["span_explode"] = round(timed(datapipe.span_explode, SF_DIR), 3)
+    queries["line_dedup"] = round(timed(datapipe.line_dedup, SF_DIR), 3)
+    queries["heavy_hitters"] = round(timed(datapipe.heavy_hitters, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

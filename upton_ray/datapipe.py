@@ -4716,3 +4716,283 @@ def event_dedup(sf_dir: str, window_seconds: int = 10):
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"])
     return _hash_reduce(ds, ["user_id"], part)
+
+
+# ------------------------------------------- interleaved spans, relational
+
+
+def _token_window_lists(texts: pa.Array, window: int):
+    """Fixed ``window``-token segments of each text, fully vectorized.
+
+    Returns ``(lens, n_seg, seg_strings)`` where ``lens[i]`` is the token
+    count of doc i (Python ``str.split()`` semantics: the empty text has
+    ZERO tokens), ``n_seg[i] = ceil(lens[i]/window)`` and ``seg_strings``
+    is one flat string array of every doc's segments in (doc-major,
+    segment-minor) order.  The trick: per-doc token values are already
+    consecutive in the flattened split array, and segments never overlap,
+    so the segment list offsets are a pure numpy construction over the
+    flat values — no per-row Python."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts, pattern=" ")
+    raw_lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    empty = pc.equal(texts, "").to_numpy(zero_copy_only=False)
+    lens = np.where(empty, 0, raw_lens)       # '' splits to [''] — drop it
+    n_seg = -(-lens // window)                # ceil
+    flat = toks.flatten()                     # honors slices; doc-major
+    # positions in ``flat`` follow the RAW per-doc lengths (an empty doc
+    # still contributes its one '' token there); only the window count
+    # uses the adjusted lengths
+    doc_tok_start = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(raw_lens, out=doc_tok_start[1:])
+    total_seg = int(n_seg.sum())
+    seg_start0 = np.zeros(len(n_seg) + 1, dtype=np.int64)
+    np.cumsum(n_seg, out=seg_start0[1:])
+    g = np.arange(total_seg, dtype=np.int64)
+    seg_doc = np.repeat(np.arange(len(lens), dtype=np.int64), n_seg)
+    seg_id = g - seg_start0[seg_doc]
+    starts = doc_tok_start[seg_doc] + seg_id * window
+    ends = np.minimum(starts + window, doc_tok_start[seg_doc + 1])
+    # ListArray offsets must be monotone and cover values exactly once:
+    # non-overlapping consecutive windows => ends[i] == starts[i+1] within
+    # a doc and == next doc's first start across docs, EXCEPT where the
+    # empty-text filter dropped the [''] token; re-slice values instead.
+    offsets = np.empty(total_seg + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(ends - starts, out=offsets[1:])
+    vals = flat.take(pa.array(
+        np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
+        if total_seg else np.array([], dtype=np.int64), type=pa.int64()))
+    seglist = pa.ListArray.from_arrays(pa.array(offsets, pa.int32())
+                                       if offsets[-1] < 2**31 - 1
+                                       else pa.array(offsets, pa.int64()),
+                                       vals)
+    seg_strings = pc.binary_join(seglist, " ")
+    return lens, n_seg, seg_doc, seg_id, seg_strings
+
+
+def span_explode(sf_dir: str):
+    """The interleaved-document span derivation (docweb.article_spans:
+    title span, 12-token ``p`` spans, one trailing ``media.img`` span) as
+    RELATIONAL rows: (doc_id, seq, kind, span_text, media_ref,
+    span_offset), one row per span in document order.
+
+    This is the input_hint's span-sequence invariant (kind, text,
+    media_ref, order) expressed as a streaming map_batches over zero-copy
+    Arrow — the same rows the crawl engine's span-equality conformance
+    (tests/test_span_equality.py) checks one page at a time, here produced
+    corpus-wide with a DuckDB-mirrorable derivation.  Pure per-row
+    transform: no shuffle, embarrassingly parallel at any scale."""
+    from upton_ray.docweb import TITLE_LEN, TOKENS_PER_P
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lens, n_p, seg_doc, seg_id, seg_strings = \
+            _token_window_lists(texts, TOKENS_PER_P)
+        n_spans = n_p + 2                     # title + p-spans + media
+        total = int(n_spans.sum())
+        row0 = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(n_spans, out=row0[1:])
+        g = np.arange(total, dtype=np.int64)
+        di = np.repeat(np.arange(len(ids), dtype=np.int64), n_spans)
+        seq = g - row0[di]
+        is_title = seq == 0
+        is_media = seq == n_spans[di] - 1
+        kind = np.where(is_title, "h1.article-title",
+                        np.where(is_media, "media.img", "p"))
+        titles = pc.utf8_slice_codeunits(texts, 0, TITLE_LEN) \
+            .to_numpy(zero_copy_only=False)
+        segs = seg_strings.to_numpy(zero_copy_only=False)
+        span_text = np.full(total, "", dtype=object)
+        span_text[is_title] = titles
+        span_text[~is_title & ~is_media] = segs
+        refs = pc.binary_join_element_wise(
+            "assets/", pc.cast(pa.array(ids), pa.string()), ".img", "") \
+            .to_numpy(zero_copy_only=False)
+        media_ref = np.full(total, "", dtype=object)
+        media_ref[is_media] = refs[di[is_media]]
+        return pa.table({
+            "doc_id": pa.array(ids[di], pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "span_text": pa.array(span_text, pa.string()),
+            "media_ref": pa.array(media_ref, pa.string()),
+            "span_offset": pa.array(seq, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def line_dedup(sf_dir: str, window: int = 8, max_count: int = 2):
+    """Corpus-level duplicated-passage removal (the RefinedWeb/CCNet
+    "line dedup" gate, with fixed 8-token windows standing in for lines —
+    this corpus has no newlines): any window whose exact text occurs more
+    than ``max_count`` times ACROSS THE CORPUS is removed from every
+    document; survivors are re-joined in order.
+
+    Scale shape: (1) per-block combiner counts each distinct window once
+    per block (term_frequencies' exchange contract: rows-per-block ~
+    distinct windows, never one per occurrence); (2) one hash_reduce sums
+    counts per window and keeps only counts > max_count — the frequent
+    set, which is SMALL by the heavy-hitter assumption (boilerplate is
+    rare as a fraction of distinct text); (3) the frequent set is
+    broadcast once via ray.put and each batch drops its frequent windows
+    locally — no second shuffle, and document text never leaves its
+    block.  Rebuild is vectorized: kept windows re-listed per doc via
+    offsets and pc.binary_join.
+
+    Output: (doc_id, text_clean, n_kept, n_dropped)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, _, _, segs = _token_window_lists(batch["text"], window)
+        g = pa.table({"seg": segs}).group_by("seg").aggregate(
+            [([], "count_all")])
+        return pa.table({"seg": g["seg"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def frequent_only(t: pa.Table) -> pa.Table:
+        if "seg" not in t.column_names or t.num_rows == 0:
+            return pa.table({"seg": pa.array([], pa.string())})
+        g = t.group_by("seg").aggregate([("n", "sum")])
+        return g.filter(pc.greater(g["n_sum"], max_count)).select(["seg"])
+
+    agg = _hash_reduce(_docs(sf_dir, ["text"])
+                       .map_batches(partial, batch_format="pyarrow"),
+                       ["seg"], frequent_only)
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
+    freq = pa.concat_tables(parts)["seg"].combine_chunks() if parts \
+        else pa.array([], pa.string())
+    freq_ref = ray.put(freq)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        frequent = ray.get(freq_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        _, n_seg, seg_doc, _, segs = _token_window_lists(
+            batch["text"], window)
+        drop = pc.is_in(segs, value_set=frequent).to_numpy(
+            zero_copy_only=False)
+        keep = ~drop
+        # kept windows stay in (doc-major, window-minor) order: rebuild a
+        # list<string> per doc from the kept run-lengths and join
+        kept_per_doc = np.bincount(seg_doc[keep], minlength=len(ids)) \
+            if len(seg_doc) else np.zeros(len(ids), dtype=np.int64)
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), segs.filter(pa.array(keep)))
+        clean = pc.binary_join(kept_list, " ")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_clean": clean,
+            "n_kept": pa.array(kept_per_doc.astype(np.int64), pa.int64()),
+            "n_dropped": pa.array((n_seg - kept_per_doc).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
+
+
+def _mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Misra–Gries reduction of an exact count vector to <= k counters:
+    subtract the (k+1)-st largest count from every counter and keep the
+    positives.  Guarantee: each surviving counter undercounts its key by
+    at most the subtracted amount, and any key whose true count exceeds
+    it survives."""
+    if len(keys) <= k:
+        return keys, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > kth
+    return keys[keep], counts[keep] - kth
+
+
+def heavy_hitters(sf_dir: str, phi: float = 0.007):
+    """Exact phi-heavy hitters over ``events.user_id`` (every user with
+    >= ceil(phi * N) events) via the two-pass sketch-then-verify pattern:
+
+    pass 1 — one Misra–Gries summary per block (k = ceil(2/phi) counters,
+    built from the block's exact value_counts and compressed), merged on
+    the driver by counter-sum + one final compression.  Mergeable-summary
+    guarantee (Agarwal et al., "Mergeable Summaries", PODS'12): total
+    undercount <= N/(k+1) < phi*N/2, so every true heavy hitter survives
+    into the merged summary — the candidate set, <= k keys regardless of
+    corpus size.
+
+    pass 2 — candidates are broadcast (ray.put) and counted EXACTLY in
+    one streaming filter+combine pass; the driver sums <= k partial rows
+    per block and applies the threshold.  No shuffle in either pass; the
+    driver never holds more than blocks x k counter rows.
+
+    Worst case (near-uniform keys) degrades the candidate set toward k
+    keys but never past it — correctness is unconditional, compression
+    only wins under skew (the realistic crawl/corpus shape)."""
+    k = int(np.ceil(2.0 / phi))
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": batch["user_id"]}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        keys = g["user_id"].to_numpy(zero_copy_only=False)
+        counts = g["count_all"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = int(counts.sum())
+        all_keys = keys
+        keys, counts = _mg_compress(keys, counts, k)
+        if n and not len(keys):
+            # a perfectly uniform block can compress to nothing; keep one
+            # zero counter so the block's row count still reaches the
+            # driver (a zero counter never changes the merged sums)
+            keys = all_keys[:1]
+            counts = np.zeros(1, dtype=np.int64)
+        # block row-count rides in the first summary row's "total" so the
+        # driver learns N without a separate count pass
+        return pa.table({"user_id": pa.array(keys, pa.int64()),
+                         "mg_n": pa.array(counts, pa.int64()),
+                         "total": pa.array(
+                             np.r_[n, np.zeros(len(keys) - 1, np.int64)]
+                             if len(keys) else np.array([], np.int64),
+                             type=pa.int64())})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"], override_num_blocks=8)
+    parts = [t for t in ray.get(
+        ev.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    summ = pa.concat_tables(parts)
+    total = int(pc.sum(summ["total"]).as_py())
+    g = summ.group_by("user_id").aggregate([("mg_n", "sum")])
+    keys, counts = _mg_compress(
+        g["user_id"].to_numpy(zero_copy_only=False),
+        g["mg_n_sum"].to_numpy(zero_copy_only=False).astype(np.int64), k)
+    cand_ref = ray.put(pa.array(keys, pa.int64()))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        col = batch["user_id"]
+        hit = pc.is_in(col, value_set=cand)
+        g = pa.table({"user_id": pc.drop_null(
+            pa.table({"u": col}).filter(hit)["u"])}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    parts2 = [t for t in ray.get(
+        ev.map_batches(recount, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not parts2:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    exact = pa.concat_tables(parts2).group_by("user_id") \
+        .aggregate([("n", "sum")])
+    thresh = int(np.ceil(phi * total))
+    out = pa.table({"user_id": exact["user_id"],
+                    "n": pc.cast(exact["n_sum"], pa.int64())})
+    return out.filter(pc.greater_equal(out["n"], thresh)) \
+        .sort_by([("n", "descending"), ("user_id", "ascending")])
