@@ -336,6 +336,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_explode": datapipe.span_explode,
         "line_dedup": datapipe.line_dedup,
         "heavy_hitters": datapipe.heavy_hitters,
+        "span_kind_hist": datapipe.span_kind_hist,
+        "reservoir_sample": datapipe.reservoir_sample,
+        "distinct_by_type": datapipe.distinct_by_type,
+        "bigram_logprob": datapipe.bigram_logprob,
     }
     return q
 
@@ -1379,6 +1383,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, n FROM c, t
         WHERE n >= CAST(ceil(0.007 * total) AS BIGINT)
         ORDER BY n DESC, user_id
+    """
+    sql["span_kind_hist"] = f"""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(coalesce(sum(len(span_text)), 0) AS BIGINT)
+                 AS total_chars
+        FROM ({sql["span_explode"]}) s
+        GROUP BY kind ORDER BY kind
+    """
+    sql["reservoir_sample"] = """
+        SELECT doc_id, md5('smp:' || doc_id) AS priority
+        FROM documents
+        ORDER BY priority, doc_id LIMIT 200
+    """
+    sql["distinct_by_type"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    sql["bigram_logprob"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        -- len(w)-1 series: a 1-token doc (and the [''] an empty doc
+        -- splits to) yields no rows, mirroring the Ray side's
+        -- "< 2 tokens emits nothing" contract
+        bi AS (
+          SELECT doc_id, w[i] AS lw, w[i + 1] AS rw
+          FROM t, LATERAL (SELECT unnest(generate_series(
+                 1, CAST(len(w) AS INT) - 1)) AS i) g),
+        c12 AS (SELECT lw, rw, CAST(count(*) AS BIGINT) AS c
+                FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT lw, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1)
+        SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(CAST(c12.c AS DOUBLE) / c1.c)), 6)
+                 AS avg_logprob
+        FROM bi JOIN c12 USING (lw, rw) JOIN c1 USING (lw)
+        GROUP BY bi.doc_id
     """
     sql.update(_fixture_goldens())
     return sql

@@ -313,6 +313,14 @@ def main():
     queries["span_explode"] = round(timed(datapipe.span_explode, SF_DIR), 3)
     queries["line_dedup"] = round(timed(datapipe.line_dedup, SF_DIR), 3)
     queries["heavy_hitters"] = round(timed(datapipe.heavy_hitters, SF_DIR), 3)
+    queries["span_kind_hist"] = round(
+        timed(datapipe.span_kind_hist, SF_DIR), 3)
+    queries["reservoir_sample"] = round(
+        timed(datapipe.reservoir_sample, SF_DIR), 3)
+    queries["distinct_by_type"] = round(
+        timed(datapipe.distinct_by_type, SF_DIR), 3)
+    queries["bigram_logprob"] = round(
+        timed(datapipe.bigram_logprob, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -4996,3 +4996,223 @@ def heavy_hitters(sf_dir: str, phi: float = 0.007):
                     "n": pc.cast(exact["n_sum"], pa.int64())})
     return out.filter(pc.greater_equal(out["n"], thresh)) \
         .sort_by([("n", "descending"), ("user_id", "ascending")])
+
+
+# --------------------------------------- span aggregates, sampling, distinct
+
+
+def span_kind_hist(sf_dir: str):
+    """Corpus-wide histogram of the interleaved span sequence BY KIND
+    (the input_hint's h1.article-title / p / media.img kinds): span count
+    and total span-text chars per kind — the natural aggregate over
+    :func:`span_explode`'s rows, computed WITHOUT materializing the
+    exploded spans.  Each block derives its per-kind partials from the raw
+    text vectorially (title lengths via one utf8_slice + utf8_length;
+    p-span lengths summed off the window ListArray) and emits THREE rows;
+    the driver folds blocks x 3 rows.  Zero shuffle at any corpus size.
+
+    Output: (kind, n_spans, total_chars), sorted by kind."""
+    from upton_ray.docweb import TITLE_LEN, TOKENS_PER_P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        _, n_seg, _, _, segs = _token_window_lists(texts, TOKENS_PER_P)
+        title_chars = int(pc.sum(pc.utf8_length(
+            pc.utf8_slice_codeunits(texts, 0, TITLE_LEN))).as_py() or 0)
+        p_chars = int(pc.sum(pc.utf8_length(segs)).as_py() or 0)
+        return pa.table({
+            "kind": pa.array(["h1.article-title", "p", "media.img"],
+                             pa.string()),
+            "n_spans": pa.array([n, int(n_seg.sum()), n], pa.int64()),
+            "total_chars": pa.array([title_chars, p_chars, 0], pa.int64()),
+        })
+
+    parts = [t for t in ray.get(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"kind": pa.array([], pa.string()),
+                         "n_spans": pa.array([], pa.int64()),
+                         "total_chars": pa.array([], pa.int64())})
+    g = pa.concat_tables(parts).group_by("kind").aggregate(
+        [("n_spans", "sum"), ("total_chars", "sum")])
+    return pa.table({"kind": g["kind"],
+                     "n_spans": pc.cast(g["n_spans_sum"], pa.int64()),
+                     "total_chars": pc.cast(g["total_chars_sum"],
+                                            pa.int64())}) \
+        .sort_by([("kind", "ascending")])
+
+
+def reservoir_sample(sf_dir: str, k: int = 200):
+    """Deterministic uniform k-sample without replacement: every doc gets
+    priority md5('smp:' || doc_id) and the k lexicographically-smallest
+    priorities win — the hash-priority formulation of reservoir sampling
+    (equivalent to a seeded ORDER BY random() LIMIT k, but replayable
+    across runs, engines and cluster sizes: the same md5-replayable
+    contract as hash_split/seeded_shuffle).
+
+    Scale shape: each block emits only its own k smallest rows
+    (np.argpartition over the block's fixed-width hex array), the driver
+    merges blocks x k rows and cuts to k — no shuffle, no sort of the
+    corpus, driver memory bounded by blocks x k.  The per-row Python md5
+    is the documented oracle-compat cost (see fingerprint).
+
+    Output: (doc_id, priority) sorted by priority."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pri = np.array(_md5_hex([f"smp:{i}" for i in ids]))
+        kk = min(k, len(ids))
+        if kk < len(ids):
+            sel = np.argpartition(pri, kk - 1)[:kk]
+        else:
+            sel = np.arange(len(ids))
+        return pa.table({"doc_id": pa.array(ids[sel], pa.int64()),
+                         "priority": pa.array(pri[sel], pa.string())})
+
+    parts = [t for t in ray.get(
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(local_topk, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "priority": pa.array([], pa.string())})
+    merged = pa.concat_tables(parts).sort_by(
+        [("priority", "ascending"), ("doc_id", "ascending")])
+    return merged.slice(0, k)
+
+
+def distinct_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type.  Per-block combiner
+    first dedups to distinct (event_type, user_id) pairs (rows per block ~
+    distinct pairs, never one per event), then ONE pair-keyed hash_reduce
+    — each surviving pair lands in exactly one partition, so a
+    per-partition per-type count is a disjoint partial and the driver sums
+    P x |types| ints.  The user-id space can be corpus-sized; nothing ever
+    holds it in one place.
+
+    Output: (event_type, n_users) sorted by event_type."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "user_id": batch["user_id"]}) \
+            .group_by(["event_type", "user_id"]).aggregate([])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names or t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        d = t.group_by(["event_type", "user_id"]).aggregate([])
+        g = d.group_by("event_type").aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"],
+                               override_num_blocks=8)
+    red = _hash_reduce(ev.map_batches(pairs, batch_format="pyarrow"),
+                       ["event_type", "user_id"], per_part)
+    parts = [t for t in ray.get(red.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64())})
+    g = pa.concat_tables(parts).group_by("event_type").aggregate(
+        [("n", "sum")])
+    return pa.table({"event_type": g["event_type"],
+                     "n_users": pc.cast(g["n_sum"], pa.int64())}) \
+        .sort_by([("event_type", "ascending")])
+
+
+def bigram_logprob(sf_dir: str):
+    """Per-doc average bigram log-probability under the corpus's own
+    bigram MLE: for each adjacent token pair (l, r),
+    lp = ln(c(l,r) / c(l,*)), averaged over the doc's bigram occurrences
+    — the bigram analog of :func:`unigram_logprob`, the classic LM-based
+    quality signal.  Docs with < 2 tokens emit no row (same contract as
+    unigram_logprob's tokenless docs).
+
+    Scale shape — the bigram table is corpus-sized (CANNOT broadcast), so
+    counts and docs meet in a LEFT-TOKEN-keyed co-partition: every
+    occurrence of left token l routes to one partition, which therefore
+    sees the full c(l,r) AND c(l,*) for its l's — numerator and
+    denominator both come out of ONE exchange, no second counts join.
+    Stage 1 pre-combines within (block, doc): one row per distinct doc
+    bigram.  The reduce folds to (doc_id, sum_lp, n_bi) partials, and a
+    doc-keyed second exchange sums those — both exchanges move rows
+    proportional to distinct bigrams, never tokens.
+
+    Output: (doc_id, n_bigrams, avg_logprob[round 6])."""
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        texts = _norm_text(batch["text"])
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(texts, pattern=" ")
+        raw_lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(texts, "").to_numpy(zero_copy_only=False)
+        lens = np.where(empty, 0, raw_lens)
+        flat = toks.flatten()
+        start = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(raw_lens, out=start[1:])
+        n_bi = np.maximum(lens - 1, 0)
+        total = int(n_bi.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lw": pa.array([], pa.string()),
+                             "rw": pa.array([], pa.string()),
+                             "occ": pa.array([], pa.int64())})
+        di = np.repeat(np.arange(len(ids), dtype=np.int64), n_bi)
+        bi0 = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(n_bi, out=bi0[1:])
+        pos = np.arange(total, dtype=np.int64) - bi0[di] + start[di]
+        t = pa.table({
+            "doc_id": pa.array(ids[di], pa.int64()),
+            "lw": flat.take(pa.array(pos, pa.int64())),
+            "rw": flat.take(pa.array(pos + 1, pa.int64()))})
+        g = t.group_by(["doc_id", "lw", "rw"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "lw": g["lw"],
+                         "rw": g["rw"],
+                         "occ": pc.cast(g["count_all"], pa.int64())})
+
+    def per_left(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "s_lp": pa.array([], pa.float64()),
+                          "n_bi": pa.array([], pa.int64())})
+        if "lw" not in t.column_names or t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        c12 = df.groupby(["lw", "rw"], sort=False)["occ"].transform("sum")
+        c1 = df.groupby("lw", sort=False)["occ"].transform("sum")
+        lp = df["occ"].to_numpy() * np.log(
+            c12.to_numpy(dtype=np.float64) / c1.to_numpy(dtype=np.float64))
+        agg = (df.assign(lp=lp).groupby("doc_id", sort=False)
+               .agg(s_lp=("lp", "sum"), n_bi=("occ", "sum")).reset_index())
+        return pa.table({"doc_id": pa.array(agg["doc_id"], pa.int64()),
+                         "s_lp": pa.array(agg["s_lp"], pa.float64()),
+                         "n_bi": pa.array(agg["n_bi"], pa.int64())})
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "avg_logprob": pa.array([], pa.float64())})
+        if "doc_id" not in t.column_names or t.num_rows == 0:
+            return empty
+        g = t.group_by("doc_id").aggregate([("s_lp", "sum"),
+                                            ("n_bi", "sum")])
+        n = g["n_bi_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = g["s_lp_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_bigrams": pc.cast(g["n_bi_sum"], pa.int64()),
+            "avg_logprob": pa.array(np.round(s / n, 6), pa.float64())})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_bigrams, batch_format="pyarrow")
+    partials = _hash_reduce(rows, ["lw"], per_left, num_partitions=None)
+    return _hash_reduce(partials, ["doc_id"], per_doc)
