@@ -340,6 +340,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": datapipe.reservoir_sample,
         "distinct_by_type": datapipe.distinct_by_type,
         "bigram_logprob": datapipe.bigram_logprob,
+        "sample_weighted": datapipe.sample_weighted,
+        "mad_outliers": datapipe.mad_outliers,
+        "span_pack": datapipe.span_pack,
+        "media_phash_dedup": datapipe.media_phash_dedup,
     }
     return q
 
@@ -1419,6 +1423,48 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_logprob
         FROM bi JOIN c12 USING (lw, rw) JOIN c1 USING (lw)
         GROUP BY bi.doc_id
+    """
+    sql["sample_weighted"] = """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY ln((('0x' || substr(md5('wsmp:' || doc_id), 1, 13))::UBIGINT
+                     + 1) / 4503599627370496.0)
+                 / (n_chars + 1) DESC, doc_id
+        LIMIT 200
+    """
+    sql["media_phash_dedup"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 64 + (length('assets/' || doc_id || '.img') * 37) % 448
+                   AS w,
+                 64 + (length('assets/' || doc_id || '.img') * 53) % 448
+                   AS h
+          FROM documents)
+        SELECT CAST(w * 4096 + h AS BIGINT) AS phash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+        FROM d GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+    """
+    sql["span_pack"] = r"""
+        SELECT doc_id, cost,
+               CAST((sum(cost) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - cost) // 768 AS BIGINT) AS seq_id
+        FROM (SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) + 65
+                          AS BIGINT) AS cost
+              FROM documents)
+    """
+    sql["mad_outliers"] = """
+        WITH m AS (SELECT event_type, median(value) AS med
+                   FROM events GROUP BY 1),
+        d AS (SELECT e.event_id, e.event_type, e.value,
+                     abs(e.value - m.med) AS dev
+              FROM events e JOIN m USING (event_type)),
+        md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+        SELECT d.event_id, d.event_type, d.value
+        FROM d JOIN md USING (event_type)
+        WHERE d.dev > 3 * md.mad
+        ORDER BY d.event_id
     """
     sql.update(_fixture_goldens())
     return sql

@@ -321,6 +321,12 @@ def main():
         timed(datapipe.distinct_by_type, SF_DIR), 3)
     queries["bigram_logprob"] = round(
         timed(datapipe.bigram_logprob, SF_DIR), 3)
+    queries["sample_weighted"] = round(
+        timed(datapipe.sample_weighted, SF_DIR), 3)
+    queries["mad_outliers"] = round(timed(datapipe.mad_outliers, SF_DIR), 3)
+    queries["span_pack"] = round(timed(datapipe.span_pack, SF_DIR), 3)
+    queries["media_phash_dedup"] = round(
+        timed(datapipe.media_phash_dedup, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

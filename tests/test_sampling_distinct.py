@@ -84,3 +84,74 @@ def test_bigram_logprob_tiny_corpus(ray_session, tmp_path):
                - round((2 * lp_ab + 2 * lp_ba) / 4, 6)) < 1e-9
     assert out.loc[2, "n_bigrams"] == 1
     assert abs(out.loc[2, "avg_logprob"] - round(lp_aa, 6)) < 1e-9
+
+
+def test_sample_weighted_prefers_heavy_docs(ray_session, tmp_path):
+    from upton_ray import datapipe
+
+    # 100 tiny docs (1 char) + 20 huge docs (10k chars): with k=20 the
+    # heavy docs should dominate the weighted draw (each huge doc has
+    # ~10^4 x the weight), and the draw must be replayable
+    texts = ["x"] * 100 + ["y" * 10_000] * 20
+    _write_docs(tmp_path, list(range(120)), texts)
+    a = _collect(datapipe.sample_weighted(str(tmp_path), k=20))
+    b = _collect(datapipe.sample_weighted(str(tmp_path), k=20))
+    assert list(a.doc_id) == list(b.doc_id)
+    heavy = set(range(100, 120))
+    assert len(set(a.doc_id) & heavy) >= 15   # weighting actually bites
+
+
+def test_mad_outliers_flags_planted_spikes(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from upton_ray import datapipe
+
+    n = 2000
+    users = list(range(n))
+    _write_events(tmp_path, users)
+    t = pq.read_table(tmp_path / "events.parquet")
+    rng = np.random.default_rng(5)
+    vals = rng.normal(100.0, 5.0, size=n)
+    vals[[10, 500, 1500]] = [10_000.0, -10_000.0, 5_000.0]  # spikes
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     pa.array(vals, pa.float64()))
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = _collect(datapipe.mad_outliers(str(tmp_path)))
+    got = set(out.event_id)
+    assert {10, 500, 1500} <= got             # planted spikes flagged
+    # exact expectation: |v - med| > 3 * MAD with sample median/MAD
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(vals - med)))
+    want = {i for i in range(n) if abs(vals[i] - med) > 3 * mad}
+    assert got == want
+
+
+def test_span_pack_matches_local_prefix_sum(ray_session, tmp_path):
+    from upton_ray import datapipe
+
+    texts = ["", "a b c", " ".join(["t"] * 700), "x y"]
+    _write_docs(tmp_path, [1, 2, 3, 4], texts)
+    out = _collect(datapipe.span_pack(str(tmp_path), budget=768)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    costs = [0 + 65, 3 + 65, 700 + 65, 2 + 65]
+    assert list(out.cost) == costs
+    prefix = np.concatenate([[0], np.cumsum(costs)[:-1]])
+    assert list(out.seq_id) == list(prefix // 768)
+
+
+def test_media_phash_dedup_groups_and_seam(ray_session, tmp_path):
+    from upton_ray import datapipe
+    from upton_ray.datapipe import MediaDecoder
+
+    # fake decode keys off len('assets/<id>.img'): ids 1..9 share a ref
+    # length (one group of 9), ids 10..99 share another — groups are by
+    # ref-length under the documented stand-in
+    _write_docs(tmp_path, list(range(1, 30)), ["t"] * 29)
+    out = _collect(datapipe.media_phash_dedup(str(tmp_path))) \
+        .sort_values("phash").reset_index(drop=True)
+    w1, h1 = MediaDecoder._decode("assets/1.img")
+    w2, h2 = MediaDecoder._decode("assets/10.img")
+    assert list(out.phash) == sorted([w1 * 4096 + h1, w2 * 4096 + h2])
+    assert sorted(out.n_docs) == [9, 20]
+    assert set(out.rep_doc_id) == {1, 10}

@@ -59,16 +59,24 @@ import ray.data
 NORM_RE = r"\s+"
 
 
-def _docs(sf_dir: str, columns):
+def _table(sf_dir: str, name: str, columns, **kw):
     # the test tables are ONE small parquet file -> one read block; split so
     # downstream map_batches actually parallelizes. A real corpus (a
     # DIRECTORY of part files, e.g. tools/datapipe_1m.py) gets no override —
     # Ray's own parallelism heuristic is right when there are many files.
-    path = f"{sf_dir}/documents.parquet"
+    path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):
-        return ray.data.read_parquet(path, columns=columns)
+        return ray.data.read_parquet(path, columns=columns, **kw)
     return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=8)
+                                 override_num_blocks=8, **kw)
+
+
+def _docs(sf_dir: str, columns):
+    return _table(sf_dir, "documents", columns)
+
+
+def _events(sf_dir: str, columns):
+    return _table(sf_dir, "events", columns)
 
 
 from upton_ray.shuffle import hash_reduce as _hash_reduce  # noqa: E402
@@ -1078,7 +1086,8 @@ def events_window(sf_dir: str):
                                columns=["ts", "event_type", "value"])
     # final aggregate on _hash_reduce: the partials are one row per
     # (window, type) per block, far below Dataset.groupby's fixed cost
-    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                         ["event_type", "w"], part_sum)
 
 
@@ -1357,11 +1366,7 @@ def lineitem_pricing(sf_dir: str, cutoff: str = "1998-09-02"):
             "count_order": pc.cast(g["qty_count"], pa.int64()),
         })
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_shipdate"],
-        override_num_blocks=8)
+    ds = _table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
     def part_sum(t: pa.Table) -> pa.Table:
         if "l_returnflag" not in t.column_names:  # all-empty partition
             return pa.table({
@@ -1390,7 +1395,8 @@ def lineitem_pricing(sf_dir: str, cutoff: str = "1998-09-02"):
                 g["sum_disc_price_sum"], 10000.0), ndigits=0), pa.int64()),
             "count_order": pc.cast(g["count_order_sum"], pa.int64())})
 
-    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                         ["l_returnflag", "l_linestatus"], part_sum)
 
 
@@ -1422,9 +1428,7 @@ def nation_revenue(sf_dir: str):
                          "revenue": g["revenue_sum"],
                          "n_orders": pc.cast(g["revenue_count"], pa.int64())})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"],
-                               override_num_blocks=8)
+    ds = _table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     def part_sum(t: pa.Table) -> pa.Table:
         if "n_name" not in t.column_names:    # all-empty partition
             return pa.table({"n_name": pa.array([], pa.string()),
@@ -1441,7 +1445,8 @@ def nation_revenue(sf_dir: str):
                 g["revenue_sum"], 100.0), ndigits=0), pa.int64()),
             "n_orders": pc.cast(g["n_orders_sum"], pa.int64())})
 
-    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                         ["n_name"], part_sum)
 
 
@@ -1619,10 +1624,9 @@ def events_sliding(sf_dir: str):
                          "n_events": pc.cast(g["value_count"], pa.int64()),
                          "sum_value": g["value_sum"]})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"],
-                               override_num_blocks=8)
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None).groupby(
         ["event_type", "w"]).sum(["n_events", "sum_value"])
     return agg.map_batches(
         lambda b: pa.table({
@@ -1670,7 +1674,8 @@ def term_frequencies(sf_dir: str, k: int = 20) -> pa.Table:
     # final term aggregate on _hash_reduce: partials are one row per
     # distinct term per block, below Dataset.groupby's fixed cost
     agg = _hash_reduce(_docs(sf_dir, ["text"])
-                       .map_batches(partial, batch_format="pyarrow"),
+                       .map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                        ["term"], part_topk)
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
     top = pa.concat_tables(parts).sort_by(
@@ -1729,9 +1734,9 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
                                                pa.binary())})
 
     parts = [t for t in ray.get(
-        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"],
-                              override_num_blocks=8)
-        .map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+        _events(sf_dir, ["user_id"])
+        .map_batches(sketch, batch_format="pyarrow",
+                    batch_size=None).to_arrow_refs())
         if t.num_columns > 0]
     merged = HyperLogLog(p)
     for t in parts:
@@ -1755,8 +1760,7 @@ def value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pa.Table:
     from upton_ray.engine import collect
 
     n_bins = 2048
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"],
-                               override_num_blocks=8)
+    ds = _events(sf_dir, ["value"])
 
     def stats(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
@@ -1764,7 +1768,8 @@ def value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pa.Table:
                          "lo": pa.array([float(v.min())], pa.float64()),
                          "hi": pa.array([float(v.max())], pa.float64())})
 
-    st = collect(ds.map_batches(stats, batch_format="pyarrow"),
+    st = collect(ds.map_batches(stats, batch_format="pyarrow",
+                    batch_size=None),
                  pa.schema([("n", pa.int64()), ("lo", pa.float64()),
                             ("hi", pa.float64())]))
     n = int(pc.sum(st["n"]).as_py())
@@ -1778,7 +1783,8 @@ def value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pa.Table:
         return pa.table({"bin": pa.array(np.arange(n_bins), pa.int32()),
                          "count": pa.array(counts, pa.int64())})
 
-    ht = collect(ds.map_batches(hist, batch_format="pyarrow"),
+    ht = collect(ds.map_batches(hist, batch_format="pyarrow",
+                    batch_size=None),
                  pa.schema([("bin", pa.int32()), ("count", pa.int64())]))
     counts = np.zeros(n_bins, dtype=np.int64)
     np.add.at(counts, ht["bin"].to_numpy(), ht["count"].to_numpy())
@@ -1801,7 +1807,8 @@ def value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)) -> pa.Table:
         return pa.table({"value": pa.array(v[keep], pa.float64()),
                          "bin": pa.array(b[keep], pa.int32())})
 
-    cand = collect(ds.map_batches(grab, batch_format="pyarrow"),
+    cand = collect(ds.map_batches(grab, batch_format="pyarrow",
+                    batch_size=None),
                    pa.schema([("value", pa.float64()), ("bin", pa.int32())]))
     by_bin = {}
     cv = cand["value"].to_numpy()
@@ -1964,9 +1971,7 @@ def range_join_events(sf_dir: str) -> pa.Table:
     No shuffle at all — the canonical small-side range-join pattern."""
     from upton_ray.engine import collect
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "ts"],
-                               override_num_blocks=8)
+    ds = _events(sf_dir, ["event_id", "ts"])
 
     def bounds(batch: pa.Table) -> pa.Table:
         t = batch["ts"].to_numpy(zero_copy_only=False)
@@ -2057,7 +2062,8 @@ def dedup_keep_best(sf_dir: str):
         return pa.table({"fp": g["fp"], "score": g["score_max"]})
 
     agg = (_docs(sf_dir, ["doc_id", "text"])
-           .map_batches(partial, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow",
+                    batch_size=None)
            .groupby("fp").max("score"))
 
     def decode(b: pa.Table) -> pa.Table:
@@ -2179,7 +2185,8 @@ def doc_length_histogram(sf_dir: str, width: int = 100):
             "n_docs": pc.cast(g["n_docs_sum"], pa.int64())})
 
     return _hash_reduce(_docs(sf_dir, ["n_chars"])
-                        .map_batches(partial, batch_format="pyarrow"),
+                        .map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                         ["bucket"], part_sum)
 
 
@@ -2572,9 +2579,7 @@ def semi_join_events(sf_dir: str, min_value: float = 190.0):
     gates the full event log, which then aggregates per user with the
     usual partial-combiner + small groupby. The event log streams exactly
     once per phase; no shuffle join ever forms."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "event_type", "value"],
-                               override_num_blocks=8)
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
 
     def purchasers(b: pa.Table) -> pa.Table:
         keep = pc.and_(pc.equal(b["event_type"], "purchase"),
@@ -2618,7 +2623,8 @@ def semi_join_events(sf_dir: str, min_value: float = 190.0):
             "n_events": pc.cast(g["n_events_sum"], pa.int64()),
             "sum_value": pc.round(g["sum_value_sum"], ndigits=6)})
 
-    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+    return _hash_reduce(ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                         ["user_id"], part_sum)
 
 
@@ -2793,9 +2799,7 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
     from upton_ray.engine import collect
 
     n_bins = 2048
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value"],
-                               override_num_blocks=8) \
+    ds = _events(sf_dir, ["event_type", "value"]) \
         .materialize()    # one read feeds all three passes
 
     def stats(batch: pa.Table) -> pa.Table:
@@ -2805,7 +2809,8 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
                          "n": pc.cast(g["value_count"], pa.int64()),
                          "lo": g["value_min"], "hi": g["value_max"]})
 
-    st = collect(ds.map_batches(stats, batch_format="pyarrow"),
+    st = collect(ds.map_batches(stats, batch_format="pyarrow",
+                    batch_size=None),
                  pa.schema([("event_type", pa.string()), ("n", pa.int64()),
                             ("lo", pa.float64()), ("hi", pa.float64())]))
     sg = st.group_by("event_type").aggregate(
@@ -2836,7 +2841,8 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
                          "bin": pa.array(rows["bin"], pa.int32()),
                          "count": pa.array(rows["count"], pa.int64())})
 
-    ht = collect(ds.map_batches(hist, batch_format="pyarrow"),
+    ht = collect(ds.map_batches(hist, batch_format="pyarrow",
+                    batch_size=None),
                  pa.schema([("event_type", pa.string()), ("bin", pa.int32()),
                             ("count", pa.int64())]))
     cum, needs = {}, {}
@@ -2876,7 +2882,8 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
                          "value": pa.array(rows["value"], pa.float64()),
                          "bin": pa.array(rows["bin"], pa.int32())})
 
-    cand = collect(ds.map_batches(grab, batch_format="pyarrow"),
+    cand = collect(ds.map_batches(grab, batch_format="pyarrow",
+                    batch_size=None),
                    pa.schema([("event_type", pa.string()),
                               ("value", pa.float64()), ("bin", pa.int32())]))
     cet = np.asarray(cand["event_type"].to_pylist(), dtype=object)
@@ -3110,12 +3117,10 @@ def nation_year_rollup(sf_dir: str):
                          "revenue_cents": g["revenue_cents_sum"],
                          "n_orders": g["n_orders_sum"]})
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_totalprice", "o_orderdate"],
-        override_num_blocks=8)
+    ds = _table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
     leaves = pa.concat_tables(ray.get(_hash_reduce(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
         ["n_name", "year"], final, num_partitions=4).to_arrow_refs()))
 
     by_nat = leaves.group_by("n_name").aggregate(
@@ -3175,10 +3180,7 @@ def funnel_conversion(sf_dir: str, step_a: str = "click",
             "first_a": fa["first_a"],
             "converted": pc.is_in(fa["user_id"], value_set=conv)})
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "ts", "event_type"],
-        override_num_blocks=8).map_batches(prune, batch_format="pyarrow")
+    ev = _events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(prune, batch_format="pyarrow")
     return _hash_reduce(ev, ["user_id"], resolve, num_partitions=4)
 
 
@@ -3226,10 +3228,9 @@ def pivot_events(sf_dir: str):
             out[f"n_{x}"] = pa.array(mat[:, j], pa.int64())
         return pa.table(out)
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
-        override_num_blocks=8)
-    return _hash_reduce(ev.map_batches(partial, batch_format="pyarrow"),
+    ev = _events(sf_dir, ["user_id", "event_type"])
+    return _hash_reduce(ev.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                         ["user_id"], pivot, num_partitions=4)
 
 
@@ -3286,12 +3287,10 @@ def group_zscore(sf_dir: str):
         return pa.table({"event_type": g["event_type"], "s": g["s_sum"],
                          "s2": g["s2_sum"], "n": g["n_sum"]})
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "event_type", "value"],
-        override_num_blocks=8).materialize()
+    ev = _events(sf_dir, ["event_id", "event_type", "value"]).materialize()
     stats = pa.concat_tables(ray.get(_hash_reduce(
-        ev.map_batches(partial, batch_format="pyarrow"),
+        ev.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
         ["event_type"], final, num_partitions=4).to_arrow_refs()))
     n = stats["n"].to_numpy().astype(np.float64)
     mean = stats["s"].to_numpy() / n
@@ -3330,10 +3329,7 @@ def table_profile(sf_dir: str) -> pa.Table:
     (:func:`approx_distinct_users`) is the constant-memory alternative.
     Floats are profiled as integer cents so min/max stringify identically
     to the SQL oracle."""
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
-        override_num_blocks=8).map_batches(
+    orders = _table(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"]).map_batches(
         lambda b: pa.table({
             "o_custkey": b["o_custkey"],
             "o_orderstatus": b["o_orderstatus"],
@@ -3412,9 +3408,7 @@ def winsorize_values(sf_dir: str, p_lo: float = 0.05, p_hi: float = 0.95):
             pa.scalar(hi, pa.float64()))
         return pa.table({"event_id": b["event_id"], "value_w": w})
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "value"],
-        override_num_blocks=8).map_batches(clamp, batch_format="pyarrow")
+    return _events(sf_dir, ["event_id", "value"]).map_batches(clamp, batch_format="pyarrow")
 
 
 @ray.remote
@@ -3475,9 +3469,9 @@ def approx_quantiles_sketch(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
         return pa.table({"bucket": g["bucket"], "sum(count)": g["count_sum"]})
 
     agg = _hash_reduce(
-        ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                              columns=["value"], override_num_blocks=8)
-        .map_batches(sketch, batch_format="pyarrow"),
+        _events(sf_dir, ["value"])
+        .map_batches(sketch, batch_format="pyarrow",
+                    batch_size=None),
         ["bucket"], part_sum)
     t = collect(agg, pa.schema([("bucket", pa.int64()),
                                 ("sum(count)", pa.int64())]))
@@ -3687,7 +3681,8 @@ def dup_ngrams(sf_dir: str, n: int = 5, k: int = 100):
     # — the floor is shuffle spin-up, not string compares).
     agg = _hash_reduce(
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(partial, batch_format="pyarrow"),
+        .map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
         ["gram"], part_topk)
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
     if not parts:
@@ -3701,22 +3696,23 @@ def dup_ngrams(sf_dir: str, n: int = 5, k: int = 100):
 
 
 @ray.remote
-def _block_toksum(t: pa.Table) -> int:
-    if "n_tok" not in t.column_names:       # empty post-sort block
+def _block_toksum(t: pa.Table, col: str = "n_tok") -> int:
+    if col not in t.column_names:           # empty post-sort block
         return 0
-    s = pc.sum(t["n_tok"]).as_py()
+    s = pc.sum(t[col]).as_py()
     return int(s or 0)
 
 
 @ray.remote
-def _attach_seq(t: pa.Table, base: int, budget: int) -> pa.Table:
-    if "n_tok" not in t.column_names:       # empty post-sort block
+def _attach_seq(t: pa.Table, base: int, budget: int,
+                col: str = "n_tok") -> pa.Table:
+    if col not in t.column_names:           # empty post-sort block
         return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_tok": pa.array([], pa.int64()),
+                         col: pa.array([], pa.int64()),
                          "seq_id": pa.array([], pa.int64())})
-    ntok = t["n_tok"].to_numpy(zero_copy_only=False)
-    cume = base + np.cumsum(ntok) - ntok          # exclusive prefix tokens
-    return pa.table({"doc_id": t["doc_id"], "n_tok": t["n_tok"],
+    ntok = t[col].to_numpy(zero_copy_only=False)
+    cume = base + np.cumsum(ntok) - ntok          # exclusive prefix cost
+    return pa.table({"doc_id": t["doc_id"], col: t[col],
                      "seq_id": pa.array(cume // budget, pa.int64())})
 
 
@@ -4049,18 +4045,12 @@ def customer_orders_join(sf_dir: str):
     reaches for first.  Price emitted as integer cents (2dp exact)."""
     from upton_ray.shuffle import hash_join
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_totalprice"],
-        override_num_blocks=4).map_batches(
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
         lambda b: pa.table({"c_custkey": b["o_custkey"],
                             "o_orderkey": b["o_orderkey"],
                             "o_totalprice": b["o_totalprice"]}),
         batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_mktsegment"],
-        override_num_blocks=2)
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     return hash_join(orders, cust, "c_custkey").map_batches(
         lambda b: pa.table({
             "o_orderkey": b["o_orderkey"],
@@ -4082,10 +4072,7 @@ def top_orders_per_customer(sf_dir: str, n: int = 2):
     group's surviving candidates are all present."""
     from upton_ray.shuffle import grouped_top_n
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderkey", "o_totalprice"],
-        override_num_blocks=4)
+    orders = _table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     return grouped_top_n(
         orders, ["o_custkey"],
         [("o_totalprice", "descending"), ("o_orderkey", "ascending")],
@@ -4108,14 +4095,10 @@ def customers_no_orders(sf_dir: str, min_price: float = 300_000.0):
     sides for its keys, so the local pyarrow anti join is exact."""
     from upton_ray.shuffle import hash_join
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_mktsegment"],
-        override_num_blocks=2)
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
-        filter=(pc.field("o_totalprice") > min_price),
-        override_num_blocks=4).map_batches(
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    orders = _table(
+        sf_dir, "orders", ["o_custkey"],
+        filter=(pc.field("o_totalprice") > min_price)).map_batches(
         lambda b: pa.table({"c_custkey": b["o_custkey"]}),
         batch_format="pyarrow")
     return hash_join(cust, orders, "c_custkey", how="left anti")
@@ -4141,13 +4124,8 @@ def user_events_join(sf_dir: str, hot_threshold: float = 0.05,
             "value_cents": pc.cast(pc.floor(pc.multiply(
                 b["value"], 100.0)), pa.int64())})
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "value"],
-        override_num_blocks=4).map_batches(fold, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        f"{dim_dir or sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name"], override_num_blocks=2)
+    ev = _table(sf_dir, "events", ["event_id", "user_id", "value"]).map_batches(fold, batch_format="pyarrow")
+    cust = _table(dim_dir or sf_dir, "customer", ["c_custkey", "c_name"])
     return skew_join(ev, cust, "c_custkey",
                      hot_threshold=hot_threshold).map_batches(
         lambda b: b.select(["event_id", "c_custkey", "c_name",
@@ -4169,18 +4147,12 @@ def bucketed_customer_orders(sf_dir: str, num_buckets: int = 8):
     from upton_ray.shuffle import bucketed_join, write_bucketed
 
     base = tempfile.mkdtemp(prefix="upton_ray_bucketed_")
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_totalprice"],
-        override_num_blocks=4).map_batches(
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
         lambda b: pa.table({"c_custkey": b["o_custkey"],
                             "o_orderkey": b["o_orderkey"],
                             "o_totalprice": b["o_totalprice"]}),
         batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_mktsegment"],
-        override_num_blocks=2)
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     write_bucketed(orders, ["c_custkey"], f"{base}/orders", num_buckets)
     write_bucketed(cust, ["c_custkey"], f"{base}/customer", num_buckets)
     return bucketed_join(f"{base}/orders", f"{base}/customer", "c_custkey",
@@ -4248,10 +4220,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
             "o_orderpriority": t["o_orderpriority"],
             "rev": pa.array(np.full(n, np.nan), pa.float64())})
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-        override_num_blocks=4).map_batches(orders_side,
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]).map_batches(orders_side,
                                            batch_format="pyarrow")
 
     def li_partial(b: pa.Table) -> pa.Table:
@@ -4270,10 +4239,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING",
             "o_orderpriority": pa.array([None] * n, pa.string()),
             "rev": g["rev_sum"]})
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        override_num_blocks=8) \
+    li = _table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
         .map_batches(li_partial, batch_format="pyarrow")
 
     _EMPTY = pa.table({
@@ -4545,7 +4511,8 @@ def oov_rate(sf_dir: str, vocab_k: int = 32):
             .slice(0, vocab_k)
 
     agg = _hash_reduce(_docs(sf_dir, ["text"])
-                       .map_batches(partial, batch_format="pyarrow"),
+                       .map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                        ["term"], part_topk)
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
     top = pa.concat_tables(parts).sort_by(
@@ -4597,7 +4564,8 @@ def source_gate(sf_dir: str):
 
     parts = [t for t in ray.get(
         _docs(sf_dir, ["source", "n_chars"])
-        .map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        .map_batches(partial, batch_format="pyarrow",
+                    batch_size=None).to_arrow_refs())
         if t.num_rows]
     st = pa.concat_tables(parts).group_by("source").aggregate(
         [("sc", "sum"), ("c", "sum")])
@@ -4862,7 +4830,8 @@ def line_dedup(sf_dir: str, window: int = 8, max_count: int = 2):
         return g.filter(pc.greater(g["n_sum"], max_count)).select(["seg"])
 
     agg = _hash_reduce(_docs(sf_dir, ["text"])
-                       .map_batches(partial, batch_format="pyarrow"),
+                       .map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                        ["seg"], frequent_only)
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
     freq = pa.concat_tables(parts)["seg"].combine_chunks() if parts \
@@ -4957,10 +4926,10 @@ def heavy_hitters(sf_dir: str, phi: float = 0.007):
                              if len(keys) else np.array([], np.int64),
                              type=pa.int64())})
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id"], override_num_blocks=8)
+    ev = _events(sf_dir, ["user_id"])
     parts = [t for t in ray.get(
-        ev.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+        ev.map_batches(sketch, batch_format="pyarrow",
+                    batch_size=None).to_arrow_refs())
         if t.num_columns > 0 and t.num_rows > 0]
     if not parts:
         return pa.table({"user_id": pa.array([], pa.int64()),
@@ -5031,7 +5000,8 @@ def span_kind_hist(sf_dir: str):
         })
 
     parts = [t for t in ray.get(
-        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow",
+                    batch_size=None)
         .to_arrow_refs()) if t.num_columns > 0 and t.num_rows > 0]
     if not parts:
         return pa.table({"kind": pa.array([], pa.string()),
@@ -5075,7 +5045,8 @@ def reservoir_sample(sf_dir: str, k: int = 200):
 
     parts = [t for t in ray.get(
         _docs(sf_dir, ["doc_id"])
-        .map_batches(local_topk, batch_format="pyarrow").to_arrow_refs())
+        .map_batches(local_topk, batch_format="pyarrow",
+                    batch_size=None).to_arrow_refs())
         if t.num_columns > 0 and t.num_rows > 0]
     if not parts:
         return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -5110,10 +5081,9 @@ def distinct_by_type(sf_dir: str):
         return pa.table({"event_type": g["event_type"],
                          "n": pc.cast(g["count_all"], pa.int64())})
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "user_id"],
-                               override_num_blocks=8)
-    red = _hash_reduce(ev.map_batches(pairs, batch_format="pyarrow"),
+    ev = _events(sf_dir, ["event_type", "user_id"])
+    red = _hash_reduce(ev.map_batches(pairs, batch_format="pyarrow",
+                    batch_size=None),
                        ["event_type", "user_id"], per_part)
     parts = [t for t in ray.get(red.to_arrow_refs())
              if t.num_columns > 0 and t.num_rows > 0]
@@ -5216,3 +5186,292 @@ def bigram_logprob(sf_dir: str):
         doc_bigrams, batch_format="pyarrow")
     partials = _hash_reduce(rows, ["lw"], per_left, num_partitions=None)
     return _hash_reduce(partials, ["doc_id"], per_doc)
+
+
+def sample_weighted(sf_dir: str, k: int = 200):
+    """Deterministic WEIGHTED k-sample without replacement
+    (Efraimidis–Spirakis A-Res): doc i gets key ln(u_i) / w_i with
+    u_i = (md5-derived 52-bit uniform + 1) / 2^52 and weight
+    w_i = n_chars + 1; the k LARGEST keys win.  P(doc in sample) scales
+    with its weight — the standard "sample long docs more" curation
+    primitive — yet the draw is replayable across runs/engines/cluster
+    sizes (no RNG state; same md5 contract as reservoir_sample).
+
+    Scale shape: identical to reservoir_sample — per-block top-k, driver
+    merges blocks x k, no shuffle.  The 52-bit mantissa-exact uniform and
+    the +1 weight floor make the key arithmetic bit-reproducible in any
+    IEEE-double engine (DuckDB computes the identical key).
+
+    Output: (doc_id, n_chars) — the selection, key kept internal."""
+    TWO52 = float(1 << 52)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64) + 1.0
+        u = (np.array([int(h[:13], 16) for h in
+                       _md5_hex([f"wsmp:{i}" for i in ids])],
+                      dtype=np.float64) + 1.0) / TWO52
+        key = np.log(u) / w
+        kk = min(k, len(ids))
+        sel = np.argpartition(-key, kk - 1)[:kk] if kk < len(ids) \
+            else np.arange(len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "n_chars": batch["n_chars"].take(pa.array(sel, pa.int64())),
+            "skey": pa.array(key[sel], pa.float64())})
+
+    parts = [t for t in ray.get(
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(local_topk, batch_format="pyarrow",
+                    batch_size=None).to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts).sort_by(
+        [("skey", "descending"), ("doc_id", "ascending")])
+    return merged.slice(0, k).select(["doc_id", "n_chars"])
+
+
+def _grouped_median_exact(ds, key_col: str, val_col: str) -> dict:
+    """EXACT per-group median (DuckDB ``median``/``quantile_cont(0.5)``
+    semantics, including its ``lo + (hi-lo)*frac`` interpolation) of a
+    float column, with NO global sort — the 3-pass histogram scheme of
+    :func:`group_quantiles` (count/min/max → per-bin counts → grab only
+    the candidate bins' rows), generalized to any (key, value) Dataset and
+    returning full-precision floats (no rounding: callers use these in
+    further arithmetic that must mirror the SQL oracle bit-for-bit).
+    Driver state: O(groups x bins) ints + ~n/bins candidate rows/group."""
+    from upton_ray.engine import collect
+
+    n_bins = 2048
+
+    def stats(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col, val_col]).group_by(key_col).aggregate(
+            [(val_col, "count"), (val_col, "min"), (val_col, "max")])
+        return pa.table({"k": g[key_col],
+                         "n": pc.cast(g[f"{val_col}_count"], pa.int64()),
+                         "lo": pc.cast(g[f"{val_col}_min"], pa.float64()),
+                         "hi": pc.cast(g[f"{val_col}_max"], pa.float64())})
+
+    st = collect(ds.map_batches(stats, batch_format="pyarrow",
+                    batch_size=None),
+                 pa.schema([("k", pa.string()), ("n", pa.int64()),
+                            ("lo", pa.float64()), ("hi", pa.float64())]))
+    sg = st.group_by("k").aggregate([("n", "sum"), ("lo", "min"),
+                                     ("hi", "max")])
+    meta = {t: (int(n), float(lo), float(hi),
+                (float(hi) - float(lo)) / n_bins or 1.0)
+            for t, n, lo, hi in zip(sg["k"].to_pylist(),
+                                    sg["n_sum"].to_pylist(),
+                                    sg["lo_min"].to_pylist(),
+                                    sg["hi_max"].to_pylist())}
+    meta_ref = ray.put(meta)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        m = ray.get(meta_ref)
+        et = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        rows = {"k": [], "bin": [], "count": []}
+        for t in np.unique(et):
+            _, lo, _, width = m[t]
+            b = np.clip(((v[et == t] - lo) / width).astype(np.int64),
+                        0, n_bins - 1)
+            counts = np.bincount(b, minlength=n_bins)
+            nz = np.flatnonzero(counts)
+            rows["k"].extend([t] * len(nz))
+            rows["bin"].extend(nz.tolist())
+            rows["count"].extend(counts[nz].tolist())
+        return pa.table({"k": pa.array(rows["k"], pa.string()),
+                         "bin": pa.array(rows["bin"], pa.int32()),
+                         "count": pa.array(rows["count"], pa.int64())})
+
+    ht = collect(ds.map_batches(hist, batch_format="pyarrow",
+                    batch_size=None),
+                 pa.schema([("k", pa.string()), ("bin", pa.int32()),
+                            ("count", pa.int64())]))
+    cum, needs = {}, {}
+    het = np.asarray(ht["k"].to_pylist(), dtype=object)
+    hb = ht["bin"].to_numpy(zero_copy_only=False)
+    hc = ht["count"].to_numpy(zero_copy_only=False)
+    for t, (n, lo, hi, width) in meta.items():
+        counts = np.zeros(n_bins, dtype=np.int64)
+        sel = het == t
+        np.add.at(counts, hb[sel], hc[sel])
+        cum[t] = np.concatenate([[0], np.cumsum(counts)])
+        idx = (n - 1) * 0.5
+        need = {int(np.floor(idx)), min(int(np.floor(idx)) + 1, n - 1)}
+        needs[t] = np.array(sorted(
+            {int(np.searchsorted(cum[t], kk, side="right") - 1)
+             for kk in need}), dtype=np.int64)
+    needs_ref = ray.put(needs)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        m, nd = ray.get(meta_ref), ray.get(needs_ref)
+        et = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        rows = {"k": [], "v": [], "bin": []}
+        for t in np.unique(et):
+            _, lo, _, width = m[t]
+            sel = et == t
+            b = np.clip(((v[sel] - lo) / width).astype(np.int64),
+                        0, n_bins - 1)
+            keep = np.isin(b, nd[t])
+            rows["k"].extend([t] * int(keep.sum()))
+            rows["v"].extend(v[sel][keep].tolist())
+            rows["bin"].extend(b[keep].tolist())
+        return pa.table({"k": pa.array(rows["k"], pa.string()),
+                         "v": pa.array(rows["v"], pa.float64()),
+                         "bin": pa.array(rows["bin"], pa.int32())})
+
+    cand = collect(ds.map_batches(grab, batch_format="pyarrow",
+                    batch_size=None),
+                   pa.schema([("k", pa.string()), ("v", pa.float64()),
+                              ("bin", pa.int32())]))
+    cet = np.asarray(cand["k"].to_pylist(), dtype=object)
+    cv = cand["v"].to_numpy(zero_copy_only=False)
+    cb = cand["bin"].to_numpy(zero_copy_only=False)
+    out = {}
+    for t, (n, lo, hi, width) in meta.items():
+        by_bin = {int(b): np.sort(cv[(cet == t) & (cb == b)])
+                  for b in needs[t]}
+
+        def order_stat(kk: int) -> float:
+            b = int(np.searchsorted(cum[t], kk, side="right") - 1)
+            return float(by_bin[b][kk - cum[t][b]])
+
+        idx = (n - 1) * 0.5
+        f = int(np.floor(idx))
+        frac = idx - f
+        a = order_stat(f)
+        out[t] = a if frac == 0 else \
+            a + (order_stat(min(f + 1, n - 1)) - a) * frac
+    return out
+
+
+def mad_outliers(sf_dir: str, n_mads: float = 3.0):
+    """Robust per-group outlier gate: flag events whose |value - median|
+    exceeds ``n_mads`` x the group's MAD (median absolute deviation) —
+    the standard heavy-tail-safe anomaly filter (z-scores break under the
+    very outliers they hunt; the median/MAD pair doesn't).
+
+    Scale shape: TWO exact grouped medians via the histogram scheme
+    (:func:`_grouped_median_exact` — driver holds groups x bins ints,
+    never rows), then medians+MADs broadcast once and a final streaming
+    filter pass emits only the outliers.  No shuffle anywhere; group
+    cardinality is the event-type enum.
+
+    Output: (event_id, event_type, value) of outliers, by event_id."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"]).materialize()
+    med = _grouped_median_exact(ds, "event_type", "value")
+    med_ref = ray.put(med)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        meds = np.array([m[t] for t in et], dtype=np.float64)
+        return pa.table({"event_type": batch["event_type"],
+                         "dv": pa.array(np.abs(v - meds), pa.float64())})
+
+    mad = _grouped_median_exact(
+        ds.map_batches(dev, batch_format="pyarrow"), "event_type", "dv")
+    cut_ref = ray.put({t: (med[t], n_mads * mad[t]) for t in med})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        meds = np.array([cuts[t][0] for t in et], dtype=np.float64)
+        lim = np.array([cuts[t][1] for t in et], dtype=np.float64)
+        keep = np.abs(v - meds) > lim
+        return batch.filter(pa.array(keep))
+
+    out = [t for t in ray.get(
+        ds.map_batches(flag, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not out:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "value": pa.array([], pa.float64())})
+    return pa.concat_tables(out).sort_by([("event_id", "ascending")])
+
+
+def span_pack(sf_dir: str, budget: int = 768, media_tokens: int = 64):
+    """Interleaved-sequence packing: :func:`sequence_pack` costing the
+    FULL span sequence of each document, not just its text — per doc,
+    cost = text tokens + 1 (the title span) + ``media_tokens`` (the fixed
+    visual-token budget the trailing media.img span consumes — the
+    multimodal-LM packing rule: an image takes a fixed number of sequence
+    positions regardless of byte size).  Doc i (in doc_id order) lands in
+    training sequence floor(exclusive_prefix_cost / budget).
+
+    Same distributed prefix-sum shape as sequence_pack: one
+    range-partitioned sort, the driver reads ONE int per block, per-block
+    tasks attach base + cumsum.  Output: (doc_id, cost, seq_id)."""
+
+    def cost(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "cost": pc.add(pc.cast(
+                pc.count_substring_regex(b["text"], pattern=r"\S+"),
+                pa.int64()), 1 + media_tokens)})
+
+    srt = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(cost, batch_format="pyarrow")
+           .sort("doc_id")).materialize()
+    refs = srt.to_arrow_refs()
+    sums = ray.get([_block_toksum.remote(r, "cost") for r in refs])
+    bases = np.r_[np.int64(0), np.cumsum(sums)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_seq.remote(r, int(bs), budget, "cost")
+         for r, bs in zip(refs, bases)])
+
+
+def media_phash_dedup(sf_dir: str):
+    """Duplicate-media detection: decode each document's media span (the
+    actor-pool :class:`MediaDecoder` stage, per-actor init, injection seam
+    for a real decoder), hash the decoded pixel field to a 64-bit
+    perceptual hash, and group — media with identical phash are duplicate
+    assets.  The FAKE phash packs the fake-decoded (width, height); a real
+    build injects a DCT phash via ``decode_fn`` with zero pipeline changes
+    — the Ray shape (decode actors → vectorized hash → combiner →
+    one phash-keyed exchange → keep groups ≥ 2) is the production one,
+    and at corpus scale only distinct-phash partials ever shuffle.
+
+    Output: (phash, n_docs, rep_doc_id) for phashes with ≥ 2 docs."""
+    dec = _media_refs_ds(sf_dir).map_batches(
+        MediaDecoder, batch_format="pyarrow", concurrency=2,
+        batch_size=4096)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ph = pc.add(pc.multiply(b["width"], 4096), b["height"])
+        g = pa.table({"phash": pc.cast(ph, pa.int64()),
+                      "doc_id": b["doc_id"]}) \
+            .group_by("phash").aggregate([([], "count_all"),
+                                          ("doc_id", "min")])
+        return pa.table({"phash": g["phash"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "rep": g["doc_id_min"]})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if "phash" not in t.column_names or t.num_rows == 0:
+            return pa.table({"phash": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "rep_doc_id": pa.array([], pa.int64())})
+        g = t.group_by("phash").aggregate([("n", "sum"), ("rep", "min")])
+        out = pa.table({"phash": g["phash"],
+                        "n_docs": pc.cast(g["n_sum"], pa.int64()),
+                        "rep_doc_id": g["rep_min"]})
+        return out.filter(pc.greater_equal(out["n_docs"], 2))
+
+    red = _hash_reduce(dec.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None), ["phash"], fold)
+    parts = [t for t in ray.get(red.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"phash": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "rep_doc_id": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by([("phash", "ascending")])
