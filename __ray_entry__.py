@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": datapipe.mad_outliers,
         "span_pack": datapipe.span_pack,
         "media_phash_dedup": datapipe.media_phash_dedup,
+        "balanced_sample": datapipe.balanced_sample,
     }
     return q
 
@@ -1430,6 +1431,16 @@ def oracle_sql() -> dict[str, str]:
                      + 1) / 4503599627370496.0)
                  / (n_chars + 1) DESC, doc_id
         LIMIT 200
+    """
+    sql["balanced_sample"] = """
+        WITH r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5('bal:' || doc_id), doc_id) AS rank
+          FROM documents)
+        SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 25
+        ORDER BY source, rank
     """
     sql["media_phash_dedup"] = """
         WITH d AS (

@@ -327,6 +327,8 @@ def main():
     queries["span_pack"] = round(timed(datapipe.span_pack, SF_DIR), 3)
     queries["media_phash_dedup"] = round(
         timed(datapipe.media_phash_dedup, SF_DIR), 3)
+    queries["balanced_sample"] = round(
+        timed(datapipe.balanced_sample, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -155,3 +155,23 @@ def test_media_phash_dedup_groups_and_seam(ray_session, tmp_path):
     assert list(out.phash) == sorted([w1 * 4096 + h1, w2 * 4096 + h2])
     assert sorted(out.n_docs) == [9, 20]
     assert set(out.rep_doc_id) == {1, 10}
+
+
+def test_balanced_sample_equal_representation(ray_session, tmp_path):
+    import hashlib
+
+    from upton_ray import datapipe
+
+    # source A has 500 docs, source B has 10: the balanced draw takes
+    # k=25 from A but all 10 from B, each the k smallest md5 priorities
+    n_a, n_b = 500, 10
+    _write_docs(tmp_path, list(range(n_a + n_b)), ["t"] * (n_a + n_b),
+                sources=["A"] * n_a + ["B"] * n_b)
+    out = _collect(datapipe.balanced_sample(str(tmp_path), per_source=25))
+    a = out[out.source == "A"]
+    b = out[out.source == "B"]
+    assert len(a) == 25 and len(b) == 10
+    pri = sorted((hashlib.md5(f"bal:{i}".encode()).hexdigest(), i)
+                 for i in range(n_a))
+    assert sorted(a.doc_id) == sorted(i for _, i in pri[:25])
+    assert list(a.sort_values("rank").doc_id) == [i for _, i in pri[:25]]

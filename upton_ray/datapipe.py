@@ -5475,3 +5475,37 @@ def media_phash_dedup(sf_dir: str):
                          "n_docs": pa.array([], pa.int64()),
                          "rep_doc_id": pa.array([], pa.int64())})
     return pa.concat_tables(parts).sort_by([("phash", "ascending")])
+
+
+def balanced_sample(sf_dir: str, per_source: int = 25):
+    """Balanced per-source subsample: the k lexicographically-smallest
+    md5('bal:' || doc_id) priorities WITHIN EACH source — the
+    source-balanced curation draw (equal representation regardless of
+    source size), deterministic and replayable like reservoir_sample.
+
+    Scale shape: :func:`upton_ray.shuffle.grouped_top_n` — per-block
+    combiner keeps each source's local top-k, so at most k x |sources|
+    rows per block shuffle through ONE source-keyed exchange where the
+    exact rank attaches.  Output: (source, doc_id, rank)."""
+    from upton_ray.shuffle import grouped_top_n
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"], "doc_id": b["doc_id"],
+            "skey": pa.array(_md5_hex([f"bal:{i}" for i in ids]),
+                             pa.string())})
+
+    out = grouped_top_n(
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(key, batch_format="pyarrow", batch_size=None),
+        ["source"], [("skey", "ascending"), ("doc_id", "ascending")],
+        per_source, rn_col="rank")
+    parts = [t for t in ray.get(out.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).select(["source", "doc_id", "rank"]) \
+        .sort_by([("source", "ascending"), ("rank", "ascending")])

@@ -327,7 +327,8 @@ def grouped_top_n(ds, group_cols, sort_keys, n: int,
     def final(t: pa.Table) -> pa.Table:
         return _first_n_per_group(t, group_cols, sort_keys, n, rn_col)
 
-    return hash_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+    return hash_reduce(ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None),
                        group_cols, final, num_partitions=num_partitions)
 
 
@@ -366,7 +367,8 @@ def detect_hot_keys(ds, key: str, threshold: float = 0.05,
         return pa.table({key: g[key], "count_all": g["count_all_sum"]})
 
     counts = pa.concat_tables(ray.get(hash_reduce(
-        ds.map_batches(partial, batch_format="pyarrow"), [key], reduce,
+        ds.map_batches(partial, batch_format="pyarrow",
+                    batch_size=None), [key], reduce,
         num_partitions=4).to_arrow_refs()))
     bar = threshold * total
     return counts.filter(pc.greater_equal(counts["count_all"], bar))[key] \
