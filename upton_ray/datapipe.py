@@ -61,12 +61,20 @@ NORM_RE = r"\s+"
 
 def _table(sf_dir: str, name: str, columns, **kw):
     # the test tables are ONE small parquet file -> one read block; split so
-    # downstream map_batches actually parallelizes. A real corpus (a
-    # DIRECTORY of part files, e.g. tools/datapipe_1m.py) gets no override —
-    # Ray's own parallelism heuristic is right when there are many files.
+    # downstream map_batches actually parallelizes.  A real corpus (a
+    # DIRECTORY of part files, e.g. tools/datapipe_1m.py) reads ONE BLOCK
+    # PER PART FILE: part files are written at bounded size, so block size
+    # stays bounded and parallelism grows with the data — whereas Ray's
+    # small-data heuristic would fragment a soak-sized corpus into its
+    # 200-block minimum (50k-row blocks at 10M rows), starving the
+    # per-block combiners and multiplying exchange fan-out (measured: the
+    # event-family soaks ran 2-4x slower on 200 fragments).
     path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):
-        return ray.data.read_parquet(path, columns=columns, **kw)
+        n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        return ray.data.read_parquet(path, columns=columns,
+                                     override_num_blocks=max(n_files, 1),
+                                     **kw)
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=8, **kw)
 
