@@ -345,6 +345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_pack": datapipe.span_pack,
         "media_phash_dedup": datapipe.media_phash_dedup,
         "balanced_sample": datapipe.balanced_sample,
+        "token_entropy": datapipe.token_entropy,
+        "time_decay_score": datapipe.time_decay_score,
+        "user_path": datapipe.user_path,
+        "pmi_bigrams": datapipe.pmi_bigrams,
     }
     return q
 
@@ -1476,6 +1480,59 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN md USING (event_type)
         WHERE d.dev > 3 * md.mad
         ORDER BY d.event_id
+    """
+    sql["token_entropy"] = f"""
+        WITH t AS (SELECT doc_id,
+                          unnest(string_split({_NORM}, ' ')) AS term
+                   FROM documents),
+        c AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+              FROM t GROUP BY 1, 2),
+        n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+        SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+               round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
+        FROM c JOIN n USING (doc_id)
+        GROUP BY c.doc_id, n.n
+    """
+    sql["time_decay_score"] = """
+        WITH mx AS (SELECT max(ts) AS t_max FROM events)
+        SELECT user_id,
+               round(sum(value * exp(-(epoch(t_max) - epoch(ts))
+                                     / (7.0 * 86400.0))), 6)
+                 AS decay_score
+        FROM events, mx GROUP BY user_id
+    """
+    sql["user_path"] = """
+        WITH o AS (SELECT user_id,
+                          list(event_type ORDER BY ts, event_id) AS evs
+                   FROM events GROUP BY 1)
+        SELECT user_id,
+               array_to_string(evs[1:10], '>') AS path,
+               CAST(least(len(evs), 10) AS BIGINT) AS n_path
+        FROM o
+    """
+    sql["pmi_bigrams"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        bi AS (
+          SELECT w[i] AS lw, w[i + 1] AS rw
+          FROM t, LATERAL (SELECT unnest(generate_series(
+                 1, CAST(len(w) AS INT) - 1)) AS i) g),
+        c12 AS (SELECT lw, rw, CAST(count(*) AS BIGINT) AS n
+                FROM bi GROUP BY 1, 2),
+        cl AS (SELECT lw, CAST(count(*) AS BIGINT) AS cl FROM bi GROUP BY 1),
+        cr AS (SELECT rw, CAST(count(*) AS BIGINT) AS cr FROM bi GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bi),
+        scored AS (
+          SELECT lw, rw, n,
+                 round(ln(n * b / (CAST(cl AS DOUBLE) * cr)), 6) AS pmi
+          FROM c12 JOIN cl USING (lw) JOIN cr USING (rw), tot
+          WHERE n >= 5)
+        SELECT CAST(row_number() OVER (ORDER BY pmi DESC, lw, rw)
+                    AS BIGINT) AS rank,
+               lw, rw, n, pmi
+        FROM scored
+        ORDER BY pmi DESC, lw, rw
+        LIMIT 50
     """
     sql.update(_fixture_goldens())
     return sql

@@ -329,6 +329,12 @@ def main():
         timed(datapipe.media_phash_dedup, SF_DIR), 3)
     queries["balanced_sample"] = round(
         timed(datapipe.balanced_sample, SF_DIR), 3)
+    queries["token_entropy"] = round(
+        timed(datapipe.token_entropy, SF_DIR), 3)
+    queries["time_decay_score"] = round(
+        timed(datapipe.time_decay_score, SF_DIR), 3)
+    queries["user_path"] = round(timed(datapipe.user_path, SF_DIR), 3)
+    queries["pmi_bigrams"] = round(timed(datapipe.pmi_bigrams, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

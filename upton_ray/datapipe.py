@@ -5615,3 +5615,298 @@ def balanced_sample(sf_dir: str, per_source: int = 25):
                          "rank": pa.array([], pa.int64())})
     return pa.concat_tables(parts).select(["source", "doc_id", "rank"]) \
         .sort_by([("source", "ascending"), ("rank", "ascending")])
+
+
+# -------------------------------------------------- round-4c analysis ops
+
+
+def token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy (nats) of the doc's token distribution —
+    the third lexical quality signal next to :func:`type_token_ratio` and
+    :func:`unigram_logprob`.  A doc's tokens never leave their batch: one
+    Arrow explode, one per-(doc, term) group count, then a reduceat fold
+    to -sum(p ln p) per doc.  No shuffle at all, so it streams at any
+    corpus size.
+
+    Tokenization matches type_token_ratio's str-split contract: an
+    empty/whitespace-only doc splits to the single '' token (entropy 0),
+    so the DuckDB oracle (string_split, no filter) agrees on every doc.
+
+    Output: (doc_id, n_tokens, entropy[round 6])."""
+
+    def f(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "entropy": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(_norm_text(texts), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(
+                np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                pa.int64()),
+            "term": pc.list_flatten(toks)})
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        if g.num_rows == 0:
+            return empty
+        dids = g["doc_id"].to_numpy(zero_copy_only=False)
+        cnts = g["count_all"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        order = np.argsort(dids, kind="stable")
+        dids, cnts = dids[order], cnts[order]
+        starts = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1]])
+        seg = np.cumsum(np.r_[False, dids[1:] != dids[:-1]])
+        totals = np.add.reduceat(cnts, starts)
+        p = cnts / totals[seg]
+        ent = np.add.reduceat(-p * np.log(p), starts)
+        return pa.table({
+            "doc_id": pa.array(dids[starts], pa.int64()),
+            "n_tokens": pa.array(totals.astype(np.int64), pa.int64()),
+            "entropy": pa.array(np.round(ent, 6), pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def time_decay_score(sf_dir: str, tau_days: float = 7.0):
+    """Recency-weighted per-user engagement:
+    ``sum(value * exp(-(T - ts)/tau))`` with ``T`` = corpus max timestamp
+    and ``tau`` = ``tau_days`` days — the standard exponential-decay
+    activity score for freshness-weighted user/host prioritisation.
+
+    Scale shape: two column-pruned passes.  Pass 1 reads ONLY ``ts`` and
+    folds a global max (one scalar per block — the unavoidable barrier:
+    the weight of every row depends on T).  Pass 2 computes per-batch
+    per-user partial sums (weights vectorized in numpy) and meets in ONE
+    user-keyed hash_reduce.  No row ever carries more than
+    (user_id, partial) through the exchange.
+
+    Output: (user_id, decay_score[round 6])."""
+    tau_s = tau_days * 86400.0
+    tmax = np.datetime64(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts"]).max("ts"), "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        dt_s = (tmax - ts).astype("timedelta64[us]").astype(
+            np.int64) / 1e6
+        w = b["value"].to_numpy(zero_copy_only=False) * np.exp(-dt_s / tau_s)
+        g = pa.table({"user_id": b["user_id"],
+                      "s": pa.array(w, pa.float64())}) \
+            .group_by("user_id").aggregate([("s", "sum")])
+        return pa.table({"user_id": g["user_id"], "s": g["s_sum"]})
+
+    def reduce(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "decay_score": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        g = t.group_by("user_id").aggregate([("s", "sum")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "decay_score": pc.round(g["s_sum"], ndigits=6)})
+
+    rows = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow")
+    return _hash_reduce(rows, ["user_id"], reduce)
+
+
+def user_path(sf_dir: str, k: int = 10, *, num_blocks: int = 8):
+    """First-``k`` event-type path per user, '>'-joined in (ts, event_id)
+    order — the session-journey string behind funnel mining and behavioral
+    clustering.  Shape: the same ONE global sort + vectorized per-block
+    sweep + tiny edge-user residual as :func:`sessionize` (a web-scale
+    log has ~10^9 users; a per-user ``map_groups`` call is a Python call
+    per group).  The path build is fully vectorized: per-segment ranks
+    from a flatnonzero/cumsum sweep, one Arrow filter, one
+    ``ListArray.from_arrays`` + ``binary_join``.
+
+    Output: (user_id, path, n_path) with n_path = min(#events, k)."""
+
+    def _paths_vec(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string()),
+                             "n_path": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        start_mask = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(start_mask)
+        seg = np.cumsum(start_mask) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        keep = rank < k
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        kept = et.filter(pa.array(keep))
+        cnt = np.bincount(seg[keep], minlength=len(starts))
+        offsets = np.r_[0, np.cumsum(cnt)].astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "path": pc.binary_join(la, ">"),
+            "n_path": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    # num_blocks is the block-boundary torture hook (see sessionize)
+    srt = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        override_num_blocks=num_blocks) \
+        .sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _user_bounds(b: pa.Table):
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= u[1:] != u[:-1]
+        return np.flatnonzero(change), n
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _paths_vec(b)
+        bounds, _ = _user_bounds(b)
+        lo, hi = bounds[1], bounds[-2]
+        if lo >= hi:
+            return _paths_vec(b.slice(0, 0))
+        return _paths_vec(b.slice(lo, hi - lo))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _user_bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual(group: pa.Table) -> pa.Table:
+        return _paths_vec(group.sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]))
+
+    return srt.map_batches(interior, batch_format="pyarrow",
+                           batch_size=None).union(
+        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
+           .groupby("user_id").map_groups(residual, batch_format="pyarrow"))
+
+
+def pmi_bigrams(sf_dir: str, k: int = 50, min_count: int = 5):
+    """Corpus-level top-``k`` collocations by pointwise mutual information:
+    PMI(l, r) = ln(c12 * B / (cl * cr)) over bigram occurrences (B = total
+    bigrams, cl/cr = left/right marginals), keeping only bigrams with
+    c12 >= ``min_count`` — the classic collocation-mining signal.
+
+    Scale shape (both corpus-sized tables co-partitioned, never
+    broadcast): per-batch (lw, rw) partial counts -> ONE lw-keyed
+    hash_reduce gives exact c12 AND the left marginal cl from the same
+    partition (every occurrence of l lands there) -> ONE rw-keyed
+    hash_reduce computes the right marginal cr the same way and scores
+    PMI locally, keeping its partition's top-k.  B is folded from P
+    per-partition ints.  The driver only ever merges P x k rows.
+
+    Ordering contract (shared with the oracle): pmi is ROUNDED to 6
+    before ranking, ties broken by (lw, rw) — so rank is deterministic
+    even when raw PMIs differ below the rounding grid.
+
+    Output: (rank, lw, rw, n, pmi)."""
+
+    def batch_bigrams(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lw": pa.array([], pa.string()),
+                          "rw": pa.array([], pa.string()),
+                          "occ": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        texts = _norm_text(b["text"])
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, pattern=" ")
+        raw_lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens = np.where(
+            pc.equal(texts, "").to_numpy(zero_copy_only=False), 0, raw_lens)
+        flat = toks.flatten()
+        start = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(raw_lens, out=start[1:])
+        n_bi = np.maximum(lens - 1, 0)
+        total = int(n_bi.sum())
+        if total == 0:
+            return empty
+        di = np.repeat(np.arange(len(lens), dtype=np.int64), n_bi)
+        bi0 = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(n_bi, out=bi0[1:])
+        pos = np.arange(total, dtype=np.int64) - bi0[di] + start[di]
+        g = pa.table({
+            "lw": flat.take(pa.array(pos, pa.int64())),
+            "rw": flat.take(pa.array(pos + 1, pa.int64())),
+        }).group_by(["lw", "rw"]).aggregate([([], "count_all")])
+        return pa.table({"lw": g["lw"], "rw": g["rw"],
+                         "occ": pc.cast(g["count_all"], pa.int64())})
+
+    def per_left(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lw": pa.array([], pa.string()),
+                          "rw": pa.array([], pa.string()),
+                          "c12": pa.array([], pa.int64()),
+                          "cl": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "lw" not in t.column_names:
+            return empty
+        g = t.group_by(["lw", "rw"]).aggregate([("occ", "sum")])
+        df = g.to_pandas()
+        cl = df.groupby("lw", sort=False)["occ_sum"].transform("sum")
+        return pa.table({"lw": pa.array(df["lw"], pa.string()),
+                         "rw": pa.array(df["rw"], pa.string()),
+                         "c12": pa.array(df["occ_sum"], pa.int64()),
+                         "cl": pa.array(cl, pa.int64())})
+
+    red1 = _hash_reduce(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            batch_bigrams, batch_format="pyarrow"),
+        ["lw"], per_left, num_partitions=None).materialize()
+    total_b = float(red1.sum("c12") or 0)
+
+    def per_right(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lw": pa.array([], pa.string()),
+                          "rw": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "pmi": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "rw" not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        cr = df.groupby("rw", sort=False)["c12"].transform("sum")
+        c12 = df["c12"].to_numpy(dtype=np.float64)
+        pmi = np.round(np.log(
+            c12 * total_b
+            / (df["cl"].to_numpy(dtype=np.float64)
+               * cr.to_numpy(dtype=np.float64))), 6)
+        out = pa.table({"lw": pa.array(df["lw"], pa.string()),
+                        "rw": pa.array(df["rw"], pa.string()),
+                        "n": pa.array(df["c12"], pa.int64()),
+                        "pmi": pa.array(pmi, pa.float64())})
+        out = out.filter(pc.greater_equal(out["n"], min_count))
+        return out.sort_by([("pmi", "descending"), ("lw", "ascending"),
+                            ("rw", "ascending")]).slice(0, k)
+
+    parts = [t for t in ray.get(
+        _hash_reduce(red1, ["rw"], per_right).to_arrow_refs())
+        if t.num_rows > 0]
+    if not parts:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "lw": pa.array([], pa.string()),
+                         "rw": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    top = pa.concat_tables(parts).sort_by(
+        [("pmi", "descending"), ("lw", "ascending"),
+         ("rw", "ascending")]).slice(0, k)
+    return pa.table({
+        "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64),
+                         pa.int64()),
+        "lw": top["lw"], "rw": top["rw"], "n": top["n"],
+        "pmi": top["pmi"]})
