@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_decay_score": datapipe.time_decay_score,
         "user_path": datapipe.user_path,
         "pmi_bigrams": datapipe.pmi_bigrams,
+        "dsir_select": datapipe.dsir_select,
     }
     return q
 
@@ -1533,6 +1534,31 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         ORDER BY pmi DESC, lw, rw
         LIMIT 50
+    """
+    sql["dsir_select"] = f"""
+        WITH tok AS (SELECT doc_id, source,
+                            unnest(string_split({_NORM}, ' ')) AS term
+                     FROM documents),
+        tgt AS (SELECT min(source) AS s FROM documents),
+        fc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_f
+               FROM tok GROUP BY 1),
+        tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_t
+               FROM tok, tgt WHERE source = tgt.s GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS t_full,
+                     CAST(count(*) FILTER (source = (SELECT s FROM tgt))
+                          AS DOUBLE) AS t_tgt,
+                     CAST(count(DISTINCT term) AS DOUBLE) AS v
+              FROM tok),
+        lr AS (SELECT fc.term,
+                      ln((COALESCE(tc.c_t, 0) + 1.0) / (g.t_tgt + g.v))
+                      - ln((fc.c_f + 1.0) / (g.t_full + g.v)) AS lr
+               FROM fc LEFT JOIN tc USING (term), g),
+        s AS (SELECT tok.doc_id, round(sum(lr.lr), 6) AS score
+              FROM tok JOIN lr USING (term) GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, score
+        FROM s ORDER BY score DESC, doc_id LIMIT 500
     """
     sql.update(_fixture_goldens())
     return sql

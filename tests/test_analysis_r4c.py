@@ -150,3 +150,28 @@ def test_pmi_bigrams_planted_collocation(ray_session, tmp_path):
     np.testing.assert_allclose(got["pmi"], want["pmi"], atol=1e-9)
     assert ("rare", "pair") not in set(zip(got["lw"], got["rw"]))
     assert ("ice", "cream") in set(zip(got["lw"], got["rw"]))
+
+
+def test_dsir_select_ranks_target_like_docs(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from upton_ray import datapipe
+
+    # target domain = min(source) = "a_med": medical-jargon docs; the
+    # out-of-domain docs that borrow the jargon must outrank the ones
+    # that don't, and the whole frame must match the oracle (empty doc
+    # included — the '' token rides both LMs)
+    texts = (["dose renal dose hepatic trial" for _ in range(4)]
+             + ["the cat sat on the mat"] * 3
+             + ["renal dose of the day"]        # web doc w/ jargon
+             + [""])                            # empty doc
+    srcs = ["a_med"] * 4 + ["b_web"] * 5
+    _write_docs(tmp_path, list(range(len(texts))), texts=texts,
+                sources=srcs)
+    got = datapipe.dsir_select(str(tmp_path)).to_pandas()
+    con = _con(tmp_path)
+    want = con.sql(e.oracle_sql()["dsir_select"]).df()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], atol=1e-9)
+    r = got.set_index("doc_id")["rank"]
+    assert r[7] < r[4], "jargon-bearing web doc must outrank plain web"

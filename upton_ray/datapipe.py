@@ -5910,3 +5910,132 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_count: int = 5):
                          pa.int64()),
         "lw": top["lw"], "rw": top["rw"], "n": top["n"],
         "pmi": top["pmi"]})
+
+
+def dsir_select(sf_dir: str, k: int = 500):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) reduced to its deterministic core: score every doc
+    by its unigram log-likelihood RATIO under a target-domain LM vs the
+    whole-corpus LM (both Laplace +1 smoothed over the corpus vocabulary
+    V), and keep the top-``k`` — the standard "select pretraining data
+    that looks like the target domain" primitive.  The target domain is
+    the lexicographically smallest ``source`` (corpus-agnostic and
+    replayable; real callers pass a curated target set the same way).
+
+    Scale shape: ONE term-keyed exchange computes, per term, the corpus
+    count AND the target count (all occurrences of a term land in one
+    partition, and each row carries its doc's is-target flag as a
+    pre-combined occ_tgt column) — the numerator and denominator LMs come
+    out of the same exchange, as in :func:`bigram_logprob`.  The three
+    global scalars (total tokens, target tokens, |V|) ride out of that
+    exchange as ONE sentinel row per partition (terms never straddle
+    partitions, so per-partition distinct-term counts sum exactly).  A
+    second doc-keyed exchange folds per-doc scores and keeps its
+    partition's top-k; the driver merges P x k rows.  No corpus-sized
+    state ever broadcasts or lands on the driver.
+
+    Ordering contract (shared with the oracle): score ROUNDED to 6, ties
+    by doc_id.  Output: (rank, doc_id, score)."""
+    tgt = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["source"]).min("source")
+
+    def explode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "occ": pa.array([], pa.int64()),
+                          "occ_tgt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(_norm_text(texts), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        is_tgt = pc.equal(b["source"], tgt).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(
+                np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                pa.int64()),
+            "term": pc.list_flatten(toks),
+            "w_tgt": pa.array(
+                np.repeat(is_tgt.astype(np.int64), n_per), pa.int64())})
+        g = t.group_by(["doc_id", "term"]).aggregate(
+            [([], "count_all"), ("w_tgt", "sum")])
+        return pa.table({
+            "doc_id": g["doc_id"], "term": g["term"],
+            "occ": pc.cast(g["count_all"], pa.int64()),
+            "occ_tgt": pc.cast(g["w_tgt_sum"], pa.int64())})
+
+    def per_term(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "occ": pa.array([], pa.int64()),
+                          "c_t": pa.array([], pa.int64()),
+                          "c_f": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return empty
+        g = t.group_by(["doc_id", "term"]).aggregate(
+            [("occ", "sum"), ("occ_tgt", "sum")])
+        df = g.to_pandas()
+        c_f = df.groupby("term", sort=False)["occ_sum"].transform("sum")
+        c_t = df.groupby("term", sort=False)["occ_tgt_sum"].transform("sum")
+        # sentinel row (doc_id -1): this partition's (|V|, T_tgt, T_full)
+        # — terms are partitioned BY term, so these sum exactly across
+        # partitions on the driver
+        return pa.table({
+            "doc_id": pa.array(
+                np.r_[df["doc_id"].to_numpy(), -1], pa.int64()),
+            "occ": pa.array(
+                np.r_[df["occ_sum"].to_numpy(), df["term"].nunique()],
+                pa.int64()),
+            "c_t": pa.array(
+                np.r_[c_t.to_numpy(), df["occ_tgt_sum"].sum()], pa.int64()),
+            "c_f": pa.array(
+                np.r_[c_f.to_numpy(), df["occ_sum"].sum()], pa.int64())})
+
+    red1 = _hash_reduce(
+        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            explode, batch_format="pyarrow"),
+        ["term"], per_term, num_partitions=None).materialize()
+    sent = red1.map_batches(
+        lambda b: b.filter(pc.equal(b["doc_id"], -1)),
+        batch_format="pyarrow").to_pandas()
+    v_total = float(sent["occ"].sum())
+    t_tgt = float(sent["c_t"].sum())
+    t_full = float(sent["c_f"].sum())
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        t = t.filter(pc.not_equal(t["doc_id"], -1))
+        if t.num_rows == 0:
+            return empty
+        lr = (np.log((t["c_t"].to_numpy(zero_copy_only=False) + 1.0)
+                     / (t_tgt + v_total))
+              - np.log((t["c_f"].to_numpy(zero_copy_only=False) + 1.0)
+                       / (t_full + v_total)))
+        g = pa.table({
+            "doc_id": t["doc_id"],
+            "s": pa.array(
+                t["occ"].to_numpy(zero_copy_only=False) * lr,
+                pa.float64())}).group_by("doc_id").aggregate([("s", "sum")])
+        out = pa.table({
+            "doc_id": g["doc_id"],
+            "score": pc.round(g["s_sum"], ndigits=6)})
+        return out.sort_by([("score", "descending"),
+                            ("doc_id", "ascending")]).slice(0, k)
+
+    parts = [t for t in ray.get(
+        _hash_reduce(red1, ["doc_id"], per_doc).to_arrow_refs())
+        if t.num_rows > 0]
+    if not parts:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    top = pa.concat_tables(parts).sort_by(
+        [("score", "descending"), ("doc_id", "ascending")]).slice(0, k)
+    return pa.table({
+        "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64),
+                         pa.int64()),
+        "doc_id": top["doc_id"], "score": top["score"]})
