@@ -5804,13 +5804,18 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_count: int = 5):
     bigrams, cl/cr = left/right marginals), keeping only bigrams with
     c12 >= ``min_count`` — the classic collocation-mining signal.
 
-    Scale shape (both corpus-sized tables co-partitioned, never
-    broadcast): per-batch (lw, rw) partial counts -> ONE lw-keyed
+    Scale shape: per-batch (lw, rw) partial counts -> ONE lw-keyed
     hash_reduce gives exact c12 AND the left marginal cl from the same
-    partition (every occurrence of l lands there) -> ONE rw-keyed
-    hash_reduce computes the right marginal cr the same way and scores
-    PMI locally, keeping its partition's top-k.  B is folded from P
-    per-partition ints.  The driver only ever merges P x k rows.
+    partition (every occurrence of l lands there); candidates are
+    min_count-filtered INSIDE that partition, so only qualifying pairs
+    ever leave it.  The right marginal is pre-combined per partition
+    (vocab-bounded rows), folded exact through a tiny rw-keyed exchange,
+    and BROADCAST (ray.put, sorted arrays + searchsorted) into a scoring
+    pass over the filtered pairs — the vocab-sized unigram table is the
+    classic broadcastable small side (1e8-term vocab ~ 2 GB), vs the
+    corpus-sized pair table the first version re-exchanged (310 s -> see
+    BASELINE at the 1M soak).  B folds from the marginal table.  Each
+    scoring block keeps top-k; the driver merges blocks x k rows.
 
     Ordering contract (shared with the oracle): pmi is ROUNDED to 6
     before ranking, ties broken by (lw, rw) — so rank is deterministic
@@ -5851,6 +5856,16 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_count: int = 5):
                          "occ": pc.cast(g["count_all"], pa.int64())})
 
     def per_left(t: pa.Table) -> pa.Table:
+        """Exact per-(lw, rw) counts for this lw-partition, TWO row kinds
+        in one output (hash_reduce emits one table):
+
+        - pair rows, pre-filtered to c12 >= min_count — only candidates
+          ever leave the partition (on a Zipf corpus this collapses the
+          pair table 10-100x; on the uniform soak corpus ~10^4x);
+        - right-marginal partials (one row per distinct rw, cl = -1
+          sentinel): the UNFILTERED per-rw occurrence sums the PMI
+          denominator needs, vocab-bounded per partition.
+        """
         empty = pa.table({"lw": pa.array([], pa.string()),
                           "rw": pa.array([], pa.string()),
                           "c12": pa.array([], pa.int64()),
@@ -5860,41 +5875,80 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_count: int = 5):
         g = t.group_by(["lw", "rw"]).aggregate([("occ", "sum")])
         df = g.to_pandas()
         cl = df.groupby("lw", sort=False)["occ_sum"].transform("sum")
-        return pa.table({"lw": pa.array(df["lw"], pa.string()),
-                         "rw": pa.array(df["rw"], pa.string()),
-                         "c12": pa.array(df["occ_sum"], pa.int64()),
-                         "cl": pa.array(cl, pa.int64())})
+        pairs = pa.table({"lw": pa.array(df["lw"], pa.string()),
+                          "rw": pa.array(df["rw"], pa.string()),
+                          "c12": pa.array(df["occ_sum"], pa.int64()),
+                          "cl": pa.array(cl, pa.int64())})
+        pairs = pairs.filter(pc.greater_equal(pairs["c12"], min_count))
+        m = df.groupby("rw", sort=False, as_index=False)["occ_sum"].sum()
+        marg = pa.table({
+            "lw": pa.array([""] * len(m), pa.string()),
+            "rw": pa.array(m["rw"], pa.string()),
+            "c12": pa.array(m["occ_sum"], pa.int64()),
+            "cl": pa.array(np.full(len(m), -1), pa.int64())})
+        return pa.concat_tables([pairs, marg])
 
     red1 = _hash_reduce(
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
             batch_bigrams, batch_format="pyarrow"),
         ["lw"], per_left, num_partitions=None).materialize()
-    total_b = float(red1.sum("c12") or 0)
 
-    def per_right(t: pa.Table) -> pa.Table:
+    # fold the per-partition rw partials to the exact vocab-sized marginal
+    # table (tiny exchange: P x |vocab| in, |vocab| out); its sum is B
+    def marg_rows(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(b["cl"], -1))
+        return pa.table({"rw": m["rw"], "cr": m["c12"]})
+
+    def fold_cr(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rw" not in t.column_names:
+            return pa.table({"rw": pa.array([], pa.string()),
+                             "cr": pa.array([], pa.int64())})
+        g = t.group_by("rw").aggregate([("cr", "sum")])
+        return pa.table({"rw": g["rw"],
+                         "cr": pc.cast(g["cr_sum"], pa.int64())})
+
+    cr_ds = _hash_reduce(red1.map_batches(marg_rows, batch_format="pyarrow"),
+                         ["rw"], fold_cr)
+    cr_parts = [t for t in ray.get(cr_ds.to_arrow_refs()) if t.num_rows > 0]
+    if not cr_parts:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "lw": pa.array([], pa.string()),
+                         "rw": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    # the marginal table is vocab-sized — broadcastable far past any real
+    # tokenizer vocabulary (1e8 terms ~ 2 GB would be the cutoff; the
+    # filtered pair table is the small side long before that)
+    cr_tab = pa.concat_tables(cr_parts).sort_by([("rw", "ascending")])
+    total_b = float(pc.sum(cr_tab["cr"]).as_py() or 0)
+    cr_ref = ray.put((cr_tab["rw"].to_numpy(zero_copy_only=False),
+                      cr_tab["cr"].to_numpy(zero_copy_only=False)))
+
+    def score(b: pa.Table) -> pa.Table:
         empty = pa.table({"lw": pa.array([], pa.string()),
                           "rw": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64()),
                           "pmi": pa.array([], pa.float64())})
-        if t.num_rows == 0 or "rw" not in t.column_names:
+        p = b.filter(pc.not_equal(b["cl"], -1))
+        if p.num_rows == 0:
             return empty
-        df = t.to_pandas()
-        cr = df.groupby("rw", sort=False)["c12"].transform("sum")
-        c12 = df["c12"].to_numpy(dtype=np.float64)
+        vocab_sorted, counts_sorted = ray.get(cr_ref)
+        rws = p["rw"].to_numpy(zero_copy_only=False)
+        # every pair's rw exists in the marginals by construction
+        cr = counts_sorted[np.searchsorted(vocab_sorted, rws)]
         pmi = np.round(np.log(
-            c12 * total_b
-            / (df["cl"].to_numpy(dtype=np.float64)
-               * cr.to_numpy(dtype=np.float64))), 6)
-        out = pa.table({"lw": pa.array(df["lw"], pa.string()),
-                        "rw": pa.array(df["rw"], pa.string()),
-                        "n": pa.array(df["c12"], pa.int64()),
+            p["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * total_b
+            / (p["cl"].to_numpy(zero_copy_only=False).astype(np.float64)
+               * cr.astype(np.float64))), 6)
+        out = pa.table({"lw": p["lw"], "rw": p["rw"], "n": p["c12"],
                         "pmi": pa.array(pmi, pa.float64())})
-        out = out.filter(pc.greater_equal(out["n"], min_count))
         return out.sort_by([("pmi", "descending"), ("lw", "ascending"),
                             ("rw", "ascending")]).slice(0, k)
 
     parts = [t for t in ray.get(
-        _hash_reduce(red1, ["rw"], per_right).to_arrow_refs())
+        red1.map_batches(score, batch_format="pyarrow",
+                         batch_size=None).to_arrow_refs())
         if t.num_rows > 0]
     if not parts:
         return pa.table({"rank": pa.array([], pa.int64()),
