@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_path": datapipe.user_path,
         "pmi_bigrams": datapipe.pmi_bigrams,
         "dsir_select": datapipe.dsir_select,
+        "retention_cohorts": datapipe.retention_cohorts,
     }
     return q
 
@@ -1559,6 +1560,17 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS rank,
                doc_id, score
         FROM s ORDER BY score DESC, doc_id LIMIT 500
+    """
+    sql["retention_cohorts"] = """
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events),
+        c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+        SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(ud.day - c.cohort AS BIGINT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ud JOIN c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """
     sql.update(_fixture_goldens())
     return sql

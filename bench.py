@@ -336,6 +336,8 @@ def main():
     queries["user_path"] = round(timed(datapipe.user_path, SF_DIR), 3)
     queries["pmi_bigrams"] = round(timed(datapipe.pmi_bigrams, SF_DIR), 3)
     queries["dsir_select"] = round(timed(datapipe.dsir_select, SF_DIR), 3)
+    queries["retention_cohorts"] = round(
+        timed(datapipe.retention_cohorts, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

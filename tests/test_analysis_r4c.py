@@ -175,3 +175,31 @@ def test_dsir_select_ranks_target_like_docs(ray_session, tmp_path):
     np.testing.assert_allclose(got["score"], want["score"], atol=1e-9)
     r = got.set_index("doc_id")["rank"]
     assert r[7] < r[4], "jargon-bearing web doc must outrank plain web"
+
+
+def test_retention_cohorts_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from upton_ray import datapipe
+
+    # user 0: days 0,0,3,10 (dup same-day events collapse); user 1: one
+    # day only; users 2,3 share a later cohort; user 4 spans a month
+    # boundary (cohort Jan 30, return Feb 2 -> offset 3)
+    base = np.datetime64("2026-01-01T08:00:00", "us")
+    day = np.timedelta64(86400_000_000, "us")
+    users = [0, 0, 0, 0, 1, 2, 3, 3, 4, 4]
+    ts = [base, base + np.timedelta64(3600_000_000, "us"),  # same day twice
+          base + 3 * day, base + 10 * day,
+          base + 5 * day,
+          base + 2 * day, base + 2 * day, base + 4 * day,
+          base + 29 * day, base + 32 * day]
+    _write_events(tmp_path, users, ts=ts)
+    got = datapipe.retention_cohorts(str(tmp_path)).to_pandas()
+    con = _con(tmp_path, ("events",))
+    want = con.sql(e.oracle_sql()["retention_cohorts"]).df()
+    assert got["cohort_day"].tolist() == want["cohort_day"].tolist()
+    assert got["day_offset"].tolist() == want["day_offset"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    g = got.set_index(["cohort_day", "day_offset"])["n_users"]
+    assert g[("2026-01-01", 0)] == 1          # same-day dup collapsed
+    assert g[("2026-01-03", 0)] == 2          # shared cohort
+    assert g[("2026-01-30", 3)] == 1          # month-boundary offset

@@ -174,6 +174,54 @@ def main():
         np.testing.assert_allclose(pm.pmi, want.pmi, atol=1e-9)
         res["pmi_bigrams"]["verified"] = "planted+exact-vs-duckdb"
 
+    # ---- dsir_select: top-500 exact vs DuckDB at 1M docs (target domain
+    # = min(source) = src00, ~1/32 of the corpus)
+    t0 = time.time()
+    ds_sel = datapipe.dsir_select(docs).to_pandas()
+    dt = time.time() - t0
+    want = con.sql(f"""
+        WITH tok AS (SELECT doc_id, source,
+                            unnest(string_split({_NORM}, ' ')) AS term
+                     FROM read_parquet('{dglob}')),
+        tgt AS (SELECT min(source) AS s
+                FROM read_parquet('{dglob}')),
+        fc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_f
+               FROM tok GROUP BY 1),
+        tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_t
+               FROM tok, tgt WHERE source = tgt.s GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS t_full,
+                     CAST(count(*) FILTER (source = (SELECT s FROM tgt))
+                          AS DOUBLE) AS t_tgt,
+                     CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok),
+        lr AS (SELECT fc.term,
+                      ln((COALESCE(tc.c_t, 0) + 1.0) / (g.t_tgt + g.v))
+                      - ln((fc.c_f + 1.0) / (g.t_full + g.v)) AS lr
+               FROM fc LEFT JOIN tc USING (term), g),
+        s AS (SELECT tok.doc_id, round(sum(lr.lr), 6) AS score
+              FROM tok JOIN lr USING (term) GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank, doc_id, score
+        FROM s ORDER BY score DESC, doc_id LIMIT 520""").df()
+    # boundary-tolerant set compare: the rounded score sits on a 1e-6
+    # grid and this corpus packs ~1 doc per grid step near the cutoff, so
+    # engine-vs-engine last-ulp sum noise may flip docs whose TRUE scores
+    # straddle the rank-500 grid line; any disagreement must be confined
+    # to that band and every shared doc's score must agree exactly
+    cut = want.score.iloc[499]
+    gset, wset = set(ds_sel.doc_id), set(want.doc_id[:500])
+    sym = gset ^ wset
+    if sym:
+        band = set(want[(want.score - cut).abs() <= 2e-6].doc_id) | \
+            set(ds_sel[(ds_sel.score - cut).abs() <= 2e-6].doc_id)
+        assert sym <= band, f"dsir differs OUTSIDE cutoff band: {sym - band}"
+    m = ds_sel.merge(want, on="doc_id", suffixes=("_r", "_d"))
+    assert len(m) >= 498
+    np.testing.assert_allclose(m.score_r, m.score_d, atol=1e-5)
+    res["dsir_select"] = {"sec": round(dt, 2), "rows": len(ds_sel),
+                          "docs_per_sec": round(args.n_docs / dt, 1),
+                          "boundary_flips": len(sym),
+                          "verified": "exact-vs-duckdb-(cutoff-band)"}
+
     res["driver_peak_rss_mb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     print(json.dumps(res))

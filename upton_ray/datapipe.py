@@ -6065,6 +6065,12 @@ def dsir_select(sf_dir: str, k: int = 500):
         t = t.filter(pc.not_equal(t["doc_id"], -1))
         if t.num_rows == 0:
             return empty
+        # fixed fold order: the per-doc float sum is then identical run to
+        # run regardless of partition count / block arrival order (the
+        # rounded score sits on a 1e-6 grid; last-ulp noise at a grid
+        # boundary would otherwise flip top-k membership between runs)
+        t = t.sort_by([("doc_id", "ascending"), ("c_f", "ascending"),
+                       ("c_t", "ascending"), ("occ", "ascending")])
         lr = (np.log((t["c_t"].to_numpy(zero_copy_only=False) + 1.0)
                      / (t_tgt + v_total))
               - np.log((t["c_f"].to_numpy(zero_copy_only=False) + 1.0)
@@ -6093,3 +6099,79 @@ def dsir_select(sf_dir: str, k: int = 500):
         "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64),
                          pa.int64()),
         "doc_id": top["doc_id"], "score": top["score"]})
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort-retention matrix: users grouped by their first-seen day
+    (the cohort), counted per day-offset of later activity — the classic
+    growth-analytics rollup, and the canonical "needs the user's whole
+    history in one place" shape.
+
+    Scale shape: per-batch pre-combine to distinct (user, day) rows (a
+    user's activity days, not events, are what shuffles — bounded by the
+    calendar, not the log), then ONE user-keyed hash_reduce: each
+    partition holds every day of its users, so cohort = min(day) and the
+    per-(cohort, offset) user counts are exact partition-locally (a user
+    contributes once, from one partition).  The cell partials fold
+    through a calendar-sized second exchange (|days|^2 cells, KBs).
+
+    Output: (cohort_day 'YYYY-MM-DD', day_offset, n_users), sorted."""
+
+    def days(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.date32())})
+        t = pa.table({"user_id": b["user_id"],
+                      "day": b["ts"].cast(pa.date32())})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g
+
+    def per_user(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort": pa.array([], pa.date32()),
+                          "day_offset": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        g = t.group_by(["user_id", "day"]).aggregate([])  # cross-block dedup
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        u, d = u[order], d[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        cohort = np.minimum.reduceat(d, starts)
+        off = d - cohort[seg]
+        cells = pa.table({
+            "cohort_day": pa.array(np.datetime_as_string(
+                cohort[seg].astype("datetime64[D]")), pa.string()),
+            "day_offset": pa.array(off, pa.int64()),
+        }).group_by(["cohort_day", "day_offset"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"cohort_day": cells["cohort_day"],
+                         "day_offset": cells["day_offset"],
+                         "n": pc.cast(cells["count_all"], pa.int64())})
+
+    def fold_cells(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_day": pa.array([], pa.string()),
+                          "day_offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "cohort_day" not in t.column_names:
+            return empty
+        g = t.group_by(["cohort_day", "day_offset"]).aggregate([("n", "sum")])
+        return pa.table({
+            "cohort_day": g["cohort_day"],
+            "day_offset": g["day_offset"],
+            "n_users": pc.cast(g["n_sum"], pa.int64())})
+
+    rows = _events(sf_dir, ["user_id", "ts"]).map_batches(
+        days, batch_format="pyarrow")
+    cells = _hash_reduce(rows, ["user_id"], per_user)
+    out = _hash_reduce(cells, ["cohort_day", "day_offset"], fold_cells)
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows > 0]
+    if not parts:
+        return pa.table({"cohort_day": pa.array([], pa.string()),
+                         "day_offset": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by(
+        [("cohort_day", "ascending"), ("day_offset", "ascending")])
