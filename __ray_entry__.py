@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": datapipe.pmi_bigrams,
         "dsir_select": datapipe.dsir_select,
         "retention_cohorts": datapipe.retention_cohorts,
+        "running_total": datapipe.running_total,
+        "event_lag": datapipe.event_lag,
+        "first_last_touch": datapipe.first_last_touch,
     }
     return q
 
@@ -1571,6 +1574,34 @@ def oracle_sql() -> dict[str, str]:
         FROM ud JOIN c USING (user_id)
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """
+    sql["running_total"] = """
+        SELECT event_id, user_id,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_cents
+        FROM events
+    """
+    sql["event_lag"] = """
+        SELECT event_id, user_id,
+               datediff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+                        ts) AS gap_us
+        FROM events
+    """
+    sql["first_last_touch"] = """
+        WITH w AS (
+          SELECT user_id,
+                 first_value(event_type) OVER uw AS first_touch,
+                 last_value(event_type) OVER uw AS last_touch
+          FROM events
+          WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING))
+        SELECT user_id, first_touch, last_touch,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM w GROUP BY 1, 2, 3
     """
     sql.update(_fixture_goldens())
     return sql

@@ -338,6 +338,10 @@ def main():
     queries["dsir_select"] = round(timed(datapipe.dsir_select, SF_DIR), 3)
     queries["retention_cohorts"] = round(
         timed(datapipe.retention_cohorts, SF_DIR), 3)
+    queries["running_total"] = round(timed(datapipe.running_total, SF_DIR), 3)
+    queries["event_lag"] = round(timed(datapipe.event_lag, SF_DIR), 3)
+    queries["first_last_touch"] = round(
+        timed(datapipe.first_last_touch, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -6175,3 +6175,205 @@ def retention_cohorts(sf_dir: str):
                          "n_users": pa.array([], pa.int64())})
     return pa.concat_tables(parts).sort_by(
         [("cohort_day", "ascending"), ("day_offset", "ascending")])
+
+
+# ------------------------------------------- running windows / attribution
+
+
+def _sorted_user_sweep(sf_dir: str, columns, sweep_fn, *, num_blocks=8):
+    """Shared scaffold for per-user ordered window ops: ONE global sort by
+    (user_id, ts, event_id), a vectorized per-block sweep over the interior
+    (users fully contained in the block), and a tiny groupby residual for
+    the users straddling block boundaries — the :func:`sessionize` /
+    :func:`user_path` shape.  ``sweep_fn(table)`` must accept a table
+    already sorted by (ts, event_id) within each user run."""
+    srt = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns,
+        override_num_blocks=num_blocks) \
+        .sort(["user_id", "ts", "event_id"]).materialize()
+
+    def _user_bounds(b: pa.Table):
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        change = np.zeros(n + 1, dtype=bool)
+        change[0] = change[n] = True
+        change[1:n] |= u[1:] != u[:-1]
+        return np.flatnonzero(change), n
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sweep_fn(b)
+        bounds, _ = _user_bounds(b)
+        lo, hi = bounds[1], bounds[-2]
+        if lo >= hi:
+            return sweep_fn(b.slice(0, 0))
+        return sweep_fn(b.slice(lo, hi - lo))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        bounds, n = _user_bounds(b)
+        keep = np.zeros(n, dtype=bool)
+        keep[:bounds[1]] = True
+        keep[bounds[-2]:] = True
+        return b.filter(pa.array(keep))
+
+    def residual(group: pa.Table) -> pa.Table:
+        return sweep_fn(group.sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]))
+
+    return srt.map_batches(interior, batch_format="pyarrow",
+                           batch_size=None).union(
+        srt.map_batches(edge_rows, batch_format="pyarrow", batch_size=None)
+           .groupby("user_id").map_groups(residual, batch_format="pyarrow"))
+
+
+def running_total(sf_dir: str, *, num_blocks: int = 8):
+    """Per-event running spend per user (SUM ... OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) — the cumulative
+    window behind budget caps, LTV curves and pacing checks.  Sums are
+    carried as INTEGER CENTS (the ``value`` column is 2-dp money), so the
+    running sum is exact and engine-order-independent — a float cumsum
+    would differ from a segment-tree window sum in the last bits.
+
+    Scale shape: :func:`_sorted_user_sweep` — one global sort, vectorized
+    per-segment cumsum per block (global cumsum minus segment base), edge
+    users via the tiny residual groupby.  Output:
+    (event_id, user_id, run_cents)."""
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "run_cents": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        start_mask = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(start_mask)
+        seg = np.cumsum(start_mask) - 1
+        c = np.cumsum(cents)
+        run = c - (c[starts] - cents[starts])[seg]
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "run_cents": pa.array(run, pa.int64())})
+
+    return _sorted_user_sweep(sf_dir, ["event_id", "ts", "user_id", "value"],
+                              sweep, num_blocks=num_blocks)
+
+
+def event_lag(sf_dir: str, *, num_blocks: int = 8):
+    """Per-event gap to the user's PREVIOUS event in microseconds (LAG
+    window; null for each user's first event) — inter-arrival times, the
+    raw material of session gap tuning and burst detection.
+
+    Scale shape: :func:`_sorted_user_sweep`; the gap is one vectorized
+    int64 diff per block with segment starts masked null.  Output:
+    (event_id, user_id, gap_us[nullable])."""
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tsi = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        n = len(u)
+        start_mask = np.r_[True, u[1:] != u[:-1]]
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = tsi[1:] - tsi[:-1]
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "gap_us": pa.Array.from_pandas(gap, mask=start_mask,
+                                           type=pa.int64())})
+
+    return _sorted_user_sweep(sf_dir, ["event_id", "ts", "user_id"],
+                              sweep, num_blocks=num_blocks)
+
+
+def first_last_touch(sf_dir: str):
+    """Per-user first- and last-touch attribution: the event_type of the
+    user's first and last event by (ts, event_id), plus the user's event
+    count — the classic marketing-attribution / entry-exit-page rollup.
+
+    Scale shape: NO global sort — per-batch vectorized partials (one row
+    per user per block carrying first/last candidate + count) meet in ONE
+    user-keyed :func:`hash_reduce` fold; nothing but the per-user partial
+    rows ever crosses the exchange, so the op is a pure combiner shape
+    like :func:`time_decay_score`.  Output:
+    (user_id, first_touch, last_touch, n_events)."""
+    EMPTY = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "f_ts": pa.array([], pa.int64()),
+        "f_eid": pa.array([], pa.int64()),
+        "first_touch": pa.array([], pa.string()),
+        "l_ts": pa.array([], pa.int64()),
+        "l_eid": pa.array([], pa.int64()),
+        "last_touch": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return EMPTY
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        tsi = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsi, u))
+        u2, t2, e2 = u[order], tsi[order], eid[order]
+        start_mask = np.r_[True, u2[1:] != u2[:-1]]
+        starts = np.flatnonzero(start_mask)
+        ends = np.r_[starts[1:], len(u2)] - 1
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        cnt = np.diff(np.r_[starts, len(u2)]).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u2[starts], pa.int64()),
+            "f_ts": pa.array(t2[starts], pa.int64()),
+            "f_eid": pa.array(e2[starts], pa.int64()),
+            "first_touch": et.take(pa.array(order[starts])),
+            "l_ts": pa.array(t2[ends], pa.int64()),
+            "l_eid": pa.array(e2[ends], pa.int64()),
+            "last_touch": et.take(pa.array(order[ends])),
+            "n": pa.array(cnt, pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty_out = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "first_touch": pa.array([], pa.string()),
+            "last_touch": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty_out
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        # first per user = segment START of the (u, f_ts, f_eid) sort;
+        # last per user = segment END of the (u, l_ts, l_eid) sort; both
+        # enumerate users in the same ascending order, so columns align
+        forder = np.lexsort((t["f_eid"].to_numpy(zero_copy_only=False),
+                             t["f_ts"].to_numpy(zero_copy_only=False), u))
+        lorder = np.lexsort((t["l_eid"].to_numpy(zero_copy_only=False),
+                             t["l_ts"].to_numpy(zero_copy_only=False), u))
+        uf = u[forder]
+        start_mask = np.r_[True, uf[1:] != uf[:-1]]
+        starts = np.flatnonzero(start_mask)
+        ends = np.r_[starts[1:], len(uf)] - 1
+        ft = t["first_touch"]
+        lt = t["last_touch"]
+        if isinstance(ft, pa.ChunkedArray):
+            ft = ft.combine_chunks()
+        if isinstance(lt, pa.ChunkedArray):
+            lt = lt.combine_chunks()
+        g = pa.table({"user_id": t["user_id"], "n": t["n"]}) \
+            .group_by("user_id").aggregate([("n", "sum")]) \
+            .sort_by("user_id")
+        return pa.table({
+            "user_id": pa.array(uf[starts], pa.int64()),
+            "first_touch": ft.take(pa.array(forder[starts])),
+            "last_touch": lt.take(pa.array(lorder[ends])),
+            "n_events": pc.cast(g["n_sum"], pa.int64())})
+
+    rows = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _hash_reduce(rows, ["user_id"], fold)
