@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": datapipe.running_total,
         "event_lag": datapipe.event_lag,
         "first_last_touch": datapipe.first_last_touch,
+        "centroid_distance": datapipe.centroid_distance,
     }
     return q
 
@@ -1602,6 +1603,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, first_touch, last_touch,
                CAST(count(*) AS BIGINT) AS n_events
         FROM w GROUP BY 1, 2, 3
+    """
+    sql["centroid_distance"] = """
+        WITH u AS (SELECT vec_id, label,
+                          generate_subscripts(embedding, 1) AS d,
+                          unnest(embedding) AS x
+                   FROM embeddings),
+        c AS (SELECT label, d, avg(x) AS m FROM u GROUP BY 1, 2),
+        cv AS (SELECT label, list(m ORDER BY d) AS centroid
+               FROM c GROUP BY 1)
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(e.embedding, cv.centroid), 6)
+                 AS cos_sim
+        FROM embeddings e JOIN cv USING (label)
     """
     sql.update(_fixture_goldens())
     return sql

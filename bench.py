@@ -342,6 +342,8 @@ def main():
     queries["event_lag"] = round(timed(datapipe.event_lag, SF_DIR), 3)
     queries["first_last_touch"] = round(
         timed(datapipe.first_last_touch, SF_DIR), 3)
+    queries["centroid_distance"] = round(
+        timed(datapipe.centroid_distance, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -6377,3 +6377,65 @@ def first_last_touch(sf_dir: str):
     rows = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]) \
         .map_batches(partial, batch_format="pyarrow")
     return _hash_reduce(rows, ["user_id"], fold)
+
+
+def centroid_distance(sf_dir: str):
+    """Cosine of every vector to its LABEL's mean vector — the cluster-
+    coherence score behind embedding-space quality gates (drop vectors far
+    from their cluster) and label-noise detection.
+
+    Scale shape: pass 1 folds per-block (label, dim-sums, count) partials;
+    the label set is bounded (clusters, not rows), so each block emits a
+    labels x dim matrix and the driver fold touches only
+    blocks x labels rows — the same bounded-state argument as
+    :func:`_kmeans_cosine`.  Pass 2 broadcasts the centroid matrix once
+    (``ray.put``) and scores each batch with one vectorized gather +
+    row-dot — no shuffle anywhere.  Output: (vec_id, label, cos_sim)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        M = _emb_matrix(b)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(uniq), M.shape[1]), dtype=np.float64)
+        np.add.at(S, inv, M)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "sums": pa.array(list(S), pa.list_(pa.float64()))})
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+    parts = [t for t in ray.get(
+        emb.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows > 0]
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for t in parts:
+        labs = t["label"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        sums = t["sums"].combine_chunks() if isinstance(
+            t["sums"], pa.ChunkedArray) else t["sums"]
+        mat = sums.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(t.num_rows, -1)
+        for i, l in enumerate(labs):
+            s, c = agg.get(int(l), (0.0, 0))
+            agg[int(l)] = (s + mat[i], c + int(cnts[i]))
+    labels = np.array(sorted(agg), dtype=np.int64)
+    C = np.stack([agg[int(l)][0] / agg[int(l)][1] for l in labels])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    c_ref = ray.put((pos, Cn))
+
+    def score(b: pa.Table) -> pa.Table:
+        p, Cm = ray.get(c_ref)
+        M = _emb_matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        idx = np.fromiter((p[int(l)] for l in lab), dtype=np.int64,
+                          count=len(lab))
+        cos = np.einsum("ij,ij->i", Mn, Cm[idx])
+        return pa.table({"vec_id": b["vec_id"], "label": b["label"],
+                         "cos_sim": pc.round(
+                             pa.array(cos, pa.float64()), ndigits=6)})
+
+    return emb.map_batches(score, batch_format="pyarrow")
