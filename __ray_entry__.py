@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag": datapipe.event_lag,
         "first_last_touch": datapipe.first_last_touch,
         "centroid_distance": datapipe.centroid_distance,
+        "rolling_avg": datapipe.rolling_avg,
     }
     return q
 
@@ -1603,6 +1604,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, first_touch, last_touch,
                CAST(count(*) AS BIGINT) AS n_events
         FROM w GROUP BY 1, 2, 3
+    """
+    sql["rolling_avg"] = """
+        SELECT event_id, user_id,
+               round(AVG(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                 AS avg_cents
+        FROM events
     """
     sql["centroid_distance"] = """
         WITH u AS (SELECT vec_id, label,

@@ -116,3 +116,24 @@ def test_first_last_touch_folds_across_blocks(ray_session, tmp_path):
     assert got.set_index("user_id")["first_touch"][0] == "t0"
     assert got.set_index("user_id")["last_touch"][0] == f"t{n - 5}"
     assert got["n_events"].tolist() == [8] * 5
+
+
+def test_rolling_avg_window_clamp_and_blocks(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from upton_ray import datapipe
+
+    _torture_events(tmp_path)
+    con = _con(tmp_path, ("events",))
+    want = con.sql(e.oracle_sql()["rolling_avg"]).df() \
+        .sort_values("event_id").reset_index(drop=True)
+    for nb in (1, 16):
+        got = _collect(datapipe.rolling_avg(str(tmp_path), num_blocks=nb)) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        np.testing.assert_allclose(got["avg_cents"], want["avg_cents"],
+                                   atol=1e-9)
+    # a user's first event averages only itself (window clamps at start)
+    by_eid = got.set_index("event_id")["avg_cents"]
+    assert by_eid[0] == 7.0          # user 7's first value = 0.07 -> 7 cents
+    # 4th event of user 7 averages values 1..4 (0.07*(1+2+3+4)/4*100)
+    assert abs(by_eid[3] - 17.5) < 1e-9

@@ -6439,3 +6439,41 @@ def centroid_distance(sf_dir: str):
                              pa.array(cos, pa.float64()), ndigits=6)})
 
     return emb.map_batches(score, batch_format="pyarrow")
+
+
+def rolling_avg(sf_dir: str, window: int = 4, *, num_blocks: int = 8):
+    """Per-event moving average of spend over the user's last ``window``
+    events (AVG ... OVER (ROWS window-1 PRECEDING AND CURRENT ROW)) — the
+    smoothed-engagement signal behind anomaly gates and trend features.
+
+    Same exactness contract as :func:`running_total`: sums carried as
+    integer cents, so the windowed mean is (int64 sum / int count) — both
+    engines divide identical operands and the 6-dp round is stable.
+
+    Scale shape: :func:`_sorted_user_sweep`; the windowed sum is a
+    vectorized cumsum difference with the window clamped at each user's
+    segment start.  Output: (event_id, user_id, avg_cents)."""
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "avg_cents": pa.array([], pa.float64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        n = len(u)
+        start_mask = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(start_mask)
+        seg = np.cumsum(start_mask) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        cnt = np.minimum(rank + 1, window)
+        c0 = np.r_[np.int64(0), np.cumsum(cents)]
+        s = c0[np.arange(1, n + 1)] - c0[np.arange(n) - cnt + 1]
+        avg = np.round(s / cnt, 6)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "avg_cents": pa.array(avg, pa.float64())})
+
+    return _sorted_user_sweep(sf_dir, ["event_id", "ts", "user_id", "value"],
+                              sweep, num_blocks=num_blocks)
