@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_touch": datapipe.first_last_touch,
         "centroid_distance": datapipe.centroid_distance,
         "rolling_avg": datapipe.rolling_avg,
+        "ann_lsh": datapipe.ann_lsh,
     }
     return q
 

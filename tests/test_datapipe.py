@@ -143,7 +143,8 @@ def test_ann_recall_gate_pins_floors(ray_session):
     ANN entry clears its pinned floor, full-probe IVF is exactly 1.0, and
     the output table carries the measured numbers."""
     t = datapipe.ann_recall("/root/testdata/sf0.001").to_pandas()
-    assert len(t) == 5
+    assert len(t) == 6
+    assert "ann_lsh_16x10_probe1" in set(t["method"])
     assert (t["recall_at_k"] >= t["floor"]).all()
     full = t[t["method"] == "ann_ivf_full_probe"]
     assert full["recall_at_k"].iloc[0] == 1.0
