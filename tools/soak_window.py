@@ -96,6 +96,28 @@ def main():
                         "verified": "full frame exact (nulls + int64 gaps)"}
     del el, want, g, w
 
+    # ---- rolling_avg: full frame (int sum / int count => exact doubles)
+    t0 = time.time()
+    ra = datapipe.rolling_avg(events).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    dt = time.time() - t0
+    want = con.sql(f"""
+        SELECT event_id,
+               round(AVG(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                 AS avg_cents
+        FROM read_parquet('{eglob}')
+        ORDER BY event_id""").df()
+    assert len(ra) == len(want) == args.n_events
+    assert np.allclose(ra["avg_cents"].to_numpy(),
+                       want["avg_cents"].to_numpy(),
+                       rtol=0, atol=1e-9), "rolling_avg"
+    res["rolling_avg"] = {"sec": round(dt, 1),
+                          "rows_per_sec": round(args.n_events / dt),
+                          "verified": "full frame to 1e-9"}
+    del ra, want
+
     # ---- first_last_touch: all users byte-exact
     t0 = time.time()
     fl = datapipe.first_last_touch(events).to_pandas() \
