@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_distance": datapipe.centroid_distance,
         "rolling_avg": datapipe.rolling_avg,
         "ann_lsh": datapipe.ann_lsh,
+        "conversion_lag": datapipe.conversion_lag,
     }
     return q
 
@@ -1605,6 +1606,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, first_touch, last_touch,
                CAST(count(*) AS BIGINT) AS n_events
         FROM w GROUP BY 1, 2, 3
+    """
+    sql["conversion_lag"] = """
+        WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+                   WHERE event_type = 'signup' GROUP BY 1),
+        p AS (SELECT user_id, min(ts) AS p_ts FROM events
+              WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT s.user_id,
+               datediff('microsecond', s.s_ts, p.p_ts) AS lag_us
+        FROM s JOIN p USING (user_id)
     """
     sql["rolling_avg"] = """
         SELECT event_id, user_id,

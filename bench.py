@@ -346,6 +346,8 @@ def main():
         timed(datapipe.centroid_distance, SF_DIR), 3)
     queries["rolling_avg"] = round(timed(datapipe.rolling_avg, SF_DIR), 3)
     queries["ann_lsh"] = round(timed(datapipe.ann_lsh, SF_DIR), 3)
+    queries["conversion_lag"] = round(
+        timed(datapipe.conversion_lag, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

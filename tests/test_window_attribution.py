@@ -137,3 +137,32 @@ def test_rolling_avg_window_clamp_and_blocks(ray_session, tmp_path):
     assert by_eid[0] == 7.0          # user 7's first value = 0.07 -> 7 cents
     # 4th event of user 7 averages values 1..4 (0.07*(1+2+3+4)/4*100)
     assert abs(by_eid[3] - 17.5) < 1e-9
+
+
+def test_conversion_lag_first_pair_semantics(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from upton_ray import datapipe
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    sec = np.timedelta64(1_000_000, "us")
+    # u1: signup@0, purchase@5 (lag 5s); u2: purchase@2 only (excluded);
+    # u3: purchase@1 then signup@4 (NEGATIVE lag kept); u4: two signups,
+    # two purchases -> first of each (10 -> 12)
+    users = [1, 1, 2, 3, 3, 4, 4, 4, 4]
+    types = ["signup", "purchase", "purchase", "purchase", "signup",
+             "signup", "signup", "purchase", "purchase"]
+    offs = [0, 5, 2, 1, 4, 10, 11, 12, 13]
+    ts = [base + o * sec for o in offs]
+    _write_events(tmp_path, users, ts=ts, event_types=types)
+
+    got = _collect(datapipe.conversion_lag(str(tmp_path))) \
+        .sort_values("user_id").reset_index(drop=True)
+    con = _con(tmp_path, ("events",))
+    want = con.sql(e.oracle_sql()["conversion_lag"]).df() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == want["user_id"].tolist() == [1, 3, 4]
+    assert got["lag_us"].tolist() == want["lag_us"].tolist()
+    by_u = got.set_index("user_id")["lag_us"]
+    assert by_u[1] == 5_000_000
+    assert by_u[3] == -3_000_000
+    assert by_u[4] == 2_000_000

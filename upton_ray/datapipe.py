@@ -6560,3 +6560,56 @@ def ann_lsh(sf_dir: str, n_queries: int = 4, k: int = 10,
     df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]] \
         .reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def conversion_lag(sf_dir: str, from_type: str = "signup",
+                   to_type: str = "purchase"):
+    """Per-user time from FIRST ``from_type`` event to FIRST ``to_type``
+    event in microseconds (users having both; negative if the purchase
+    preceded the signup — both engines agree, no clamping) — the
+    conversion-latency metric behind funnel timing and cohort speed.
+
+    Scale shape: pure combiner like :func:`first_last_touch` — each block
+    emits at most two rows per user (per-type min ts); ONE user-keyed
+    hash_reduce folds mins and pivots the two types side by side.  Only
+    (user_id, type-bit, min_ts) ever crosses the exchange.  Output:
+    (user_id, lag_us)."""
+    EMPTY = pa.table({"user_id": pa.array([], pa.int64()),
+                      "is_to": pa.array([], pa.int8()),
+                      "min_ts": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        mask = pc.or_(pc.equal(et, from_type), pc.equal(et, to_type))
+        f = b.filter(mask)
+        if f.num_rows == 0:
+            return EMPTY
+        tsi = f["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        is_to = pc.cast(pc.equal(f["event_type"], to_type), pa.int8())
+        g = pa.table({"user_id": f["user_id"], "is_to": is_to,
+                      "min_ts": pa.array(tsi, pa.int64())}) \
+            .group_by(["user_id", "is_to"]).aggregate([("min_ts", "min")])
+        return pa.table({"user_id": g["user_id"], "is_to": g["is_to"],
+                         "min_ts": g["min_ts_min"]})
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty_out = pa.table({"user_id": pa.array([], pa.int64()),
+                              "lag_us": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty_out
+        g = t.group_by(["user_id", "is_to"]).aggregate([("min_ts", "min")])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["min_ts_min"].to_numpy(zero_copy_only=False)
+        bit = g["is_to"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bit, u))
+        u2, t2, b2 = u[order], ts[order], bit[order]
+        # a converting user contributes exactly (is_to=0, is_to=1) adjacent
+        both = (u2[:-1] == u2[1:]) & (b2[:-1] == 0) & (b2[1:] == 1)
+        i = np.flatnonzero(both)
+        return pa.table({"user_id": pa.array(u2[i], pa.int64()),
+                         "lag_us": pa.array(t2[i + 1] - t2[i], pa.int64())})
+
+    rows = _events(sf_dir, ["ts", "user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _hash_reduce(rows, ["user_id"], fold)
