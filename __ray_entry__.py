@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg": datapipe.rolling_avg,
         "ann_lsh": datapipe.ann_lsh,
         "conversion_lag": datapipe.conversion_lag,
+        "daily_active_users": datapipe.daily_active_users,
     }
     return q
 
@@ -1606,6 +1607,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, first_touch, last_touch,
                CAST(count(*) AS BIGINT) AS n_events
         FROM w GROUP BY 1, 2, 3
+    """
+    sql["daily_active_users"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1
     """
     sql["conversion_lag"] = """
         WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events

@@ -348,6 +348,8 @@ def main():
     queries["ann_lsh"] = round(timed(datapipe.ann_lsh, SF_DIR), 3)
     queries["conversion_lag"] = round(
         timed(datapipe.conversion_lag, SF_DIR), 3)
+    queries["daily_active_users"] = round(
+        timed(datapipe.daily_active_users, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -166,3 +166,27 @@ def test_conversion_lag_first_pair_semantics(ray_session, tmp_path):
     assert by_u[1] == 5_000_000
     assert by_u[3] == -3_000_000
     assert by_u[4] == 2_000_000
+
+
+def test_daily_active_users_distinct_per_day(ray_session, tmp_path):
+    import __ray_entry__ as e
+    from upton_ray import datapipe
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    # day 0: users 1,1,2 (DAU 2); day 1: user 1 at 00:00 and 23:59:59
+    # (counted once) + user 3 (DAU 2); day 2: user 2 (DAU 1)
+    users = [1, 1, 2, 1, 1, 3, 2]
+    ts = [base, base + np.timedelta64(1, "h"), base + np.timedelta64(2, "h"),
+          base + day, base + 2 * day - np.timedelta64(1_000_000, "us"),
+          base + day + np.timedelta64(5, "h"), base + 2 * day]
+    _write_events(tmp_path, users, ts=ts)
+
+    got = _collect(datapipe.daily_active_users(str(tmp_path))) \
+        .sort_values("day").reset_index(drop=True)
+    con = _con(tmp_path, ("events",))
+    want = con.sql(e.oracle_sql()["daily_active_users"]).df() \
+        .sort_values("day").reset_index(drop=True)
+    assert got["day"].tolist() == want["day"].tolist() \
+        == ["2026-01-01", "2026-01-02", "2026-01-03"]
+    assert got["n_users"].tolist() == want["n_users"].tolist() == [2, 2, 1]

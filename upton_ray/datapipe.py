@@ -6613,3 +6613,41 @@ def conversion_lag(sf_dir: str, from_type: str = "signup",
     rows = _events(sf_dir, ["ts", "user_id", "event_type"]) \
         .map_batches(partial, batch_format="pyarrow")
     return _hash_reduce(rows, ["user_id"], fold)
+
+
+def daily_active_users(sf_dir: str):
+    """Exact daily-active-users: COUNT(DISTINCT user_id) per calendar day —
+    the canonical engagement time series.  Same disjoint-partial shape as
+    :func:`distinct_by_type` with the day as the group key: per-block
+    dedup to (day, user_id) pairs, ONE pair-keyed hash_reduce (each pair
+    lands in exactly one partition, so per-partition day counts are
+    disjoint), driver sums P x |days| ints.  Output:
+    (day, n_users) sorted by day."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table({"day": day, "user_id": batch["user_id"]}) \
+            .group_by(["day", "user_id"]).aggregate([])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if "day" not in t.column_names or t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        d = t.group_by(["day", "user_id"]).aggregate([])
+        g = d.group_by("day").aggregate([([], "count_all")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+    red = _hash_reduce(ev.map_batches(pairs, batch_format="pyarrow",
+                                      batch_size=None),
+                       ["day", "user_id"], per_part)
+    parts = [t for t in ray.get(red.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"day": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64())})
+    g = pa.concat_tables(parts).group_by("day").aggregate([("n", "sum")])
+    return pa.table({"day": g["day"],
+                     "n_users": pc.cast(g["n_sum"], pa.int64())}) \
+        .sort_by([("day", "ascending")])
