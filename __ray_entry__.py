@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(116 queries, 107 oracle-checked; the nine approximate/iterative ops are
+(129 queries, 120 oracle-checked; the nine approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -360,6 +360,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": datapipe.ann_lsh,
         "conversion_lag": datapipe.conversion_lag,
         "daily_active_users": datapipe.daily_active_users,
+        # --- round 5 ---
+        "inter_event_stats": datapipe.inter_event_stats,
+        "readability_score": datapipe.readability_score,
+        "url_dedup": datapipe.url_dedup,
+        "triangle_count": datapipe.triangle_count,
+        "knn_graph": datapipe.knn_graph,
+        "ngram_containment": datapipe.ngram_containment,
+        "top_terms_per_lang": datapipe.top_terms_per_lang,
+        "rrf_fuse": datapipe.rrf_fuse,
+        "trailing_window_sum": datapipe.trailing_window_sum,
+        "host_share": datapipe.host_share,
+        "vocab_coverage": datapipe.vocab_coverage,
+        "degree_distribution": datapipe.degree_distribution,
+        "mix_weights": datapipe.mix_weights,
     }
     return _driver_rotate(q)
 
@@ -404,6 +418,8 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         # double can differ by ~1 ulp and a hash-equality gate could flag
         # it (ADVICE r4 item 1 — the pre-comparison 6dp round was dropped).
         "centroid_distance",
+        # libm pow + a |sources|-term float sum (documented in the op)
+        "mix_weights",
     ]
     prev_checked = [
         "crawl_documents", "crawl_basic", "crawl_list", "crawl_table",
@@ -1699,6 +1715,185 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
                  AS avg_cents
         FROM events
+    """
+    sql["inter_event_stats"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(min(gap) AS BIGINT) AS min_gap_us,
+               CAST(max(gap) AS BIGINT) AS max_gap_us,
+               CAST(sum(gap) AS DOUBLE) / count(gap) AS mean_gap_us
+        FROM g GROUP BY user_id HAVING count(gap) > 0
+    """
+    sql["readability_score"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]'))
+                   AS BIGINT) AS n_alnum,
+                 CAST(len(regexp_extract_all(text, '\S+'))
+                   AS BIGINT) AS n_words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS BIGINT) AS n_sentences
+          FROM documents)
+        SELECT doc_id, n_alnum, n_words, n_sentences,
+               CASE WHEN n_words = 0 THEN NULL
+                    ELSE 4.71 * (CAST(n_alnum AS DOUBLE) / n_words)
+                         + 0.5 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 21.43
+               END AS ari
+        FROM c
+    """
+    sql["url_dedup"] = """
+        SELECT 'http://www.' || lower(source) || '.test/Article/'
+               || (doc_id % 211) || '?a=1&b=2' AS canon,
+               CAST(min(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY 1
+    """
+    sql["triangle_count"] = """
+        WITH e AS (
+          SELECT d.doc_id AS a, d.doc_id + t.k AS b
+          FROM documents d, (VALUES (1), (2), (3)) t(k)
+          WHERE EXISTS (SELECT 1 FROM documents i
+                        WHERE i.doc_id = d.doc_id + t.k))
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+    sql["knn_graph"] = """
+        WITH p AS (
+          SELECT q.vec_id AS src_id, c.vec_id AS dst_id,
+                 list_cosine_similarity(q.embedding, c.embedding) AS sim
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+        r AS (SELECT src_id, dst_id,
+                     row_number() OVER (PARTITION BY src_id
+                                        ORDER BY sim DESC, dst_id) AS rk
+              FROM p)
+        SELECT src_id, dst_id, CAST(rk AS BIGINT) AS rank
+        FROM r WHERE rk <= 5
+    """
+    sql["ngram_containment"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(w) >= 3 THEN list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   WHEN array_to_string(w, ' ') = '' THEN []
+                   ELSE [array_to_string(w, ' ')] END) AS sh
+          FROM t),
+        b AS (SELECT DISTINCT unnest(sh) AS gram FROM s
+              WHERE doc_id % 211 = 0),
+        c AS (SELECT doc_id, unnest(sh) AS gram FROM s
+              WHERE doc_id % 211 <> 0),
+        h AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM c JOIN b USING (gram) GROUP BY c.doc_id)
+        SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_grams,
+               coalesce(h.n, 0) AS n_overlap,
+               CASE WHEN len(s.sh) = 0 THEN NULL
+                    ELSE CAST(coalesce(h.n, 0) AS DOUBLE) / len(s.sh)
+               END AS containment
+        FROM s LEFT JOIN h USING (doc_id)
+        WHERE s.doc_id % 211 <> 0
+    """
+    sql["top_terms_per_lang"] = f"""
+        WITH tok AS (SELECT lang, unnest(string_split({_NORM}, ' ')) AS term
+                     FROM documents),
+        t2 AS (SELECT lang, term, count(*) AS c FROM tok
+               WHERE term <> '' GROUP BY 1, 2),
+        r AS (SELECT lang, term, c,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY c DESC, term) AS rk
+              FROM t2)
+        SELECT lang, term, CAST(c AS BIGINT) AS n, CAST(rk AS BIGINT) AS rank
+        FROM r WHERE rk <= 5
+    """
+    sql["rrf_fuse"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS cs,
+                     list_inner_product(q.qe, e.embedding) AS ip
+              FROM q CROSS JOIN embeddings e),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cs DESC, vec_id) AS r1,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY ip DESC, vec_id) AS r2
+              FROM s),
+        f AS (SELECT query_id, vec_id,
+                     (CASE WHEN r1 <= 50 THEN 1.0 / (60 + r1) ELSE 0 END)
+                   + (CASE WHEN r2 <= 50 THEN 1.0 / (60 + r2) ELSE 0 END)
+                     AS score
+              FROM r WHERE r1 <= 50 OR r2 <= 50),
+        o AS (SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rk
+              FROM f)
+        SELECT CAST(query_id AS INT) AS query_id, vec_id, score,
+               CAST(rk AS BIGINT) AS rank
+        FROM o WHERE rk <= 10
+    """
+    sql["trailing_window_sum"] = """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING
+                         AND CURRENT ROW)
+                 AS BIGINT) AS win_cents
+        FROM events
+    """
+    sql["host_share"] = """
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        t AS (SELECT count(*) AS total FROM documents)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(n AS DOUBLE) / total AS share,
+               CAST(row_number() OVER (ORDER BY n DESC, source) AS BIGINT)
+                 AS rank
+        FROM c, t
+    """
+    sql["vocab_coverage"] = f"""
+        WITH tok AS (SELECT unnest(string_split({_NORM}, ' ')) AS term
+                     FROM documents),
+        t2 AS (SELECT term, count(*) AS c FROM tok
+               WHERE term <> '' GROUP BY 1),
+        r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk
+              FROM t2),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM t2)
+        SELECT CAST(n.top_n AS BIGINT) AS top_n,
+               CAST(sum(r.c) AS BIGINT) AS covered,
+               tot.s AS total,
+               CAST(sum(r.c) AS DOUBLE) / tot.s AS coverage
+        FROM (VALUES (100), (1000), (10000)) n(top_n)
+        JOIN r ON r.rk <= n.top_n CROSS JOIN tot
+        GROUP BY n.top_n, tot.s
+    """
+    sql["degree_distribution"] = """
+        WITH e AS (
+          SELECT d.doc_id AS a, d.doc_id + t.k AS b
+          FROM documents d, (VALUES (1), (2), (3)) t(k)
+          WHERE EXISTS (SELECT 1 FROM documents i
+                        WHERE i.doc_id = d.doc_id + t.k)),
+        deg AS (SELECT node, count(*) AS dg FROM (
+                  SELECT a AS node FROM e
+                  UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        alln AS (SELECT d.doc_id, coalesce(deg.dg, 0) AS dg
+                 FROM documents d LEFT JOIN deg ON deg.node = d.doc_id)
+        SELECT CAST(dg AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM alln GROUP BY 1
+    """
+    sql["mix_weights"] = """
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        p AS (SELECT source, n, power(CAST(n AS DOUBLE), 0.7) AS pw FROM c)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               pw / sum(pw) OVER () AS weight
+        FROM p
     """
     sql["centroid_distance"] = """
         WITH u AS (SELECT vec_id, label,

@@ -350,6 +350,19 @@ def main():
         timed(datapipe.conversion_lag, SF_DIR), 3)
     queries["daily_active_users"] = round(
         timed(datapipe.daily_active_users, SF_DIR), 3)
+    queries["inter_event_stats"] = round(
+        timed(datapipe.inter_event_stats, SF_DIR), 3)
+    queries["readability_score"] = round(
+        timed(datapipe.readability_score, SF_DIR), 3)
+    queries["url_dedup"] = round(timed(datapipe.url_dedup, SF_DIR), 3)
+    queries["triangle_count"] = round(
+        timed(datapipe.triangle_count, SF_DIR), 3)
+    queries["knn_graph"] = round(timed(datapipe.knn_graph, SF_DIR), 3)
+    queries["ngram_containment"] = round(
+        timed(datapipe.ngram_containment, SF_DIR), 3)
+    queries["top_terms_per_lang"] = round(
+        timed(datapipe.top_terms_per_lang, SF_DIR), 3)
+    queries["rrf_fuse"] = round(timed(datapipe.rrf_fuse, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

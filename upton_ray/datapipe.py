@@ -6687,3 +6687,748 @@ def daily_active_users(sf_dir: str):
     return pa.table({"day": g["day"],
                      "n_users": pc.cast(g["n_sum"], pa.int64())}) \
         .sort_by([("day", "ascending")])
+
+
+# ------------------------------------------------- round 5: new operators
+
+
+def inter_event_stats(sf_dir: str, *, num_blocks: int = 8):
+    """Per-user inter-arrival statistics: count / min / max / mean of the
+    gaps (microseconds) between the user's consecutive events — the
+    per-entity summary behind burst detection and session-gap tuning
+    (:func:`event_lag` is the per-event raw material; this is its rollup).
+
+    Scale shape: :func:`_sorted_user_sweep` — gaps and their per-user
+    aggregates are one vectorized pass per block via segment-keyed
+    np.minimum/maximum.reduceat; users straddling a block edge fall to the
+    scaffold's residual groupby.  Exactness: gaps are int64 µs, the mean is
+    one IEEE division (int64 sum / int64 count) so both engines divide
+    identical operands.  Users with a single event have no gap and are
+    dropped (matching the SQL HAVING).  Output:
+    (user_id, n_gaps, min_gap_us, max_gap_us, mean_gap_us)."""
+    EMPTY = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_gaps": pa.array([], pa.int64()),
+                      "min_gap_us": pa.array([], pa.int64()),
+                      "max_gap_us": pa.array([], pa.int64()),
+                      "mean_gap_us": pa.array([], pa.float64())})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return EMPTY
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tsi = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        n = len(u)
+        start = np.r_[True, u[1:] != u[:-1]]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = tsi[1:] - tsi[:-1]
+        is_gap = ~start                          # a row's gap to its prev
+        seg = np.cumsum(start) - 1               # user segment index
+        starts = np.flatnonzero(start)
+        uid = u[starts]
+        n_gaps = np.bincount(seg[is_gap], minlength=len(uid)).astype(np.int64)
+        keep = n_gaps > 0
+        if not keep.any():
+            return EMPTY
+        g = gap[is_gap]
+        sgi = seg[is_gap]                        # segment id per gap row
+        first = np.r_[True, sgi[1:] != sgi[:-1]]
+        offs = np.flatnonzero(first)
+        mn = np.minimum.reduceat(g, offs)
+        mx = np.maximum.reduceat(g, offs)
+        sm = np.add.reduceat(g, offs)
+        return pa.table({
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "n_gaps": pa.array(n_gaps[keep], pa.int64()),
+            "min_gap_us": pa.array(mn, pa.int64()),
+            "max_gap_us": pa.array(mx, pa.int64()),
+            "mean_gap_us": pa.array(sm / n_gaps[keep], pa.float64())})
+
+    return _sorted_user_sweep(sf_dir, ["event_id", "ts", "user_id"],
+                              sweep, num_blocks=num_blocks)
+
+
+def readability_score(sf_dir: str):
+    """Automated Readability Index per document — the grade-level signal
+    quality-filter pipelines cut on (alnum chars / word + words / sentence;
+    Senter & Smith 1967, no syllable model needed so it vectorizes).
+
+    Exactness: the three counts are ints from identical RE2 regexes on both
+    engines; ARI = 4.71*(c/w) + 0.5*(w/s) - 21.43 is evaluated in the same
+    literal/association order, so every intermediate double is identical.
+    Sentence count is clamped to >= 1 (prose without terminal punctuation
+    is one sentence); empty docs (0 words) emit NULL.  Output:
+    (doc_id, n_alnum, n_words, n_sentences, ari)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        c = pc.cast(pc.count_substring_regex(text, pattern=r"[A-Za-z0-9]"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        w = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(pc.count_substring_regex(text, pattern=r"[.!?]+"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        s1 = np.maximum(s, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ari = 4.71 * (c / w) + 0.5 * (w / s1) - 21.43
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_alnum": pa.array(c, pa.int64()),
+            "n_words": pa.array(w, pa.int64()),
+            "n_sentences": pa.array(s1, pa.int64()),
+            "ari": pa.Array.from_pandas(ari, mask=(w == 0),
+                                        type=pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def url_dedup(sf_dir: str, modulus: int = 211):
+    """Crawl-output dedup by CANONICAL URL: messy URL variants (scheme/host
+    case, default port, fragment, query-param order) that canonicalize to
+    the same address keep only the lowest doc_id — the recrawl/mirror
+    collapse every crawl corpus needs before content dedup.  URLs are
+    derived deterministically from doc columns (`doc_id % modulus` makes
+    real collisions) so the oracle can rebuild the same canonical form in
+    SQL.
+
+    Scale shape: canonicalization is a stateless map; the collapse is the
+    :func:`dedup_exact` pattern — per-block (canon, min doc_id) partials
+    into one canon-keyed :func:`_hash_reduce` min-fold.  Output:
+    (canon, doc_id)."""
+    from upton_ray.urlops import canonicalize_urls
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = b["source"].to_pylist()
+        messy = [f"HTTP://WWW.{s.upper()}.TEST:80/Article/{i % modulus}"
+                 f"?b=2&a=1#frag" for i, s in zip(ids, srcs)]
+        t = pa.table({"canon": pa.array(canonicalize_urls(messy),
+                                        pa.string()),
+                      "doc_id": pa.array(ids, pa.int64())})
+        g = t.group_by("canon").aggregate([("doc_id", "min")])
+        return pa.table({"canon": g["canon"], "doc_id": g["doc_id_min"]})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if "canon" not in t.column_names or t.num_rows == 0:
+            return pa.table({"canon": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        g = t.group_by("canon").aggregate([("doc_id", "min")])
+        return pa.table({"canon": g["canon"], "doc_id": g["doc_id_min"]})
+
+    return _hash_reduce(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None),
+        ["canon"], fold)
+
+
+@ray.remote
+def _tc_verify(id_part: pa.Table, cand_part: pa.Table) -> pa.Table:
+    """Keep candidate edges whose dst really exists: sorted-membership of
+    ``b`` against this partition's doc-id slice (co-partitioned by the
+    same value hash, so a dst id and its existence proof always meet)."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if ("b" not in cand_part.column_names or cand_part.num_rows == 0
+            or "doc_id" not in id_part.column_names):
+        return empty
+    ids = np.sort(id_part["doc_id"].to_numpy(zero_copy_only=False))
+    b = cand_part["b"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ids, b)
+    ok = pos < len(ids)
+    ok[ok] = ids[pos[ok]] == b[ok]
+    return cand_part.filter(pa.array(ok)).select(["a", "b"])
+
+
+@ray.remote
+def _tc_wedges(edge_part: pa.Table) -> pa.Table:
+    """Emit one (v, w) wedge row per ordered out-neighbor pair v < w of
+    each center node — every center's edges land whole in this partition
+    (partitioned by ``a``), and the enumeration is the grouped-arange
+    trick, no per-node Python loop."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if "a" not in edge_part.column_names or edge_part.num_rows == 0:
+        return empty
+    t = edge_part.sort_by([("a", "ascending"), ("b", "ascending")])
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    n = len(a)
+    start = np.r_[True, a[1:] != a[:-1]]
+    starts_idx = np.maximum.accumulate(np.where(start, np.arange(n), 0))
+    local = np.arange(n) - starts_idx          # position within the center
+    total = int(local.sum())
+    if total == 0:
+        return empty
+    j = np.repeat(np.arange(n), local)         # each row pairs w/ earlier
+    intra = np.arange(total) - np.repeat(np.cumsum(local) - local, local)
+    i = np.repeat(starts_idx, local) + intra
+    return pa.table({"a": pa.array(b[i], pa.int64()),
+                     "b": pa.array(b[j], pa.int64())})
+
+
+@ray.remote
+def _tc_close(edge_part: pa.Table, wedge_part: pa.Table) -> int:
+    """Count wedges closed by a real edge — both sides co-partitioned by
+    the (a, b) pair hash; a partition-local Arrow join does the probe."""
+    if ("a" not in edge_part.column_names or edge_part.num_rows == 0
+            or "a" not in wedge_part.column_names
+            or wedge_part.num_rows == 0):
+        return 0
+    return wedge_part.join(
+        edge_part.group_by(["a", "b"]).aggregate([]),   # edges are unique
+        keys=["a", "b"], join_type="inner").num_rows
+
+
+def triangle_count(sf_dir: str, deltas=(1, 2, 3),
+                   num_partitions: int = 8) -> pa.Table:
+    """Distributed triangle counting over the arithmetic doc-link graph
+    (u ~ u+d for d in ``deltas`` where both docs exist; same oracle-exact
+    graph family as :func:`connected_components` / :func:`pagerank`) —
+    the clustering-coefficient / community-density primitive.
+
+    Algorithm: the classic two-round wedge-check (Suri & Vassilvitskii,
+    WWW'11), with edges ORIENTED low->high id so each triangle closes
+    exactly once.  Three bounded exchanges, each through
+    :func:`upton_ray.shuffle.hash_partition_refs`: (1) candidate edges
+    meet the doc-id table co-partitioned by dst to prove existence,
+    (2) verified edges partition by src so each center emits its
+    out-neighbor pairs (out-degree <= len(deltas), so wedge volume is
+    <= C(len(deltas), 2) per node), (3) wedges meet edges co-partitioned
+    by the endpoint PAIR hash and a partition-local Arrow join closes
+    them.  The driver ever holds P ints.  Output: (n_triangles)."""
+    P = num_partitions
+    ids_ds = _docs(sf_dir, ["doc_id"])
+
+    def cand(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(np.tile(a, len(deltas)), pa.int64()),
+            "b": pa.array(np.concatenate([a + d for d in deltas]),
+                          pa.int64())})
+
+    id_parts = _hash_partition_refs(ids_ds, ["doc_id"], P)
+    cand_parts = _hash_partition_refs(
+        ids_ds.map_batches(cand, batch_format="pyarrow"), ["b"], P)
+    edge_refs = [_tc_verify.remote(id_parts[i], cand_parts[i])
+                 for i in range(P)]
+    edges = ray.data.from_arrow_refs(edge_refs)
+    wedge_refs = [_tc_wedges.remote(p)
+                  for p in _hash_partition_refs(edges, ["a"], P)]
+    e_pair = _hash_partition_refs(edges, ["a", "b"], P)
+    w_pair = _hash_partition_refs(
+        ray.data.from_arrow_refs(wedge_refs), ["a", "b"], P)
+    n = sum(ray.get([_tc_close.remote(e_pair[i], w_pair[i])
+                     for i in range(P)]))
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+@ray.remote
+def _knn_tile(qt: pa.Table, ct: pa.Table, k: int) -> pa.Table:
+    """One (query-block x corpus-block) tile: normalized matmul, self
+    masked, local top-k per query row."""
+    qid = qt["vec_id"].to_numpy(zero_copy_only=False)
+    cid = ct["vec_id"].to_numpy(zero_copy_only=False)
+    Q = _emb_matrix(qt)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    C = _emb_matrix(ct)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    sims = Q @ C.T
+    sims[qid[:, None] == cid[None, :]] = -np.inf      # exclude self
+    kk = min(k, sims.shape[1])
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    s = np.take_along_axis(sims, part, axis=1).ravel()
+    live = s > -np.inf
+    return pa.table({
+        "src_id": pa.array(np.repeat(qid, kk)[live], pa.int64()),
+        "dst_id": pa.array(cid[part.ravel()[live]], pa.int64()),
+        "sim": pa.array(s[live], pa.float64())})
+
+
+@ray.remote
+def _knn_merge(k: int, *tiles) -> pa.Table:
+    """Exact merge of one query block's tile candidates: lexsort by
+    (src, -sim, dst), grouped-arange rank, keep rank <= k."""
+    live = [x for x in tiles if x.num_rows > 0]
+    if not live:
+        return pa.table({"src_id": pa.array([], pa.int64()),
+                         "dst_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    t = pa.concat_tables(live)
+    src = t["src_id"].to_numpy(zero_copy_only=False)
+    dst = t["dst_id"].to_numpy(zero_copy_only=False)
+    sim = t["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, -sim, src))
+    src, dst = src[order], dst[order]
+    n = len(src)
+    start = np.r_[True, src[1:] != src[:-1]]
+    rank = np.arange(n) - np.maximum.accumulate(
+        np.where(start, np.arange(n), 0)) + 1
+    keep = rank <= k
+    return pa.table({"src_id": pa.array(src[keep], pa.int64()),
+                     "dst_id": pa.array(dst[keep], pa.int64()),
+                     "rank": pa.array(rank[keep], pa.int64())})
+
+
+def knn_graph(sf_dir: str, k: int = 5, num_blocks: int = 8):
+    """Brute-force k-NN graph: EVERY vector's top-k cosine neighbors (self
+    excluded) — the all-pairs generalization of :func:`ann_topk` and the
+    input graph for embedding-cluster dedup and graph-based diversity
+    sampling.
+
+    Scale shape: B x B block TILES as raw tasks — the corpus is
+    materialized once into B blocks, each tile computes one
+    (query-block x corpus-block) normalized matmul and keeps its local
+    top-k, and one merge task per query block folds that block's B tile
+    outputs (bounded rows x k) into exact ranks.  The result returns as a
+    Dataset of the B merged blocks — the driver holds only refs.  Brute
+    force is inherently quadratic in blocks; this is the exact-baseline
+    path, with :func:`ann_lsh` / :func:`ann_ivf` as the sub-quadratic
+    scale path (same trade the ANN family documents).  Output:
+    (src_id, dst_id, rank), rank 1..k by (sim desc, dst_id asc)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"],
+                               override_num_blocks=num_blocks)
+    refs = [r for r in ds.materialize().to_arrow_refs()]
+    tiles = [[_knn_tile.remote(q, c, k) for c in refs] for q in refs]
+    return ray.data.from_arrow_refs(
+        [_knn_merge.remote(k, *row) for row in tiles])
+
+
+def ngram_containment(sf_dir: str, n: int = 3, modulus: int = 211):
+    """Benchmark CONTAINMENT per document: |doc-grams ∩ benchmark-grams| /
+    |doc-grams| — the asymmetric cousin of :func:`contamination_check`
+    (decontamination cares how much of the DOC is benchmark material, not
+    how much absolute overlap exists; a long doc quoting one benchmark
+    line scores low here but non-zero there).
+
+    Same scale shape as contamination_check: the benchmark side is small
+    by definition, collected once and broadcast; the corpus streams
+    through one membership pass.  Containment is one int/int IEEE
+    division (both engines divide identical operands); gram-less docs emit
+    NULL.  Output: (doc_id, n_grams, n_overlap, containment)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % modulus == 0))
+        grams: set = set()
+        for txt in _norm_text(t["text"]).to_pylist():
+            grams.update(shingles(txt, n))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    parts = [t for t in ray.get(
+        docs.map_batches(bench_grams, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns > 0]
+    bench: frozenset = frozenset().union(
+        *[set(t["gram"].to_pylist()) for t in parts]) if parts else frozenset()
+    bench_ref = ray.put(bench)
+
+    def containment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % modulus != 0))
+        bset = ray.get(bench_ref)
+        sets = [set(shingles(txt, n))
+                for txt in _norm_text(t["text"]).to_pylist()]
+        n_g = np.array([len(s) for s in sets], dtype=np.int64)
+        n_o = np.array([len(s & bset) for s in sets], dtype=np.int64)
+        with np.errstate(invalid="ignore"):
+            cont = n_o / np.maximum(n_g, 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(n_g, pa.int64()),
+            "n_overlap": pa.array(n_o, pa.int64()),
+            "containment": pa.Array.from_pandas(cont, mask=(n_g == 0),
+                                                type=pa.float64())})
+
+    return docs.map_batches(containment, batch_format="pyarrow")
+
+
+def top_terms_per_lang(sf_dir: str, top_n: int = 5):
+    """Per-language top-N terms by corpus frequency (ties to the
+    lexicographically smaller term) — the grouped heavy-hitter rollup
+    behind per-subcorpus vocab dashboards and stopword induction.
+
+    Scale shape: per-block (lang, term, count) pre-aggregation, then ONE
+    lang-keyed :func:`_hash_reduce` — a language's whole term table lands
+    in one partition (vocab-bounded, the same per-key-bounded argument as
+    pmi_bigrams' marginal), where a grouped-arange rank keeps N rows per
+    lang.  The exchange carries one row per (lang, term) per block, never
+    token instances.  Output: (lang, term, n, rank)."""
+    EMPTY = pa.table({"lang": pa.array([], pa.string()),
+                      "term": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "lang": pc.take(b["lang"], pa.array(
+                np.repeat(np.arange(len(n_per)), n_per), pa.int64())),
+            "term": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        g = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "term": g["term"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if "lang" not in t.column_names or t.num_rows == 0:
+            return EMPTY
+        g = t.group_by(["lang", "term"]).aggregate([("n", "sum")])
+        srt = pa.table({"lang": g["lang"], "term": g["term"],
+                        "n": pc.cast(g["n_sum"], pa.int64()),
+                        "neg": pc.multiply(g["n_sum"], -1)}) \
+            .sort_by([("lang", "ascending"), ("neg", "ascending"),
+                      ("term", "ascending")])
+        lang = srt["lang"].to_numpy(zero_copy_only=False)
+        m = len(lang)
+        start = np.r_[True, lang[1:] != lang[:-1]]
+        rank = np.arange(m) - np.maximum.accumulate(
+            np.where(start, np.arange(m), 0)) + 1
+        keep = rank <= top_n
+        return pa.table({"lang": srt["lang"].filter(pa.array(keep)),
+                         "term": srt["term"].filter(pa.array(keep)),
+                         "n": srt["n"].filter(pa.array(keep)),
+                         "rank": pa.array(rank[keep], pa.int64())})
+
+    return _hash_reduce(
+        _docs(sf_dir, ["lang", "text"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None),
+        ["lang"], fold)
+
+
+def _brute_topk_ranks(sf_dir: str, n_queries: int, k: int,
+                      metric: str) -> "pd.DataFrame":
+    """Shared blockwise brute-force top-k (the :func:`ann_topk` shape) for
+    either cosine (normalized matmul) or raw inner product; returns the
+    merged (query_id, vec_id, rank) frame.  Ties break by vec_id."""
+    qt = _emb(sf_dir).take_batch(n_queries, batch_format="pyarrow")
+    Q = _emb_matrix(qt)
+    if metric == "cosine":
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(Q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        M = _emb_matrix(batch)
+        if metric == "cosine":
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ Qm.T
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, q)
+        nq = Qm.shape[0]
+        return pa.table({
+            "query_id": pa.array(np.tile(np.arange(nq, dtype=np.int32),
+                                         kk), pa.int32()),
+            "vec_id": pa.array(ids[part].ravel(), pa.int64()),
+            "sim": pa.array(np.take_along_axis(
+                sims, part, axis=0).ravel(), pa.float64())})
+
+    cand = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=4096)
+    df = pa.concat_tables(ray.get(cand.to_arrow_refs())).to_pandas()
+    df = df.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[df["rank"] <= k][["query_id", "vec_id", "rank"]]
+
+
+def rrf_fuse(sf_dir: str, n_queries: int = 4, k_each: int = 50,
+             k_out: int = 10, rrf_k: int = 60) -> pa.Table:
+    """Reciprocal-rank fusion of two retrieval signals — cosine top-k and
+    raw inner-product top-k — per query (Cormack et al., SIGIR'09): score
+    = sum over lists of 1/(rrf_k + rank), missing-from-a-list contributes
+    0; the standard way to combine ANN channels (e.g. two embedding
+    spaces, or dense + sparse) without score calibration.
+
+    Scale shape: two streamed blockwise top-k passes (each the
+    :func:`ann_topk` mergeable-aggregate shape, zero shuffle); fusion
+    itself touches only the two q x k_each rank lists — driver-bounded by
+    construction.  Exactness: each 1/(rrf_k+r) is one IEEE division of
+    exact ints and the fused score one addition of the two, so both
+    engines produce identical doubles.  Output:
+    (query_id, vec_id, score, rank), rank 1..k_out by (score desc,
+    vec_id asc)."""
+    import pandas as pd
+
+    cos = _brute_topk_ranks(sf_dir, n_queries, k_each, "cosine")
+    ip = _brute_topk_ranks(sf_dir, n_queries, k_each, "ip")
+    f = cos.rename(columns={"rank": "r1"}).merge(
+        ip.rename(columns={"rank": "r2"}),
+        on=["query_id", "vec_id"], how="outer")
+    s1 = 1.0 / (rrf_k + f["r1"].to_numpy(dtype=np.float64))
+    s2 = 1.0 / (rrf_k + f["r2"].to_numpy(dtype=np.float64))
+    f["score"] = np.nan_to_num(s1) + np.nan_to_num(s2)
+    f = f.sort_values(["query_id", "score", "vec_id"],
+                      ascending=[True, False, True])
+    f["rank"] = f.groupby("query_id").cumcount() + 1
+    f = f[f["rank"] <= k_out]
+    return pa.table({
+        "query_id": pa.array(f["query_id"].to_numpy(dtype=np.int32),
+                             pa.int32()),
+        "vec_id": pa.array(f["vec_id"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        "score": pa.array(f["score"].to_numpy(dtype=np.float64),
+                          pa.float64()),
+        "rank": pa.array(f["rank"].to_numpy(dtype=np.int64), pa.int64())})
+
+
+def trailing_window_sum(sf_dir: str, window_s: int = 3600, *,
+                        num_blocks: int = 8):
+    """Per-event TIME-RANGE window sum: each event's sum of the user's
+    spend over the trailing ``window_s`` seconds *inclusive of
+    equal-timestamp peers* (SQL RANGE BETWEEN INTERVAL ... PRECEDING AND
+    CURRENT ROW — the value-based frame :func:`rolling_avg`'s row-count
+    frame can't express) — the rate-limit / velocity-check window.
+
+    Scale shape: :func:`_sorted_user_sweep`, with the per-segment range
+    lookup done as ONE vectorized searchsorted per chunk over a composite
+    key ``segment * M + t_rel`` (M > max in-segment span + window, so a
+    query can never cross a segment boundary); segments are chunked so the
+    key provably fits int64 — a per-user python loop would cost one call
+    per user per block, exactly what this module bans.  Sums are integer
+    cents (the :func:`running_total` contract).  Output:
+    (event_id, user_id, win_cents)."""
+    W = np.int64(window_s) * 1_000_000
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "win_cents": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tsi = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        n = len(u)
+        start = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(start)
+        seg = np.cumsum(start) - 1
+        t_rel = tsi - tsi[starts[seg]]
+        M = np.int64(int(t_rel.max()) + int(W) + 2)
+        segs_per_chunk = max(1, int((2 ** 62) // int(M)))
+        out = np.empty(n, dtype=np.int64)
+        for s_lo in range(0, len(starts), segs_per_chunk):
+            s_hi = min(s_lo + segs_per_chunk, len(starts))
+            lo = starts[s_lo]
+            hi = starts[s_hi] if s_hi < len(starts) else n
+            key = (seg[lo:hi] - s_lo) * M + t_rel[lo:hi]
+            c0 = np.r_[np.int64(0), np.cumsum(cents[lo:hi])]
+            L = np.searchsorted(key, key - W, side="left")
+            U = np.searchsorted(key, key, side="right")
+            out[lo:hi] = c0[U] - c0[L]
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "win_cents": pa.array(out, pa.int64())})
+
+    return _sorted_user_sweep(sf_dir, ["event_id", "ts", "user_id", "value"],
+                              sweep, num_blocks=num_blocks)
+
+
+def host_share(sf_dir: str):
+    """Per-source page share and rank — the crawl-skew diagnostic that
+    decides hot-host salting / frontier shard splits (a source standing in
+    for a host, as in the docweb URL derivation).
+
+    Scale shape: per-block source counts (source cardinality is bounded —
+    hosts per crawl shard, not rows), concatenated partials folded in one
+    driver groupby of B x |sources| ints; share = one IEEE division of
+    exact ints (total from parquet metadata).  Output:
+    (source, n_docs, share, rank) ranked by (count desc, source asc)."""
+    import pyarrow.parquet as _pq
+
+    total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows \
+        if not os.path.isdir(f"{sf_dir}/documents.parquet") else None
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    parts = [t for t in ray.get(
+        _docs(sf_dir, ["source"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "share": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    g = pa.concat_tables(parts).group_by("source").aggregate([("n", "sum")])
+    cnt = g["n_sum"].to_numpy(zero_copy_only=False)
+    src = np.asarray(g["source"].to_pylist(), dtype=object)
+    if total is None:
+        total = int(cnt.sum())
+    order = np.lexsort((src, -cnt))
+    return pa.table({
+        "source": pa.array(src[order], pa.string()),
+        "n_docs": pa.array(cnt[order], pa.int64()),
+        "share": pa.array(cnt[order] / total, pa.float64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())})
+
+
+def vocab_coverage(sf_dir: str, tops=(100, 1000, 10000)):
+    """Token-instance coverage of the top-N vocabulary — the tokenizer /
+    vocab-size design curve (what fraction of the corpus do the N most
+    frequent terms cover?).
+
+    Scale shape: per-block (term, count) combiners into ONE term-keyed
+    :func:`_hash_reduce`; the folded term table is VOCAB-BOUNDED (the
+    pmi_bigrams-marginal argument), so the driver's sort + cumsum touches
+    |vocab| ints, never token instances.  Coverage = exact int64 sums and
+    one division.  Output: (top_n, covered, total, coverage)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        t = pa.table({"term": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        g = t.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if "term" not in t.column_names or t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by("term").aggregate([("n", "sum")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    red = _hash_reduce(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow",
+                                            batch_size=None),
+        ["term"], fold)
+    parts = [t for t in ray.get(red.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"top_n": pa.array([], pa.int64()),
+                         "covered": pa.array([], pa.int64()),
+                         "total": pa.array([], pa.int64()),
+                         "coverage": pa.array([], pa.float64())})
+    all_t = pa.concat_tables(parts)
+    cnt = all_t["n"].to_numpy(zero_copy_only=False)
+    term = np.asarray(all_t["term"].to_pylist(), dtype=object)
+    order = np.lexsort((term, -cnt))
+    csum = np.cumsum(cnt[order])
+    total = int(csum[-1])
+    rows = [(int(N), int(csum[min(N, len(csum)) - 1]))
+            for N in tops]
+    return pa.table({
+        "top_n": pa.array([r[0] for r in rows], pa.int64()),
+        "covered": pa.array([r[1] for r in rows], pa.int64()),
+        "total": pa.array([total] * len(rows), pa.int64()),
+        "coverage": pa.array([r[1] / total for r in rows], pa.float64())})
+
+
+def degree_distribution(sf_dir: str, num_partitions: int = 8) -> pa.Table:
+    """Degree histogram of the doc-link graph (same arithmetic edge
+    relation as :func:`triangle_count`): how many nodes have degree d —
+    the first diagnostic of graph skew (and of whether hub-splitting is
+    needed before label propagation).
+
+    Scale shape: candidate edges verified against the co-partitioned id
+    table (exchange 1), both endpoints emitted and count-combined per node
+    (exchange 2, node-keyed, one row per node per partition), then the
+    per-degree histogram folds as bounded partials (degree values are tiny
+    ints).  Isolated nodes (degree 0) are counted via total - touched.
+    Output: (degree, n_nodes)."""
+    P = num_partitions
+    ids_ds = _docs(sf_dir, ["doc_id"])
+
+    def cand(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(np.tile(a, 3), pa.int64()),
+            "b": pa.array(np.concatenate([a + d for d in (1, 2, 3)]),
+                          pa.int64())})
+
+    id_parts = _hash_partition_refs(ids_ds, ["doc_id"], P)
+    cand_parts = _hash_partition_refs(
+        ids_ds.map_batches(cand, batch_format="pyarrow"), ["b"], P)
+    edges = ray.data.from_arrow_refs(
+        [_tc_verify.remote(id_parts[i], cand_parts[i]) for i in range(P)])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        if "a" not in b.column_names or b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        both = pa.table({"node": pa.array(np.concatenate([
+            b["a"].to_numpy(zero_copy_only=False),
+            b["b"].to_numpy(zero_copy_only=False)]), pa.int64())})
+        g = both.group_by("node").aggregate([([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def degree_fold(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names or t.num_rows == 0:
+            return pa.table({"degree": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        g = t.group_by("node").aggregate([("n", "sum")])
+        h = pa.table({"degree": pc.cast(g["n_sum"], pa.int64())}) \
+            .group_by("degree").aggregate([([], "count_all")])
+        return pa.table({"degree": h["degree"],
+                         "cnt": pc.cast(h["count_all"], pa.int64())})
+
+    red = _hash_reduce(edges.map_batches(endpoints, batch_format="pyarrow",
+                                         batch_size=None),
+                       ["node"], degree_fold)
+    parts = [t for t in ray.get(red.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    import pyarrow.parquet as _pq
+
+    n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if parts:
+        h = pa.concat_tables(parts).group_by("degree") \
+            .aggregate([("cnt", "sum")])
+        deg = h["degree"].to_numpy(zero_copy_only=False)
+        cnt = h["cnt_sum"].to_numpy(zero_copy_only=False)
+    else:
+        deg = np.array([], np.int64)
+        cnt = np.array([], np.int64)
+    touched = int(cnt.sum())
+    if n_total > touched:                       # isolated nodes
+        deg = np.r_[deg, np.int64(0)]
+        cnt = np.r_[cnt, np.int64(n_total - touched)]
+    order = np.argsort(deg)
+    return pa.table({"degree": pa.array(deg[order], pa.int64()),
+                     "n_nodes": pa.array(cnt[order], pa.int64())})
+
+
+def mix_weights(sf_dir: str, alpha: float = 0.7):
+    """Temperature-scaled source mixing weights — the multilingual /
+    multi-source sampling formula (w_i ∝ n_i^alpha, Conneau & Lample '19):
+    flattens the source distribution so low-resource slices are upsampled.
+
+    Scale shape: the same bounded per-source count fold as
+    :func:`host_share`; the power/normalize arithmetic touches |sources|
+    doubles on the driver.  NOTE: w involves libm pow and a |sources|-term
+    float sum, so this op is oracle-checked at the gate's 1e-9 tolerance
+    rather than bit-exact (documented; it must not enter the driver's
+    hash-equality snapshot window).  Output:
+    (source, n_docs, weight) with sum(weight) == 1."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    parts = [t for t in ray.get(
+        _docs(sf_dir, ["source"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.float64())})
+    g = pa.concat_tables(parts).group_by("source").aggregate([("n", "sum")])
+    srt = g.sort_by([("source", "ascending")])
+    cnt = srt["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    w = cnt ** alpha
+    w = w / w.sum()
+    return pa.table({"source": srt["source"],
+                     "n_docs": pc.cast(srt["n_sum"], pa.int64()),
+                     "weight": pa.array(w, pa.float64())})
