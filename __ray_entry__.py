@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(129 queries, 120 oracle-checked; the nine approximate/iterative ops are
+(131 queries, 122 oracle-checked; the nine approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": datapipe.dedup_clusters,
         "tfidf_top_term": datapipe.tfidf_top_term,
         "doc_chunk": datapipe.doc_chunk,
+        # round 5: REAL image decode (pure-Python PNG/BMP/PPM codecs) —
+        # genuine encoded bytes through the actor-pool seam, oracle-checked
+        "media_decode_real": datapipe.media_decode_real,
+        "media_phash_real": datapipe.media_phash_real,
         "seeded_shuffle": datapipe.seeded_shuffle,
         "contamination_check": datapipe.contamination_check,
         "semi_join_events": datapipe.semi_join_events,
@@ -736,6 +740,41 @@ def oracle_sql() -> dict[str, str]:
                         * (64 + (length('assets/' || doc_id || '.img') * 53) % 448)
                         AS BIGINT) AS n_pixels
             FROM documents
+        """,
+        # REAL decode of genuine PNG/BMP/PPM bytes (round 5): the fixture
+        # stage encodes pixel(x,y) = (x + 3y + 7*doc_id) mod 256 at
+        # doc-derived dims, rotating the container by doc_id%3; BMP widens
+        # grey to 3 RGB channels, so its decoded pixel_sum is 3x
+        "media_decode_real": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 24 AS width,
+                     8 + (doc_id * 3) % 24 AS height,
+                     CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 1 END AS channels
+              FROM documents),
+            px AS (
+              SELECT d.doc_id,
+                     sum((x.v + 3 * y.v + 7 * d.doc_id) % 256) AS base_sum
+              FROM dims d
+              JOIN generate_series(0, 30) x(v) ON x.v < d.width
+              JOIN generate_series(0, 30) y(v) ON y.v < d.height
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(d.width AS BIGINT) AS width,
+                   CAST(d.height AS BIGINT) AS height,
+                   CAST(d.channels AS BIGINT) AS channels,
+                   CAST(px.base_sum * d.channels AS BIGINT) AS pixel_sum
+            FROM dims d JOIN px ON px.doc_id = d.doc_id
+        """,
+        # the oracle knows only the PLANTED duplicate law (doc_id // 10);
+        # matching it requires the real decode+phash to group identical
+        # pixels across PNG/BMP/PPM containers with zero collisions
+        "media_phash_real": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY doc_id // 10
+            HAVING count(*) >= 2
         """,
         "media_resize": """
             WITH d AS (

@@ -232,6 +232,10 @@ def main():
     queries["nation_revenue"] = round(timed(datapipe.nation_revenue, SF_DIR), 3)
     queries["frontier_topk"] = round(timed(datapipe.frontier_topk, SF_DIR), 3)
     queries["media_decode"] = round(timed(datapipe.media_decode, SF_DIR), 3)
+    queries["media_decode_real"] = round(
+        timed(datapipe.media_decode_real, SF_DIR), 3)
+    queries["media_phash_real"] = round(
+        timed(datapipe.media_phash_real, SF_DIR), 3)
     queries["frame_sample"] = round(timed(datapipe.frame_sample, SF_DIR), 3)
     queries["redact_pii"] = round(timed(datapipe.redact_pii, SF_DIR), 3)
     queries["dedup_keep_best"] = round(
@@ -397,6 +401,47 @@ def main():
     print(json.dumps(out))
 
 
+def _host_probe_task(seed: int) -> float:
+    """One fixed quantum of pure-CPU work (single-threaded matmuls) for the
+    Ray-free host probe.  Runs in a SPAWNED process (fresh interpreter, so
+    the OMP_NUM_THREADS=1 set by the parent applies before numpy loads)."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(seed % 2 ** 31)
+    a = rng.rand(384, 384)
+    b = rng.rand(384, 384)
+    s = 0.0
+    for _ in range(40):
+        s += float((a @ b)[0, 0])
+    return s
+
+
+def _host_probe_leg(n_workers: int) -> float:
+    """Aggregate pure-CPU work rate with n_workers independent processes
+    (tasks/sec).  Ray-free and memory-light, so it measures whether CPU
+    CYCLES scale on this host right now — the control that separates a
+    software scaling regression from a degraded/noisy-neighbor host
+    (BASELINE.md round-4 close: the same-commit A/B halved while this
+    probe held 0.79)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    old = os.environ.get("OMP_NUM_THREADS")
+    os.environ["OMP_NUM_THREADS"] = "1"
+    try:
+        with ctx.Pool(n_workers) as pool:
+            pool.map(_host_probe_task, range(n_workers))      # warm/import
+            t0 = time.time()
+            pool.map(_host_probe_task, range(n_workers, 3 * n_workers))
+            dt = time.time() - t0
+        return 2 * n_workers / dt
+    finally:
+        if old is None:
+            os.environ.pop("OMP_NUM_THREADS", None)
+        else:
+            os.environ["OMP_NUM_THREADS"] = old
+
+
 def scaling():
     """Same crawl, same input, fresh processes, num_cpus=N then 4N ->
     throughput scaling efficiency (BASELINE.md protocol).
@@ -458,6 +503,12 @@ def scaling():
         "sf": SF_DIR,
         "num_cpus": max(c for p in pairs for c in p),
     }
+    # Ray-free host probe at every leg size (VERDICT r4 item 6): a
+    # degraded-host run now carries its own evidence — if the crawl pair
+    # scales poorly while host_probe_efficiency is ALSO low, the host is
+    # capped; if the probe is near 1.0 and the crawl is not, that's us.
+    probe = {c: _host_probe_leg(c)
+             for c in sorted({c for p in pairs for c in p})}
     for a, b in pairs:
         thr_a, thr_b = results[a]["pages_per_sec"], results[b]["pages_per_sec"]
         eff = (thr_b / thr_a) / (b / a)
@@ -466,8 +517,14 @@ def scaling():
         out[f"pages_per_sec_{b}"] = round(thr_b, 1)
         out[f"samples_{a}"] = results[a]["samples_pages_per_sec"]
         out[f"samples_{b}"] = results[b]["samples_pages_per_sec"]
+        out[f"host_probe_efficiency_{a}to{b}"] = round(
+            (probe[b] / probe[a]) / (b / a), 3)
         out["queries"][f"crawl@{a}cpus"] = results[a]["queries"]["synthetic_crawl"]
         out["queries"][f"crawl@{b}cpus"] = results[b]["queries"]["synthetic_crawl"]
+    out["host_probe_tasks_per_sec"] = {str(c): round(v, 2)
+                                       for c, v in probe.items()}
+    out["host_probe_efficiency"] = out[
+        f"host_probe_efficiency_{pairs[0][0]}to{pairs[0][1]}"]
     out["value"] = out[f"efficiency_{pairs[0][0]}to{pairs[0][1]}"]
     print(json.dumps(out))
 

@@ -216,6 +216,59 @@ def test_multi_host_batch_is_host_sharded():
             srv.shutdown()
 
 
+def test_batch_larger_than_lru_fetches_each_url_once():
+    """Regression: a sharded batch BIGGER than ``cache_pages`` must not
+    round-trip its prefetched results through the LRU — doing so evicted
+    the batch's own prefetches and re-fetched them sequentially (measured
+    0.85x sequential on an RTT-bound 8-host batch before the fix).  Exact
+    n_requests accounting is the proof: one GET per distinct URL."""
+    from upton_ray.fetch import HttpWebStore
+
+    logs = []
+
+    def make_handler(log):
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def do_GET(self):
+                log.append(self.path)
+                body = json.dumps(
+                    [{"kind": "p", "text": self.path,
+                      "media_ref": "", "offset": 0}]).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+        return H
+
+    srvs = []
+    for _ in range(3):
+        log = []
+        logs.append(log)
+        srvs.append(_serve(make_handler(log)))
+    try:
+        urls = []
+        for srv in srvs:
+            urls += [f"http://127.0.0.1:{srv.server_port}/b{i}.html"
+                     for i in range(8)]
+        store = HttpWebStore(cache_pages=4)   # LRU << batch size
+        tab = store.lookup_table(urls)
+        assert len(tab) == len(urls)
+        got = [row[0]["text"] for row in tab.to_pylist()]
+        assert got == [f"/b{i}.html" for _ in srvs for i in range(8)]
+        assert store.n_requests == len(urls), \
+            "prefetched results must not be re-fetched via LRU eviction"
+        for log in logs:                      # still one GET per URL
+            assert log == [f"/b{i}.html" for i in range(8)]
+    finally:
+        for srv in srvs:
+            srv.shutdown()
+
+
 def test_connection_error_maps_to_empty_page():
     """Unreachable host: bounded retry, then the empty page — never an
     exception out of the fetch stage (downloader.rb timeout analog, but

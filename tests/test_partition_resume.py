@@ -186,3 +186,47 @@ def test_checkpoint_readable_filenames(ray_session, tmp_path, crawled):
     keys = tk["stash_key"].to_pylist()
     assert keys == [readable_filename(u, stash2) for u in urls]
     assert all(k.endswith(".html") for k in keys)
+
+
+def test_connected_components_crash_resume(ray_session, tmp_path):
+    """Iterative-op crash resume (VERDICT r4 item 10): kill the BSP loop
+    between supersteps, resume from the label checkpoint, and get labels
+    identical to an uninterrupted run — the iterative analog of the
+    crawl's bucket-granular restart."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from upton_ray import datapipe
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(ds):
+        t = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return list(zip(t["doc_id"], t["label"]))
+
+    golden = rows(datapipe.connected_components(sf, num_partitions=4))
+
+    ckpt = str(tmp_path / "cc_labels")
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        datapipe.connected_components(sf, num_partitions=4,
+                                      label_checkpoint=ckpt,
+                                      _crash_after=2)
+    # the crash left complete superstep checkpoints behind
+    done = sorted(d for d in os.listdir(ckpt)
+                  if os.path.exists(os.path.join(ckpt, d, "_SUCCESS")))
+    assert done == ["step-00000", "step-00001"]
+
+    resumed = datapipe.connected_components(sf, num_partitions=4,
+                                            label_checkpoint=ckpt)
+    assert rows(resumed) == golden
+    # the resumed run continued PAST the crash point (appended steps),
+    # it did not restart from superstep 0
+    after = sorted(d for d in os.listdir(ckpt)
+                   if os.path.exists(os.path.join(ckpt, d, "_SUCCESS")))
+    assert after[0] == "step-00000" and len(after) > 2
+    assert after[2] == "step-00002"
+
+    # partition-count mismatch is refused loudly, never silently rerun
+    with _pytest.raises(ValueError, match="partitions"):
+        datapipe.connected_components(sf, num_partitions=8,
+                                      label_checkpoint=ckpt)

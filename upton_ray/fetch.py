@@ -288,7 +288,19 @@ class HttpWebStore:
                        else http.client.HTTPConnection)
                 conn = cls(parts.netloc, timeout=self.timeout)
             try:
-                self._count()
+                self._count()     # counts ATTEMPTS (a refused connection
+                                  # is a network event; retries re-count)
+                if conn.sock is None:
+                    # connect eagerly so TCP_NODELAY applies to every
+                    # request: on a persistent connection Nagle + the
+                    # peer's delayed ACK serializes small request/response
+                    # pairs at ~25 GETs/s (~40 ms each — measured by
+                    # tools/http_bench.py before this fix)
+                    import socket as _socket
+
+                    conn.connect()
+                    conn.sock.setsockopt(_socket.IPPROTO_TCP,
+                                         _socket.TCP_NODELAY, 1)
                 conn.request("GET", path,
                              headers={"Connection": "keep-alive"})
                 resp = conn.getresponse()
@@ -358,6 +370,12 @@ class HttpWebStore:
         urls = list(urls)
         missing = list(dict.fromkeys(
             u for u in urls if u not in self._cache))
+        # batch-local results: prefetched spans are assembled from here,
+        # NOT round-tripped through the LRU — a batch larger than
+        # ``cache_pages`` would evict its own prefetches and silently
+        # re-fetch them one by one (measured: an RTT-bound 8-host batch
+        # ran at 0.85x sequential before this fix)
+        got: dict[str, list | None] = {}
         if len(missing) > 1 and (self.max_workers is None
                                  or self.max_workers > 1):
             from concurrent.futures import ThreadPoolExecutor
@@ -378,11 +396,16 @@ class HttpWebStore:
                     return [(u, self._get(u)) for u in us]
 
                 with ThreadPoolExecutor(workers) as ex:
-                    for got in ex.map(host_seq, by_host.values()):
-                        for u, spans in got:
-                            self._cache[u] = spans
+                    for res in ex.map(host_seq, by_host.values()):
+                        got.update(res)
+                # still feed the LRU (bounded) so the walkers'
+                # page_len probe right after this batch stays free
+                self._cache.update(got)
+                while len(self._cache) > self._cache_max:
+                    self._cache.pop(next(iter(self._cache)))
         return schema.spans_array(
-            [self._fetch(u) or EMPTY_SPANS for u in urls])
+            [(got[u] if u in got else self._fetch(u)) or EMPTY_SPANS
+             for u in urls])
 
 
 def make_store(web_source):
