@@ -2568,9 +2568,7 @@ def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
     Scores are INTEGER-quantized — score = tf * ((n_docs * idf_scale) // df)
     — so the DuckDB oracle ranks identically with no libm/float-ulp
     ambiguity; ties break to the lexicographically smallest term."""
-    import pyarrow.parquet as _pq
-
-    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = _parquet_rows(f"{sf_dir}/documents.parquet")
 
     def explode(b: pa.Table) -> pa.Table:
         # Arrow-native (doc_id, term, tf) explode: list-split + repeat the
@@ -4325,11 +4323,9 @@ def pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     handles.  Ranks are rounded to 12 decimals per iteration (so float
     reassociation across partitionings cannot compound) and 6 on output —
     the DuckDB oracle iterates the same k joins."""
-    import pyarrow.parquet as _pq
-
     from upton_ray.seen import IdMembership
 
-    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = _parquet_rows(f"{sf_dir}/documents.parquet")
     member = IdMembership(num_shards=4)
 
     def ingest(b: pa.Table) -> pa.Table:
@@ -5474,19 +5470,30 @@ def bigram_logprob(sf_dir: str):
     quality signal.  Docs with < 2 tokens emit no row (same contract as
     unigram_logprob's tokenless docs).
 
-    Scale shape — the bigram table is corpus-sized (CANNOT broadcast), so
-    counts and docs meet in a LEFT-TOKEN-keyed co-partition: every
-    occurrence of left token l routes to one partition, which therefore
-    sees the full c(l,r) AND c(l,*) for its l's — numerator and
-    denominator both come out of ONE exchange, no second counts join.
-    Stage 1 pre-combines within (block, doc): one row per distinct doc
-    bigram.  The reduce folds to (doc_id, sum_lp, n_bi) partials, and a
-    doc-keyed second exchange sums those — both exchanges move rows
-    proportional to distinct bigrams, never tokens.
+    Scale shape — the bigram table is corpus-sized (CANNOT broadcast in
+    the worst case: a uniform-vocab corpus has ~one distinct bigram per
+    occurrence), so counts and docs meet in a LEFT-TOKEN-keyed
+    co-partition: every occurrence of left token l routes to one
+    partition, which therefore sees the full c(l,r) AND c(l,*) for its
+    l's — numerator and denominator both come out of ONE exchange, no
+    second counts join.  Stage 1 pre-combines within (block, doc) and
+    ships ONE composite key column (``"lw rw"`` — unambiguous, tokens
+    are space-split) plus a uint64 routing hash of lw (hashed once per
+    DISTINCT left token, gathered per row) instead of two string
+    columns.  The reduce is pure Arrow/numpy — C++ hash ``group_by``s
+    and ``index_in`` gathers; the v1 pandas object-dtype
+    ``transform("sum")`` chain was the 1M-doc soak's dominant cost.
+    The reduce folds to (doc_id, sum_lp, n_bi) partials, and a doc-keyed
+    second exchange sums those — both exchanges move rows proportional
+    to distinct doc-bigrams, never tokens.
 
     Output: (doc_id, n_bigrams, avg_logprob[round 6])."""
 
     def doc_bigrams(batch: pa.Table) -> pa.Table:
+        empty_t = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "bg": pa.array([], pa.string()),
+                            "occ": pa.array([], pa.int64()),
+                            "lh": pa.array([], pa.uint64())})
         texts = _norm_text(batch["text"])
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -5502,39 +5509,61 @@ def bigram_logprob(sf_dir: str):
         n_bi = np.maximum(lens - 1, 0)
         total = int(n_bi.sum())
         if total == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "lw": pa.array([], pa.string()),
-                             "rw": pa.array([], pa.string()),
-                             "occ": pa.array([], pa.int64())})
+            return empty_t
         di = np.repeat(np.arange(len(ids), dtype=np.int64), n_bi)
         bi0 = np.zeros(len(ids) + 1, dtype=np.int64)
         np.cumsum(n_bi, out=bi0[1:])
         pos = np.arange(total, dtype=np.int64) - bi0[di] + start[di]
-        t = pa.table({
-            "doc_id": pa.array(ids[di], pa.int64()),
-            "lw": flat.take(pa.array(pos, pa.int64())),
-            "rw": flat.take(pa.array(pos + 1, pa.int64()))})
-        g = t.group_by(["doc_id", "lw", "rw"]).aggregate([([], "count_all")])
-        return pa.table({"doc_id": g["doc_id"], "lw": g["lw"],
-                         "rw": g["rw"],
-                         "occ": pc.cast(g["count_all"], pa.int64())})
+        bg = pc.binary_join_element_wise(
+            flat.take(pa.array(pos, pa.int64())),
+            flat.take(pa.array(pos + 1, pa.int64())), " ")
+        g = pa.table({"doc_id": pa.array(ids[di], pa.int64()),
+                      "bg": bg}).group_by(["doc_id", "bg"]) \
+            .aggregate([([], "count_all")])
+        gbg = g["bg"]
+        if isinstance(gbg, pa.ChunkedArray):
+            gbg = gbg.combine_chunks()
+        lw = pc.list_element(pc.split_pattern(gbg, " ", max_splits=1), 0)
+        dl = pc.unique(lw)
+        code = pc.index_in(lw, value_set=dl).to_numpy(zero_copy_only=False)
+        dh = pd.util.hash_array(dl.to_numpy(zero_copy_only=False),
+                                categorize=False)
+        return pa.table({"doc_id": g["doc_id"], "bg": gbg,
+                         "occ": pc.cast(g["count_all"], pa.int64()),
+                         "lh": pa.array(dh[code], pa.uint64())})
 
     def per_left(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "s_lp": pa.array([], pa.float64()),
                           "n_bi": pa.array([], pa.int64())})
-        if "lw" not in t.column_names or t.num_rows == 0:
+        if "bg" not in t.column_names or t.num_rows == 0:
             return empty
-        df = t.to_pandas()
-        c12 = df.groupby(["lw", "rw"], sort=False)["occ"].transform("sum")
-        c1 = df.groupby("lw", sort=False)["occ"].transform("sum")
-        lp = df["occ"].to_numpy() * np.log(
-            c12.to_numpy(dtype=np.float64) / c1.to_numpy(dtype=np.float64))
-        agg = (df.assign(lp=lp).groupby("doc_id", sort=False)
-               .agg(s_lp=("lp", "sum"), n_bi=("occ", "sum")).reset_index())
-        return pa.table({"doc_id": pa.array(agg["doc_id"], pa.int64()),
-                         "s_lp": pa.array(agg["s_lp"], pa.float64()),
-                         "n_bi": pa.array(agg["n_bi"], pa.int64())})
+        # exact c12 per distinct bigram of this partition (lh routes by
+        # lw, so the partition holds EVERY occurrence of its left tokens)
+        g = t.group_by("bg").aggregate([("occ", "sum")])
+        bg = g["bg"]
+        if isinstance(bg, pa.ChunkedArray):
+            bg = bg.combine_chunks()
+        c12 = g["occ_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lw = pc.list_element(pc.split_pattern(bg, " ", max_splits=1), 0)
+        g1 = pa.table({"lw": lw, "c": g["occ_sum"]}).group_by("lw") \
+            .aggregate([("c", "sum")])
+        cpos = pc.index_in(lw, value_set=g1["lw"]) \
+            .to_numpy(zero_copy_only=False)
+        c1 = g1["c_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)[cpos]
+        lp = np.log(c12 / c1)
+        # gather lp back onto the doc rows, fold to per-doc partials
+        dpos = pc.index_in(t["bg"], value_set=bg) \
+            .to_numpy(zero_copy_only=False)
+        occ = t["occ"].to_numpy(zero_copy_only=False)
+        d = pa.table({"doc_id": t["doc_id"],
+                      "s_lp": pa.array(occ * lp[dpos], pa.float64()),
+                      "n_bi": t["occ"]}).group_by("doc_id") \
+            .aggregate([("s_lp", "sum"), ("n_bi", "sum")])
+        return pa.table({"doc_id": d["doc_id"], "s_lp": d["s_lp_sum"],
+                         "n_bi": pc.cast(d["n_bi_sum"], pa.int64())})
 
     def per_doc(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -5553,7 +5582,7 @@ def bigram_logprob(sf_dir: str):
 
     rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         doc_bigrams, batch_format="pyarrow")
-    partials = _hash_reduce(rows, ["lw"], per_left, num_partitions=None)
+    partials = _hash_reduce(rows, ["lh"], per_left, num_partitions=None)
     return _hash_reduce(partials, ["doc_id"], per_doc)
 
 
@@ -7480,10 +7509,7 @@ def host_share(sf_dir: str):
     driver groupby of B x |sources| ints; share = one IEEE division of
     exact ints (total from parquet metadata).  Output:
     (source, n_docs, share, rank) ranked by (count desc, source asc)."""
-    import pyarrow.parquet as _pq
-
-    total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows \
-        if not os.path.isdir(f"{sf_dir}/documents.parquet") else None
+    total = _parquet_rows(f"{sf_dir}/documents.parquet")
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by("source").aggregate([([], "count_all")])
@@ -7619,9 +7645,7 @@ def degree_distribution(sf_dir: str, num_partitions: int = 8) -> pa.Table:
                        ["node"], degree_fold)
     parts = [t for t in ray.get(red.to_arrow_refs())
              if t.num_columns > 0 and t.num_rows > 0]
-    import pyarrow.parquet as _pq
-
-    n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_total = _parquet_rows(f"{sf_dir}/documents.parquet")
     if parts:
         h = pa.concat_tables(parts).group_by("degree") \
             .aggregate([("cnt", "sum")])
