@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(131 queries, 122 oracle-checked; the nine approximate/iterative ops are
+(133 queries, 124 oracle-checked; the nine approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -378,6 +378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": datapipe.vocab_coverage,
         "degree_distribution": datapipe.degree_distribution,
         "mix_weights": datapipe.mix_weights,
+        "perplexity_buckets": datapipe.perplexity_buckets,
+        "hits_scores": datapipe.hits_scores,
     }
     return _driver_rotate(q)
 
@@ -1308,6 +1310,58 @@ def oracle_sql() -> dict[str, str]:
         FROM t LEFT JOIN h USING (doc_id)
         WHERE t.doc_id % 211 <> 0
     """
+    sql["perplexity_buckets"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE term <> '' GROUP BY 1, 2),
+        cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS T FROM cf),
+        lp AS (SELECT tf.doc_id,
+                      round(sum(tf.tf * ln(CAST(cf.cf AS DOUBLE) / tot.T))
+                            / sum(tf.tf), 6) AS logprob
+               FROM tf JOIN cf USING (term), tot
+               GROUP BY tf.doc_id)
+        SELECT doc_id, logprob,
+               CAST(ntile(3) OVER (ORDER BY logprob DESC, doc_id)
+                    AS BIGINT) AS bucket
+        FROM lp
+    """
+    _hits_iters = 2
+    _hits = ["""
+        nodes AS (SELECT doc_id AS node FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        e0 AS (SELECT doc_id AS u,
+                      unnest([3*doc_id+1, 3*doc_id+2, 3*doc_id+3,
+                              CASE WHEN doc_id >= 1 THEN doc_id // 2 END])
+                        AS v
+               FROM documents),
+        edges AS (SELECT u, v FROM e0
+                  WHERE v IS NOT NULL AND v IN (SELECT node FROM nodes)),
+        h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS v FROM nodes)"""]
+    for _i in range(1, _hits_iters + 1):
+        _hits.append(f"""
+        a{_i}r AS (SELECT n.node, coalesce(s.m, 0) AS v
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.v AS node, sum(h.v) AS m FROM edges e
+                   JOIN h{_i - 1} h ON h.node = e.u GROUP BY e.v) s
+                 USING (node)),
+        a{_i} AS (SELECT node, round(v / (SELECT sum(v) FROM a{_i}r), 12) AS v
+                FROM a{_i}r),
+        h{_i}r AS (SELECT n.node, coalesce(s.m, 0) AS v
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.u AS node, sum(a.v) AS m FROM edges e
+                   JOIN a{_i} a ON a.node = e.v GROUP BY e.u) s
+                 USING (node)),
+        h{_i} AS (SELECT node, round(v / (SELECT sum(v) FROM h{_i}r), 12) AS v
+                FROM h{_i}r)""")
+    sql["hits_scores"] = (
+        "WITH " + ",".join(_hits)
+        + f"""
+        SELECT h.node AS doc_id, round(h.v, 6) AS hub,
+               round(a.v, 6) AS auth
+        FROM h{_hits_iters} h JOIN a{_hits_iters} a USING (node)""")
     sql["unigram_logprob"] = f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term

@@ -367,6 +367,9 @@ def main():
     queries["top_terms_per_lang"] = round(
         timed(datapipe.top_terms_per_lang, SF_DIR), 3)
     queries["rrf_fuse"] = round(timed(datapipe.rrf_fuse, SF_DIR), 3)
+    queries["perplexity_buckets"] = round(
+        timed(datapipe.perplexity_buckets, SF_DIR), 3)
+    queries["hits_scores"] = round(timed(datapipe.hits_scores, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -297,3 +297,64 @@ def test_degree_distribution_brute_force(ray_session, tmp_path):
     want = collections.Counter(deg.values())
     assert dict(got) == dict(want)
     assert got.sum() == len(present)               # every node counted once
+
+
+def test_perplexity_buckets_planted_tiers(ray_session, tmp_path):
+    """9 docs: 3 of a very common token (highest logprob -> bucket 1),
+    3 mixed, 3 of unique rare tokens (lowest -> bucket 3); NTILE fill is
+    exact thirds."""
+    from tests.test_spans_hitters import _write_docs
+
+    texts = (["common common common"] * 3
+             + ["common mid%d common" % i for i in range(3)]
+             + ["rare%da rare%db rare%dc" % (i, i, i) for i in range(3)])
+    _write_docs(tmp_path, list(range(9)), texts)
+    got = _collect(datapipe.perplexity_buckets(str(tmp_path), k=3)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["bucket"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    # head docs' logprob: every token is 'common' (cf=15 of T=27)
+    lp_head = round(float(np.log(15 / 27.0)), 6)
+    assert np.allclose(got.loc[:2, "logprob"], lp_head, atol=1e-9)
+
+
+def test_perplexity_buckets_remainder_fill(ray_session, tmp_path):
+    """NTILE(3) over 7 docs -> buckets sized 3,2,2 (SQL contract)."""
+    from tests.test_spans_hitters import _write_docs
+
+    # strictly decreasing predictability: doc i repeats token 'w' i times
+    # then pads with unique tokens, so logprob strictly orders by doc
+    texts = [" ".join(["w"] * (7 - i) + [f"u{i}x{j}" for j in range(i)])
+             for i in range(7)]
+    _write_docs(tmp_path, list(range(7)), texts)
+    got = _collect(datapipe.perplexity_buckets(str(tmp_path), k=3)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["bucket"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_hits_scores_matches_numpy_power_iteration(ray_session, tmp_path):
+    """80-node graph: brute-force HITS with the same edge rule,
+    normalization, and per-half-iteration round-12 in numpy must match the
+    distributed result exactly at the round-6 output grid."""
+    from tests.test_spans_hitters import _write_docs
+
+    n = 80
+    _write_docs(tmp_path, list(range(n)), ["t"] * n)
+    A = np.zeros((n, n))
+    for u in range(n):
+        for b in (1, 2, 3):
+            if 3 * u + b < n:
+                A[u, 3 * u + b] = 1.0
+        if u >= 1:
+            A[u, u // 2] = 1.0
+    h = np.full(n, 1.0 / n)
+    for _ in range(2):
+        a = np.round((A.T @ h) / (A.T @ h).sum(), 12)
+        h = np.round((A @ a) / (A @ a).sum(), 12)
+    got = _collect(datapipe.hits_scores(str(tmp_path), iters=2)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == n
+    assert np.allclose(got["auth"], np.round(a, 6), atol=1e-9)
+    assert np.allclose(got["hub"], np.round(h, 6), atol=1e-9)
+    # authorities concentrate on low ids (every node backlinks toward the
+    # root region), hubs too — sanity: node 1 beats the childless tail
+    assert got.loc[1, "auth"] > got.loc[n - 1, "auth"]

@@ -7697,3 +7697,196 @@ def mix_weights(sf_dir: str, alpha: float = 0.7):
     return pa.table({"source": srt["source"],
                      "n_docs": pc.cast(srt["n_sum"], pa.int64()),
                      "weight": pa.array(w, pa.float64())})
+
+
+# ------------------------------------------------- round-5 additions (2)
+
+
+@ray.remote
+def _attach_bucket(t: pa.Table, base: int, total: int, k: int) -> pa.Table:
+    """NTILE(k) attach for an already-globally-sorted block: bucket is a
+    pure function of the row's global ordinal (base + local index), so
+    each block labels itself with one int of driver coordination."""
+    rank0 = base + np.arange(t.num_rows, dtype=np.int64)
+    size, rem = divmod(total, k)
+    big = rem * (size + 1)
+    tile = np.where(rank0 < big, rank0 // (size + 1),
+                    rem + (rank0 - big) // max(size, 1)) + 1
+    return t.append_column("bucket", pa.array(tile, pa.int64()))
+
+
+def perplexity_buckets(sf_dir: str, k: int = 3):
+    """CCNet-style quality tiers: every doc's mean unigram log-probability
+    under the corpus's own LM (see :func:`unigram_logprob`) bucketed into
+    ``k`` tiers by EXACT global NTILE over (logprob desc, doc_id) —
+    bucket 1 = head (most predictable text), bucket ``k`` = tail.  The
+    standard first split before per-tier sampling rates in a training-data
+    curation pipeline (CCNet buckets on LM perplexity, which is a
+    monotone transform of mean logprob, so the tiers are identical while
+    staying libm-free).
+
+    Scale shape: the logprob stage is :func:`unigram_logprob`'s two hash
+    co-partitions (term-keyed score, doc-keyed fold); the NTILE stage is
+    :func:`length_ntile`'s distributed prefix-sum — one range sort, one
+    int per block to the driver, per-block attach tasks.  No stage
+    materializes the corpus on the driver.
+
+    Output: (doc_id, logprob[round 6], bucket 1..k); <1-token docs emit
+    no row (unigram_logprob's contract)."""
+    srt = unigram_logprob(sf_dir).sort(
+        [("logprob"), ("doc_id")], descending=[True, False]).materialize()
+    refs = srt.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    total = int(sum(counts))
+    bases = np.r_[0, np.cumsum(counts)][:-1]
+    return ray.data.from_arrow_refs(
+        [_attach_bucket.remote(r, int(b), total, k)
+         for r, b in zip(refs, bases)])
+
+
+def hits_scores(sf_dir: str, iters: int = 2, branching: int = 3):
+    """HITS hubs & authorities over the same synthetic link graph as
+    :func:`pagerank` (doc d -> 3d+1..3d+3 where the child exists, plus
+    the d -> d//2 backlink): ``iters`` mutual-reinforcement rounds,
+    a_i = sum of h_j over in-edges, h_i = sum of a_j over out-edges,
+    each vector L1-normalized per half-iteration — the second classic
+    link-analysis score a crawl stage derives (hub quality for frontier
+    prioritization, authority for ranking).
+
+    Scale shape: like :func:`pagerank`, the score vector LIVES AS A
+    DATASET between half-iterations; each half is one streamed
+    map_batches emitting per-edge contribution rows (edge existence via
+    the :class:`~upton_ray.seen.IdMembership` shard actors, in-/out-
+    neighbors derived arithmetically so no edge table is ever stored)
+    block-combined, then one node-keyed hash_reduce; the L1 norm is a
+    streamed Dataset.sum (a scalar to the driver).  Contributions are
+    divided by the UN-rounded norm then rounded to 12 per half-iteration
+    (values sit ~1e-6, reassociation noise ~1e-19 — far under the grid —
+    so cross-engine sums cannot compound), 6 on output.
+
+    Output: (doc_id, hub, auth), both round-6."""
+    from upton_ray.seen import IdMembership
+
+    n_docs = _parquet_rows(f"{sf_dir}/documents.parquet")
+    member = IdMembership(num_shards=4)
+
+    def ingest(b: pa.Table) -> pa.Table:
+        member.add(b["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]) \
+        .map_batches(ingest, batch_format="pyarrow").count()
+    member.finalize()
+
+    def fwd_emit(b: pa.Table) -> pa.Table:
+        """(dst, h_src) per existing out-edge + a self zero-row per node
+        (keeps sink nodes in the state), block-combined."""
+        u = b["node"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        m = len(u)
+        kids = (u[:, None] * branching
+                + np.arange(1, branching + 1,
+                            dtype=np.int64)[None, :]).ravel()
+        back = u // 2
+        tgt = np.concatenate([kids, back])
+        src = np.concatenate([np.repeat(np.arange(m), branching),
+                              np.arange(m)])
+        valid = np.ones(len(tgt), dtype=bool)
+        valid[branching * m:] = u >= 1          # node 0 has no backlink
+        ex = np.zeros(len(tgt), dtype=bool)
+        if valid.any():
+            ex[valid] = member.contains(tgt[valid])
+        node = np.concatenate([tgt[ex], u])
+        c = np.concatenate([v[src[ex]], np.zeros(m)])
+        g = pa.table({"node": pa.array(node, pa.int64()),
+                      "c": pa.array(c, pa.float64())}) \
+            .group_by("node").aggregate([("c", "sum")])
+        return pa.table({"node": g["node"], "c": g["c_sum"]})
+
+    def rev_emit(b: pa.Table) -> pa.Table:
+        """(in-neighbor, a_node) per existing in-edge of each node: the
+        tree parent (j-1)//3 and the backlink sources {2j, 2j+1}, all
+        membership-checked — the arithmetic transpose of fwd_emit."""
+        u = b["node"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        m = len(u)
+        parent = (u - 1) // branching
+        bk = np.stack([2 * u, 2 * u + 1]).ravel()
+        tgt = np.concatenate([parent, bk])
+        src = np.concatenate([np.arange(m), np.tile(np.arange(m), 2)])
+        valid = np.ones(len(tgt), dtype=bool)
+        valid[:m] = u >= 1                       # root has no parent edge
+        valid[m:] = bk >= 1                      # backlink src must be >=1
+        ex = np.zeros(len(tgt), dtype=bool)
+        if valid.any():
+            ex[valid] = member.contains(tgt[valid])
+        node = np.concatenate([tgt[ex], u])
+        c = np.concatenate([v[src[ex]], np.zeros(m)])
+        g = pa.table({"node": pa.array(node, pa.int64()),
+                      "c": pa.array(c, pa.float64())}) \
+            .group_by("node").aggregate([("c", "sum")])
+        return pa.table({"node": g["node"], "c": g["c_sum"]})
+
+    def part_raw(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        g = t.group_by("node").aggregate([("c", "sum")])
+        return pa.table({"node": g["node"], "v": g["c_sum"]})
+
+    def _half(state, emit):
+        raw = _hash_reduce(
+            state.map_batches(emit, batch_format="pyarrow"),
+            ["node"], part_raw).materialize()
+        s = raw.sum("v")
+        norm = float(s if not isinstance(s, dict) else s["sum(v)"]) or 1.0
+        return raw.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "v": pa.array(np.round(
+                    b["v"].to_numpy(zero_copy_only=False) / norm, 12),
+                    pa.float64())}),
+            batch_format="pyarrow").materialize()
+
+    h0 = 1.0 / n_docs
+    hub = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pa.table({
+            "node": b["doc_id"],
+            "v": pa.array(np.full(b.num_rows, h0), pa.float64())}),
+        batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, fwd_emit)     # a from h (in-edge sums)
+        hub = _half(auth, rev_emit)     # h from a (out-edge sums)
+    member.kill()
+
+    # zip the two complete node-keyed vectors into one row per node
+    tag_a = auth.map_batches(
+        lambda b: pa.table({"node": b["node"], "a": b["v"],
+                            "h": pa.array(np.zeros(b.num_rows),
+                                          pa.float64())}),
+        batch_format="pyarrow")
+    tag_h = hub.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "a": pa.array(np.zeros(b.num_rows),
+                                          pa.float64()),
+                            "h": b["v"]}),
+        batch_format="pyarrow")
+
+    def zip_part(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hub": pa.array([], pa.float64()),
+                             "auth": pa.array([], pa.float64())})
+        g = t.group_by("node").aggregate([("a", "sum"), ("h", "sum")])
+        return pa.table({
+            "doc_id": g["node"],
+            "hub": pa.array(np.round(
+                g["h_sum"].to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+            "auth": pa.array(np.round(
+                g["a_sum"].to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+
+    return _hash_reduce(tag_a.union(tag_h), ["node"], zip_part)
