@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(133 queries, 124 oracle-checked; the nine approximate/iterative ops are
+(137 queries, 128 oracle-checked; the nine approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -380,6 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_weights": datapipe.mix_weights,
         "perplexity_buckets": datapipe.perplexity_buckets,
         "hits_scores": datapipe.hits_scores,
+        "gopher_rules": datapipe.gopher_rules,
+        "normalize_text": datapipe.normalize_text,
+        "host_cap": datapipe.host_cap,
+        "media_ref_dedup": datapipe.media_ref_dedup,
     }
     return _driver_rotate(q)
 
@@ -1362,6 +1366,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.node AS doc_id, round(h.v, 6) AS hub,
                round(a.v, 6) AS auth
         FROM h{_hits_iters} h JOIN a{_hits_iters} a USING (node)""")
+    sql["gopher_rules"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_words,
+                 CAST(len(regexp_extract_all(text, '\S')) AS BIGINT)
+                   AS n_nonspace,
+                 CAST(len(regexp_extract_all(text,
+                          '[^\s]*[A-Za-z][^\s]*')) AS BIGINT)
+                   AS n_alpha,
+                 CAST(len(regexp_extract_all(text, '#'))
+                      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+                   AS n_sym
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_words,
+                 CAST(n_nonspace AS DOUBLE)
+                   / greatest(n_words, 1) AS mean_word_len,
+                 CAST(n_sym AS DOUBLE) / greatest(n_words, 1)
+                   AS symbol_ratio,
+                 CAST(n_alpha AS DOUBLE) / greatest(n_words, 1)
+                   AS alpha_ratio
+          FROM s)
+        SELECT doc_id, n_words,
+               CASE WHEN n_words = 0 THEN NULL
+                    ELSE mean_word_len END AS mean_word_len,
+               CASE WHEN n_words = 0 THEN NULL
+                    ELSE symbol_ratio END AS symbol_ratio,
+               CASE WHEN n_words = 0 THEN NULL
+                    ELSE alpha_ratio END AS alpha_ratio,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+                AND n_words > 0) AS keep
+        FROM r
+    """
+    sql["normalize_text"] = r"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+                   AS norm_text
+          FROM documents)
+        SELECT doc_id, norm_text,
+               CAST(length(norm_text) AS BIGINT) AS n_norm
+        FROM n
+    """
+    sql["host_cap"] = """
+        SELECT doc_id, source, n_chars, rk
+        FROM (SELECT doc_id, source, n_chars,
+                     CAST(ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+              FROM documents)
+        WHERE rk <= 3
+    """
+    sql["media_ref_dedup"] = """
+        SELECT 'assets/' || CAST(doc_id % 97 AS VARCHAR) || '.img'
+                 AS media_ref,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM documents
+        GROUP BY 1
+    """
     sql["unigram_logprob"] = f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term

@@ -7890,3 +7890,152 @@ def hits_scores(sf_dir: str, iters: int = 2, branching: int = 3):
                 pa.float64())})
 
     return _hash_reduce(tag_a.union(tag_h), ["node"], zip_part)
+
+
+# --------------------------------------------- round-5b curation operators
+
+
+def gopher_rules(sf_dir: str):
+    """Gopher-style document quality rules (Rae et al. 2021 appendix A1.1)
+    — the standard pre-training keep/drop gate: word count bounds, mean
+    word length bounds, symbol-to-word ratio ('#' and '...'), and the
+    fraction of words containing an alphabetic character.
+
+    Exactness: the four counts are ints from identical RE2 patterns on
+    both engines (pyarrow and DuckDB both ship RE2, both count
+    non-overlapping leftmost matches); every ratio is ONE IEEE division of
+    exact ints, and the keep predicate compares those doubles with the
+    same literals, so the boolean is bit-determined.  Empty docs (0 words)
+    emit NULL ratios and keep=false.
+
+    Scale shape: stateless vectorized map, embarrassingly parallel.
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    keep)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        w = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(pc.count_substring_regex(text, pattern=r"\S"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        aw = pc.cast(pc.count_substring_regex(
+            text, pattern=r"[^\s]*[A-Za-z][^\s]*"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        sym = pc.cast(pc.add(
+            pc.count_substring_regex(text, pattern=r"#"),
+            pc.count_substring_regex(text, pattern=r"\.\.\.")),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        w1 = np.maximum(w, 1)                       # masked where w == 0
+        mwl = c / w1
+        sr = sym / w1
+        ar = aw / w1
+        keep = ((w >= 50) & (w <= 100_000)
+                & (mwl >= 3.0) & (mwl <= 10.0)
+                & (sr <= 0.1) & (ar >= 0.8))
+        mask = w == 0
+        keep[mask] = False
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(w, pa.int64()),
+            "mean_word_len": pa.Array.from_pandas(mwl, mask=mask,
+                                                  type=pa.float64()),
+            "symbol_ratio": pa.Array.from_pandas(sr, mask=mask,
+                                                 type=pa.float64()),
+            "alpha_ratio": pa.Array.from_pandas(ar, mask=mask,
+                                                type=pa.float64()),
+            "keep": pa.array(keep, pa.bool_())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def normalize_text(sf_dir: str):
+    """Canonical text normalization — the first stage of every dedup /
+    tokenize pipeline: lowercase, collapse every whitespace run to one
+    space, strip leading/trailing spaces.  Same derivation as the module's
+    shingling `_NORM` contract, surfaced as a standalone operator so
+    downstream exact-dedup keys are engine-reproducible.
+
+    Exactness: pc.utf8_lower and DuckDB lower() share Unicode simple
+    lowercasing; RE2 '\\s+' is the same class in both engines; the final
+    trim strips only ' ' (the collapse leaves no other edge whitespace).
+
+    Scale shape: stateless vectorized map.  Output: (doc_id, norm_text,
+    n_norm)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "),
+            characters=" ")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "norm_text": norm,
+            "n_norm": pc.cast(pc.utf8_length(norm), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def host_cap(sf_dir: str, k: int = 3):
+    """Per-host document cap — keep each host's ``k`` longest documents
+    (n_chars desc, doc_id asc tiebreak), the domain-balance curation rule
+    web-scale corpora apply before mixing (a source stands in for a host,
+    as in the docweb URL derivation).
+
+    Scale shape: :func:`upton_ray.shuffle.grouped_top_n` — a per-block
+    combiner bounds the shuffle to k rows per host per block, then one
+    hash co-partition attaches the exact rank.  Output: (doc_id, source,
+    n_chars, rk)."""
+    from upton_ray.shuffle import grouped_top_n
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    return grouped_top_n(
+        docs, ["source"],
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        k, rn_col="rk")
+
+
+def media_ref_dedup(sf_dir: str, modulus: int = 97):
+    """Shared-asset collapse across interleaved documents: the trailing
+    ``media.img`` span's asset reference, derived as
+    ``assets/{doc_id % modulus}.img`` so mirrored/templated pages share
+    assets (the url_dedup convention), grouped to one row per distinct
+    asset with its page count and first (min doc_id) referencing page —
+    the fetch-each-asset-once planner every media crawl needs.
+
+    Scale shape: the :func:`dedup_exact` pattern — per-block (ref, count,
+    min doc) partials into one ref-keyed :func:`_hash_reduce` fold; the
+    exchange carries at most |assets| rows per block.  Output:
+    (media_ref, n_docs, first_doc)."""
+    EMPTY = pa.table({"media_ref": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "first_doc": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ref = pc.binary_join_element_wise(
+            "assets/",
+            pc.cast(pa.array(ids % modulus, pa.int64()), pa.string()),
+            ".img", "")
+        t = pa.table({"media_ref": ref,
+                      "doc_id": pa.array(ids, pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("media_ref").aggregate(
+            [("doc_id", "min"), ("one", "sum")])
+        return pa.table({"media_ref": g["media_ref"],
+                         "n_docs": pc.cast(g["one_sum"], pa.int64()),
+                         "first_doc": g["doc_id_min"]})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if "media_ref" not in t.column_names or t.num_rows == 0:
+            return EMPTY
+        g = t.group_by("media_ref").aggregate(
+            [("n_docs", "sum"), ("first_doc", "min")])
+        return pa.table({"media_ref": g["media_ref"],
+                         "n_docs": pc.cast(g["n_docs_sum"], pa.int64()),
+                         "first_doc": g["first_doc_min"]})
+
+    return _hash_reduce(
+        _docs(sf_dir, ["doc_id"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None),
+        ["media_ref"], fold)
