@@ -394,8 +394,9 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
     The driver records a CORRECTNESS row for only the FIRST 50 entries of
     this dict (observed in CORRECTNESS_r01..r04: 39/49/50/50 rows, always a
     dict-order prefix).  Rounds 1-4 therefore covered the same 51 keys and
-    left 65 queries with no driver-side row (VERDICT r4, "What's missing"
-    item 1).  This round rotates: the never-driver-checked queries come
+    left the rest (86 of 137 at round-5 close) with no driver-side row
+    (VERDICT r4, "What's missing" item 1).  This round rotates: the
+    never-driver-checked queries come
     first so they land in the snapshot window.  Within that block the
     ordering is deliberate:
 

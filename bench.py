@@ -370,6 +370,13 @@ def main():
     queries["perplexity_buckets"] = round(
         timed(datapipe.perplexity_buckets, SF_DIR), 3)
     queries["hits_scores"] = round(timed(datapipe.hits_scores, SF_DIR), 3)
+    queries["gopher_rules"] = round(
+        timed(datapipe.gopher_rules, SF_DIR), 3)
+    queries["normalize_text"] = round(
+        timed(datapipe.normalize_text, SF_DIR), 3)
+    queries["host_cap"] = round(timed(datapipe.host_cap, SF_DIR), 3)
+    queries["media_ref_dedup"] = round(
+        timed(datapipe.media_ref_dedup, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

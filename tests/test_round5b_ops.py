@@ -78,3 +78,23 @@ def test_media_ref_dedup_collision_counts(ray_session, tmp_path):
     assert byref["assets/0.img"] == (3, 0)
     assert byref["assets/1.img"] == (3, 1)
     assert byref["assets/4.img"] == (2, 4)
+
+
+def test_unigram_logprob_broadcast_equals_partitioned(ray_session,
+                                                      tmp_path):
+    # the v2 vocab-broadcast fast path and the partitioned fallback
+    # (forced via broadcast_limit_bytes=0) must produce identical rows
+    rng = np.random.RandomState(3)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(1, 30)))
+             for _ in range(200)] + ["", "   "]
+    _write_docs(tmp_path, texts)
+    fast = _collect(datapipe.unigram_logprob(str(tmp_path))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = _collect(datapipe.unigram_logprob(str(tmp_path),
+                                             broadcast_limit_bytes=0)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(fast) == 200                     # empty docs emit no row
+    assert fast["doc_id"].tolist() == slow["doc_id"].tolist()
+    assert np.allclose(fast["logprob"].to_numpy(),
+                       slow["logprob"].to_numpy(), rtol=0, atol=0)

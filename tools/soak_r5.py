@@ -282,6 +282,55 @@ def main():
                           "driver_rss_delta_mb": rss_knn}
         print("# knn_50k:", json.dumps(res["knn_50k"]))
 
+    if "r5b" in ops:
+        # the six newest oracle-bearing ops at 1M docs, verified against
+        # the SAME oracle_sql() the driver gate uses — the documents view
+        # simply points at the 1M corpus instead of the sf tables
+        import __ray_entry__ as entrymod
+        from tools.check_queries import canon, to_pandas
+        docs = build_corpus(args.n_docs)
+        dglob = f"{docs}/documents.parquet/*.parquet"
+        conb = duckdb.connect()
+        conb.sql("PRAGMA memory_limit='48GB'")
+        conb.sql("PRAGMA threads=16")
+        conb.sql(f"CREATE VIEW documents AS "
+                 f"SELECT * FROM read_parquet('{dglob}')")
+        oracles = entrymod.oracle_sql()
+        qs = entrymod.queries()
+        for name in ("gopher_rules", "normalize_text", "host_cap",
+                     "media_ref_dedup", "perplexity_buckets",
+                     "hits_scores"):
+            rss0 = _maxrss_mb()
+            t0 = time.time()
+            out = qs[name](docs)
+            if hasattr(out, "materialize"):
+                out = out.materialize()
+            dt = time.time() - t0
+            rss_d = _rss_gate(name, rss0)
+            got = to_pandas(out)
+            t1 = time.time()
+            want = conb.sql(oracles[name]).df()
+            oracle_dt = time.time() - t1
+            assert sorted(got.columns) == sorted(want.columns), name
+            assert len(got) == len(want), (name, len(got), len(want))
+            g, x = canon(got), canon(want)
+            num = g.select_dtypes(include=[np.number]).columns
+            for c in g.columns:
+                if c in num:
+                    assert np.allclose(g[c].to_numpy(dtype=float),
+                                       x[c].to_numpy(dtype=float),
+                                       rtol=0, atol=1e-9,
+                                       equal_nan=True), (name, c)
+                else:
+                    assert (g[c].to_numpy() == x[c].to_numpy()).all(), \
+                        (name, c)
+            res[name] = {"sec": round(dt, 1), "rows": len(got),
+                         "docs_per_sec": round(args.n_docs / dt, 1),
+                         "oracle_sec": round(oracle_dt, 1),
+                         "exact_1e9": True,
+                         "driver_rss_delta_mb": rss_d}
+            print(f"# {name}:", json.dumps(res[name]))
+
     ray.shutdown()
     print(json.dumps(res))
 

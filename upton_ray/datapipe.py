@@ -3216,18 +3216,106 @@ def group_quantiles(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
                      "val": pa.array(out["val"], pa.float64())})
 
 
-def unigram_logprob(sf_dir: str):
+def unigram_logprob(sf_dir: str, broadcast_limit_bytes: int = 2 << 30):
     """Model-based quality scoring with a corpus-trained unigram LM: each
     doc's mean token log-probability under the corpus' own unigram
     distribution (low = gibberish / rare-token soup, the classic cheap
     quality filter before perplexity models).
 
-    Scale shape: NO vocabulary broadcast — the global term count attaches to
-    the (doc_id, term, tf) rows through a term-keyed hash co-partition
-    (a term's global count is a within-partition bincount), then a second
-    doc-keyed hash co-partition folds the contributions. Total token
-    count T comes from a one-column streamed sum."""
+    Scale shape (v2, the pmi_bigrams-v2 lesson): the vocabulary count
+    table is built from per-block (term, tf) partials through ONE
+    vocab-bounded term-keyed exchange, then BROADCAST (ray.put) into a
+    single scoring pass that explodes, joins cf via pc.index_in and folds
+    per doc entirely in-block — the corpus-sized (doc_id, term, tf) rows
+    never leave their task.  v1 exchanged those ~tokens-sized rows through
+    two hash co-partitions (64.7 s at 1M docs inside perplexity_buckets);
+    a tokenizer vocabulary is the classic broadcastable small side (1e8
+    terms ~ 2 GB is the cutoff), and past ``broadcast_limit_bytes`` the
+    original partitioned two-exchange path below takes over unchanged.
+    Total token count T = sum(cf), an exact int fold."""
     import pyarrow.parquet as _pq  # noqa: F401  (parity with tfidf imports)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "logprob": pa.array([], pa.float64())})
+    V_EMPTY = pa.table({"term": pa.array([], pa.string()),
+                        "tf": pa.array([], pa.int64())})
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        toks = b["text"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(_norm_text(toks),
+                                                pattern=" "))
+        t = pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
+        if t.num_rows == 0:
+            return V_EMPTY
+        g = t.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "tf": pc.cast(g["count_all"], pa.int64())})
+
+    def vocab_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return V_EMPTY
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        return pa.table({"term": g["term"],
+                         "tf": pc.cast(g["tf_sum"], pa.int64())})
+
+    vocab = _hash_reduce(
+        docs.map_batches(tf_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["term"], vocab_fold).materialize()
+
+    if vocab.size_bytes() <= broadcast_limit_bytes:
+        parts = [t for t in ray.get(vocab.to_arrow_refs())
+                 if t.num_rows > 0 and "term" in t.column_names]
+        if not parts:
+            return ray.data.from_arrow(EMPTY)
+        vt = pa.concat_tables(parts)
+        terms_pa = vt["term"].combine_chunks()
+        cf_np = vt["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        T = float(int(pc.sum(vt["tf"]).as_py()))   # exact: < 2^53 tokens
+        v_ref = ray.put((terms_pa, cf_np))
+
+        def score(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return EMPTY
+            toks = b["text"]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            toks = pc.split_pattern(_norm_text(toks), pattern=" ")
+            n_per = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            t = pa.table({
+                "doc_id": pa.array(np.repeat(
+                    b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                    pa.int64()),
+                "term": pc.list_flatten(toks)})
+            t = t.filter(pc.not_equal(t["term"], ""))
+            if t.num_rows == 0:
+                return EMPTY
+            g = t.group_by(["doc_id", "term"]).aggregate(
+                [([], "count_all")])
+            terms_s, cf_s = ray.get(v_ref)      # zero-copy plasma view
+            idx = pc.index_in(g["term"].combine_chunks(),
+                              value_set=terms_s) \
+                .to_numpy(zero_copy_only=False)
+            tf = pc.cast(g["count_all"], pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            contrib = tf * np.log(cf_s[idx] / T)   # same per-(doc,term)
+            #   arithmetic as the partitioned path / SQL oracle
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            uid, inv = np.unique(ids, return_inverse=True)
+            s = np.bincount(inv, weights=contrib)
+            n = np.bincount(inv, weights=tf)
+            return pa.table({
+                "doc_id": pa.array(uid, pa.int64()),
+                "logprob": pa.array(np.round(s / n, 6), pa.float64())})
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # ------- partitioned fallback (vocab past the broadcast cutoff):
+    # the v1 two-exchange shape — term-keyed score, doc-keyed fold
 
     def explode(b: pa.Table) -> pa.Table:
         toks = b["text"]
