@@ -98,3 +98,18 @@ def test_unigram_logprob_broadcast_equals_partitioned(ray_session,
     assert fast["doc_id"].tolist() == slow["doc_id"].tolist()
     assert np.allclose(fast["logprob"].to_numpy(),
                        slow["logprob"].to_numpy(), rtol=0, atol=0)
+
+
+def test_tfidf_broadcast_equals_partitioned(ray_session, tmp_path):
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(1, 25)))
+             for _ in range(150)] + ["", "  "]
+    _write_docs(tmp_path, texts)
+    fast = _collect(datapipe.tfidf_top_term(str(tmp_path))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = _collect(datapipe.tfidf_top_term(str(tmp_path),
+                                            broadcast_limit_bytes=0)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(fast) == 150
+    assert fast.values.tolist() == slow.values.tolist()

@@ -2555,20 +2555,109 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     })
 
 
-def tfidf_top_term(sf_dir: str, idf_scale: int = 1000):
-    """Per-document top TF-IDF term (keyword extraction) — the text-analysis
-    op that needs a LARGE-LARGE join (every document's terms joined with the
-    global document-frequency table).  Ray Data has no join primitive; the
-    shape used here is SORT-SEGMENT CO-PARTITIONING: explode (doc_id, term,
-    tf) rows, hash co-partition by term (_hash_reduce), and compute each
-    term's df as a within-partition bincount in the same pass that scores
-    the rows — the "join" costs exactly one shuffle and no global sort;
-    a doc-keyed second pass picks each document's winner.
+def tfidf_top_term(sf_dir: str, idf_scale: int = 1000,
+                   broadcast_limit_bytes: int = 2 << 30):
+    """Per-document top TF-IDF term (keyword extraction) — every document's
+    terms joined with the global document-frequency table.
+
+    Scale shape (v2, the unigram_logprob/pmi_bigrams broadcast lesson):
+    per-block (term, df-partial) combiners fold through ONE vocab-bounded
+    term-keyed exchange; the df table is broadcast (ray.put) into a single
+    scoring pass that explodes, index_in-joins idf and picks each doc's
+    winner entirely in-block (a doc's rows never straddle blocks) — the
+    corpus-sized (doc_id, term, tf) rows never leave their task.  Past
+    ``broadcast_limit_bytes`` of vocabulary the original two-co-partition
+    path below takes over unchanged (term-keyed df+score, doc-keyed
+    winner).
 
     Scores are INTEGER-quantized — score = tf * ((n_docs * idf_scale) // df)
     — so the DuckDB oracle ranks identically with no libm/float-ulp
     ambiguity; ties break to the lexicographically smallest term."""
     n_docs = _parquet_rows(f"{sf_dir}/documents.parquet")
+    W_EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "top_term": pa.array([], pa.string()),
+                        "score": pa.array([], pa.int64())})
+    V_EMPTY = pa.table({"term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64())})
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                pa.int64()),
+            "term": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        if t.num_rows == 0:
+            return V_EMPTY
+        # one row per (doc, term) => per-term row count is this block's df
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")]) \
+            .group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "df": pc.cast(g["count_all"], pa.int64())})
+
+    def df_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return V_EMPTY
+        g = t.group_by("term").aggregate([("df", "sum")])
+        return pa.table({"term": g["term"],
+                         "df": pc.cast(g["df_sum"], pa.int64())})
+
+    dfv = _hash_reduce(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            df_partial, batch_format="pyarrow", batch_size=None),
+        ["term"], df_fold).materialize()
+
+    if dfv.size_bytes() <= broadcast_limit_bytes:
+        parts = [t for t in ray.get(dfv.to_arrow_refs())
+                 if t.num_rows > 0 and "term" in t.column_names]
+        if not parts:
+            return ray.data.from_arrow(W_EMPTY)
+        vt = pa.concat_tables(parts)
+        idf_np = ((n_docs * idf_scale)
+                  // vt["df"].to_numpy(zero_copy_only=False))
+        v_ref = ray.put((vt["term"].combine_chunks(), idf_np))
+
+        def score_pick(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return W_EMPTY
+            toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+            n_per = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            t = pa.table({
+                "doc_id": pa.array(np.repeat(
+                    b["doc_id"].to_numpy(zero_copy_only=False), n_per),
+                    pa.int64()),
+                "term": pc.list_flatten(toks)})
+            t = t.filter(pc.not_equal(t["term"], ""))
+            if t.num_rows == 0:
+                return W_EMPTY
+            g = t.group_by(["doc_id", "term"]).aggregate(
+                [([], "count_all")])
+            terms_s, idf_s = ray.get(v_ref)    # zero-copy plasma view
+            idx = pc.index_in(g["term"].combine_chunks(),
+                              value_set=terms_s) \
+                .to_numpy(zero_copy_only=False)
+            tf = pc.cast(g["count_all"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            scored = pa.table({
+                "doc_id": g["doc_id"], "term": g["term"],
+                "score": pa.array(tf * idf_s[idx], pa.int64())})
+            scored = scored.sort_by(
+                [("doc_id", "ascending"), ("score", "descending"),
+                 ("term", "ascending")])
+            d = scored["doc_id"].to_numpy(zero_copy_only=False)
+            first = np.r_[True, d[1:] != d[:-1]]
+            w = scored.filter(pa.array(first))
+            return pa.table({"doc_id": w["doc_id"],
+                             "top_term": w["term"],
+                             "score": w["score"]})
+
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            score_pick, batch_format="pyarrow")
+
+    # ------- partitioned fallback (vocab past the broadcast cutoff)
 
     def explode(b: pa.Table) -> pa.Table:
         # Arrow-native (doc_id, term, tf) explode: list-split + repeat the
