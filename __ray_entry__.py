@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(137 queries, 128 oracle-checked; the nine approximate/iterative ops are
+(139 queries, 128 oracle-checked; the eleven approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": datapipe.normalize_text,
         "host_cap": datapipe.host_cap,
         "media_ref_dedup": datapipe.media_ref_dedup,
+        "bpe_train": datapipe.bpe_train,
+        "bpe_encode": datapipe.bpe_encode,
     }
     return _driver_rotate(q)
 
@@ -421,6 +423,7 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
     ]
     rows_only_unchecked = [
         "ann_pq_rerank", "kmeans_clusters", "approx_quantiles", "ann_lsh",
+        "bpe_train", "bpe_encode",
     ]
     float_reassoc = [
         # oracle-checked at atol=1e-9 (tools/check_queries.py) but NOT

@@ -377,6 +377,8 @@ def main():
     queries["host_cap"] = round(timed(datapipe.host_cap, SF_DIR), 3)
     queries["media_ref_dedup"] = round(
         timed(datapipe.media_ref_dedup, SF_DIR), 3)
+    queries["bpe_train"] = round(timed(datapipe.bpe_train, SF_DIR), 3)
+    queries["bpe_encode"] = round(timed(datapipe.bpe_encode, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

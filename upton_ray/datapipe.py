@@ -8216,3 +8216,195 @@ def media_ref_dedup(sf_dir: str, modulus: int = 97):
         _docs(sf_dir, ["doc_id"]).map_batches(
             partial, batch_format="pyarrow", batch_size=None),
         ["media_ref"], fold)
+
+
+# ------------------------------------------------------ BPE tokenizer ops
+
+
+def _bpe_word_counts(sf_dir: str, limit_bytes: int):
+    """Distinct-word frequency table (word, n) — the corpus-scale stage of
+    BPE training: per-block combiners through ONE vocab-bounded word-keyed
+    exchange, collected to the driver (the merge loop runs on the distinct
+    words, never the corpus)."""
+    V_EMPTY = pa.table({"word": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["text"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(_norm_text(toks),
+                                                pattern=" "))
+        t = pa.table({"word": flat}).filter(pc.not_equal(flat, ""))
+        if t.num_rows == 0:
+            return V_EMPTY
+        g = t.group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": g["word"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "word" not in t.column_names:
+            return V_EMPTY
+        g = t.group_by("word").aggregate([("n", "sum")])
+        return pa.table({"word": g["word"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    wc = _hash_reduce(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None),
+        ["word"], fold).materialize()
+    if wc.size_bytes() > limit_bytes:
+        raise ValueError(
+            f"BPE word table {wc.size_bytes()} B exceeds the driver bound "
+            f"{limit_bytes} B — raise vocab_limit_bytes or pre-truncate "
+            "the vocabulary (BPE training state is inherently vocab-sized)")
+    parts = [t for t in ray.get(wc.to_arrow_refs())
+             if t.num_rows > 0 and "word" in t.column_names]
+    if not parts:
+        return None
+    # deterministic word order (the merge loop's tie-breaks do not depend
+    # on it, but run-to-run identical state aids debugging)
+    return pa.concat_tables(parts).sort_by([("word", "ascending")])
+
+
+def _bpe_merge_loop(words: np.ndarray, counts: np.ndarray, n_merges: int):
+    """The textbook BPE merge loop (Sennrich et al. 2016) over the
+    distinct-word table, vectorized: symbols live in ONE flat object array
+    with a word-id per symbol; each iteration counts adjacent pairs with
+    one np.unique+bincount, picks (count desc, left asc, right asc), and
+    applies the merge greedily left-to-right (alternate positions within
+    each consecutive-match run = the classic non-overlapping replace).
+
+    Returns (merges, flat, wid): the merge records and the final
+    segmentation state (flat symbols + word index), which IS each word's
+    BPE piece sequence under the learned merges."""
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    keep_w = lens > 0
+    words, counts, lens = words[keep_w], counts[keep_w], lens[keep_w]
+    flat = np.array(list("".join(words)), dtype=object)
+    wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        if len(flat) < 2:
+            break
+        valid = wid[1:] == wid[:-1]
+        if not valid.any():
+            break
+        L, R = flat[:-1][valid], flat[1:][valid]
+        wgt = counts[wid[:-1][valid]].astype(np.float64)  # exact < 2^53
+        keys = L + "\x01" + R       # '\x01' sorts below printable chars,
+        #   so key-ascending == (left, right)-ascending tie-break (numpy
+        #   silently strips '\x00' in unicode adds — do not use it)
+        uk, inv = np.unique(keys, return_inverse=True)
+        cnts = np.bincount(inv, weights=wgt)
+        best = np.lexsort((uk, -cnts))[0]
+        n_best = int(cnts[best])
+        if n_best < 2:
+            break                   # every remaining pair is unique
+        l, r = uk[best].split("\x01")
+        merges.append((rank, l, r, n_best))
+        m = np.zeros(len(flat) - 1, dtype=bool)
+        m[valid] = (L == l) & (R == r)
+        p = np.flatnonzero(m)
+        # greedy leftmost non-overlapping: within each run of consecutive
+        # match positions (which share a symbol), keep alternate ones
+        run_start = np.r_[True, np.diff(p) != 1]
+        run_id = np.cumsum(run_start) - 1
+        first = p[np.flatnonzero(run_start)][run_id]
+        p = p[((p - first) % 2) == 0]
+        flat[p] = l + r
+        drop = np.zeros(len(flat), dtype=bool)
+        drop[p + 1] = True
+        flat, wid = flat[~drop], wid[~drop]
+    return merges, flat, wid, words
+
+
+def bpe_train(sf_dir: str, n_merges: int = 30,
+              vocab_limit_bytes: int = 2 << 30):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``n_merges`` byte-pair merges from the corpus — the tokenizer-building
+    stage every LLM data pipeline runs before token counting/packing.
+
+    Scale shape: BPE trains on the distinct-WORD frequency table, so the
+    corpus-scale work is exactly a word count — per-block combiners into
+    one vocab-bounded exchange (:func:`_bpe_word_counts`); the merge loop
+    itself is vocab-bounded driver state (flat symbol array ~ total chars
+    of the DISTINCT vocabulary, not of the corpus), the same bounded-merge
+    contract as heavy_hitters/group_quantiles.  Not SQL-expressible
+    (iterative argmax) — rows-only gate; conformance vs a sequential
+    reference implementation is pinned in tests/test_bpe.py.
+
+    Determinism: merge choice = (pair count desc, left asc, right asc);
+    stops early when no pair repeats.  Output:
+    (rank, left, right, pair_count)."""
+    EMPTY = pa.table({"rank": pa.array([], pa.int64()),
+                      "left": pa.array([], pa.string()),
+                      "right": pa.array([], pa.string()),
+                      "pair_count": pa.array([], pa.int64())})
+    vt = _bpe_word_counts(sf_dir, vocab_limit_bytes)
+    if vt is None:
+        return EMPTY
+    words = np.asarray(vt["word"].to_pylist(), dtype=object)
+    counts = vt["n"].to_numpy(zero_copy_only=False)
+    merges, _, _, _ = _bpe_merge_loop(words, counts, n_merges)
+    if not merges:
+        return EMPTY
+    rk, l, r, n = zip(*merges)
+    return pa.table({"rank": pa.array(rk, pa.int64()),
+                     "left": pa.array(l, pa.string()),
+                     "right": pa.array(r, pa.string()),
+                     "pair_count": pa.array(n, pa.int64())})
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 30,
+               vocab_limit_bytes: int = 2 << 30):
+    """Per-document BPE piece count under the corpus-trained merges — the
+    token-budget signal sequence packing / pricing needs, end to end:
+    train (:func:`bpe_train`'s loop), then ONE streamed encode pass.
+
+    Scale shape: the final merge-loop state already IS each distinct
+    word's piece count, so encoding broadcasts a (word -> n_pieces) table
+    (ray.put) and each batch just splits, index_in-joins and folds per
+    doc — no per-word re-segmentation anywhere in the distributed pass,
+    no corpus-sized exchange at all.  Words outside the training
+    vocabulary count as their character length (the all-singles
+    fallback).  Output: (doc_id, n_pieces); empty docs emit 0."""
+    EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_pieces": pa.array([], pa.int64())})
+    vt = _bpe_word_counts(sf_dir, vocab_limit_bytes)
+    if vt is None:
+        return ray.data.from_arrow(EMPTY)
+    words = np.asarray(vt["word"].to_pylist(), dtype=object)
+    counts = vt["n"].to_numpy(zero_copy_only=False)
+    _, _, wid, kept_words = _bpe_merge_loop(words, counts, n_merges)
+    pieces = np.bincount(wid, minlength=len(kept_words)).astype(np.int64)
+    v_ref = ray.put((pa.array(kept_words, pa.string()), pieces))
+
+    def encode(b: pa.Table) -> pa.Table:
+        toks = b["text"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = pc.split_pattern(_norm_text(toks), pattern=" ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        vocab_pa, pieces_np = ray.get(v_ref)   # zero-copy plasma view
+        idx = pc.index_in(flat, value_set=vocab_pa)
+        idxn = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        known = ~np.isnan(idxn) & mask
+        per_tok = np.zeros(len(idxn), dtype=np.int64)
+        per_tok[known] = pieces_np[idxn[known].astype(np.int64)]
+        # OOV fallback: character count (an unmerged word is all singles)
+        oov = ~known & mask
+        if oov.any():
+            per_tok[oov] = pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False)[oov]
+        di = np.repeat(np.arange(len(ids), dtype=np.int64), n_per)
+        n_pieces = np.bincount(di, weights=per_tok,
+                               minlength=len(ids)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_pieces": pa.array(n_pieces, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow")
