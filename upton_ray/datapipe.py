@@ -8408,3 +8408,224 @@ def bpe_encode(sf_dir: str, n_merges: int = 30,
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ semdedup
+
+
+@ray.remote
+def _semdedup_part(t: pa.Table, threshold: float, chunk: int) -> pa.Table:
+    """Per-partition SemDeDup screen.  For every cell in this partition:
+    order its vectors by (cent_sim ASC, vec_id ASC) and drop a vector iff
+    its max cosine to any EARLIER vector in that order is >= threshold —
+    the paper's upper-triangular-max rule (keeps the LOWEST-centroid-
+    similarity member of each duplicate neighborhood, preserving the
+    cluster-edge diversity the method is designed for).  The triangular max
+    is chunked matmuls over the ordered matrix — no per-row Python, and no
+    n_c x n_c densification beyond one ``chunk x n_c`` slab at a time."""
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cell": pa.array([], pa.int64()),
+                      "cent_sim": pa.array([], pa.float64()),
+                      "keep": pa.array([], pa.bool_())})
+    if t is None or t.num_rows == 0:
+        return empty
+    t = t.sort_by([("cell", "ascending"), ("cent_sim", "ascending"),
+                   ("vec_id", "ascending")])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    cell = t["cell"].to_numpy(zero_copy_only=False)
+    csim = t["cent_sim"].to_numpy(zero_copy_only=False)
+    M = _emb_matrix(t)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    keep = np.ones(len(ids), dtype=bool)
+    starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+    bounds = np.r_[starts, len(ids)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        X = M[s:e]
+        n = e - s
+        for a in range(1, n, chunk):             # row 0 always kept
+            b = min(a + chunk, n)
+            sims = X[a:b] @ X[:b].T              # (b-a, b)
+            # mask self and later-ordered rows: col j counts only if j < i
+            ii = np.arange(a, b)[:, None]
+            sims[np.arange(b)[None, :] >= ii] = -1.0
+            keep[s + a:s + b] = sims.max(axis=1) < threshold
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cell": pa.array(cell, pa.int64()),
+                     "cent_sim": pa.array(csim, pa.float64()),
+                     "keep": pa.array(keep, pa.bool_())})
+
+
+def semdedup(sf_dir: str, k: int = 8, threshold: float = 0.92,
+             train_sample: int = 4096, chunk: int = 2048):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the cluster-then-
+    intra-cluster semantic dedup used to prune web-scale training corpora:
+    k-means-bucket the embedding space, then inside each cluster drop every
+    vector whose max cosine to a LOWER-centroid-similarity clustermate
+    clears ``threshold`` (so each duplicate neighborhood keeps its
+    lowest-cent-sim member — the paper's default keep rule).  Output:
+    (vec_id, cell, cent_sim, keep).
+
+    Scale shape: the spherical-k-means quantizer trains on a BOUNDED
+    deterministic sample (same as :func:`ann_ivf`); assignment is one
+    broadcast-centroid ``map_batches`` pass; the vector table then moves
+    through exactly ONE cell-keyed exchange (``hash_partition_refs``), and
+    the per-cell screen is chunked-triangular matmuls — O(n_c^2) FLOPs per
+    cell by the paper's own design (k is chosen so cells stay small; a
+    cell's slab is never densified beyond ``chunk`` rows).  Driver holds
+    only refs.  Iterative, seed-dependent quantizer => rows-only gate;
+    planted-duplicate recovery, the keep-lowest-cent-sim rule, and the
+    threshold>1 identity are pinned in tests/test_round5c_ops.py."""
+    head = _emb(sf_dir).take_batch(train_sample, batch_format="pyarrow")
+    sample = _emb_matrix(head)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    cents = _kmeans_cosine(sample, k)
+    cents_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        C = ray.get(cents_ref)
+        M = _emb_matrix(b)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        sims = M @ C.T
+        cell = sims.argmax(axis=1)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cell": pa.array(cell.astype(np.int64), pa.int64()),
+            "cent_sim": pa.array(sims[np.arange(len(cell)), cell],
+                                 pa.float64()),
+            "embedding": b["embedding"]})
+
+    assigned = _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                        batch_size=4096)
+    parts = _hash_partition_refs(assigned, ["cell"], num_partitions=k)
+    out = [_semdedup_part.remote(p, threshold, chunk) for p in parts]
+    return ray.data.from_arrow_refs(out)
+
+
+# ------------------------------------------------------------------ zipf fit
+
+
+def zipf_fit(sf_dir: str, k: int = 1000) -> pa.Table:
+    """Power-law (Zipf) fit of the corpus rank-frequency curve over the
+    top-``k`` terms: least-squares of ln(count) on ln(rank) — the standard
+    corpus-health diagnostic (natural text gives slope near -1; synthetic /
+    template-heavy corpora flatten, boilerplate floods steepen it).
+
+    Scale shape: the heavy lifting is :func:`term_frequencies`' bounded
+    top-k (per-block Counter partials -> term-keyed hash_reduce ->
+    per-partition top-k -> k-row driver merge); the regression itself runs
+    on k points driver-side.  Slope/intercept are computed EXACTLY as
+    DuckDB's regr_slope/regr_intercept (covar_pop/var_pop over the same k
+    points), but the float sums reassociate across engines, so the gate
+    compares at atol=1e-9 rather than bit-equality (float_reassoc list).
+    Output: one row (slope, intercept, n_terms)."""
+    top = term_frequencies(sf_dir, k=k)
+    x = np.log(top["rank"].to_numpy(zero_copy_only=False).astype(np.float64))
+    y = np.log(top["n"].to_numpy(zero_copy_only=False).astype(np.float64))
+    xm, ym = x.mean(), y.mean()
+    var = ((x - xm) ** 2).sum()
+    slope = float(((x - xm) * (y - ym)).sum() / var) if var > 0 else 0.0
+    intercept = float(ym - slope * xm)
+    return pa.table({"slope": pa.array([slope], pa.float64()),
+                     "intercept": pa.array([intercept], pa.float64()),
+                     "n_terms": pa.array([top.num_rows], pa.int64())})
+
+
+# -------------------------------------------------- quality classifier (LR)
+
+
+def _hashed_bow(texts: pa.Array, dim: int,
+                label_term: str) -> tuple[np.ndarray, np.ndarray]:
+    """(X, y): binary hashed-unigram PRESENCE matrix over ``_norm_text``
+    tokens (pd.util.hash_array — the same deterministic 64-bit siphash the
+    simhash family uses — mod ``dim``) and the weak label = doc contains
+    ``label_term``.  Binary presence (not tf / l1-normalized counts): on
+    short web docs the normalized counts shrink every feature to ~1/len and
+    full-batch GD stalls at the base rate, while {0,1} features condition
+    the problem well (probed: l1 counts plateau at 0.77 accuracy where
+    presence reaches 1.0).  Pure Arrow/numpy: one split, one flatten, one
+    scatter — no per-doc Python."""
+    toks = pc.split_pattern(_norm_text(texts), pattern=" ")
+    n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    flat_np = np.asarray(flat.to_pylist(), dtype=object)
+    nz = flat_np != ""
+    di = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+    feat = (pd.util.hash_array(flat_np[nz], categorize=False)
+            % np.uint64(dim)).astype(np.int64)
+    X = np.zeros((len(n_per), dim), dtype=np.float64)
+    X[di[nz], feat] = 1.0
+    y = np.zeros(len(n_per), dtype=np.float64)
+    np.add.at(y, di[nz][flat_np[nz] == label_term], 1.0)
+    return X, (y > 0).astype(np.float64)
+
+
+def quality_classifier(sf_dir: str, label_term: str = "spark",
+                       dim: int = 4096, iters: int = 16, lr: float = 10.0):
+    """Distributed TRAIN + SCORE of a hashed-feature logistic-regression
+    text classifier — the fasttext-style quality filter of production
+    curation stacks (CCNet, Gopher, Llama web pipelines), here trained on a
+    weak label (doc contains ``label_term``) so the whole loop is
+    self-contained and deterministic.
+
+    Scale shape: classic data-parallel full-batch GD.  Each iteration is ONE
+    streamed ``map_batches`` pass; a block emits a single partial row
+    (gradient sum as a dim-float blob + example count + loss sum), the
+    driver folds blocks x 1 rows (bounded by ``dim``, never the corpus) and
+    updates the weights, and the new parameter vector is re-broadcast via
+    ``ray.put`` — gradients fold driver-side exactly like
+    :func:`kmeans_clusters`' centroid sums.  The final scoring pass streams
+    (doc_id, label, prob, pred).  Deterministic (zero init, fixed
+    iters/lr, ref-ordered fold) but iterative float math => rows-only gate;
+    learning dynamics (accuracy floor on a planted separable corpus,
+    monotone loss) are pinned in tests/test_round5c_ops.py."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    w = np.zeros(dim + 1, dtype=np.float64)      # [weights..., bias]
+    losses: list[float] = []
+    for _ in range(iters):
+        w_ref = ray.put(w)
+
+        def grad_part(b: pa.Table) -> pa.Table:
+            wv = ray.get(w_ref)
+            X, y = _hashed_bow(b["text"], dim, label_term)
+            z = X @ wv[:dim] + wv[dim]
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = np.empty(dim + 1, dtype=np.float64)
+            g[:dim] = X.T @ (p - y)
+            g[dim] = (p - y).sum()
+            eps = 1e-12
+            loss = -(y * np.log(p + eps) + (1 - y) * np.log1p(-p + eps)).sum()
+            return pa.table({"grad": pa.array([g.tobytes()], pa.binary()),
+                             "n": pa.array([len(y)], pa.int64()),
+                             "loss": pa.array([loss], pa.float64())})
+
+        parts = [t for t in ray.get(
+            docs.map_batches(grad_part, batch_format="pyarrow",
+                             batch_size=4096).to_arrow_refs())
+            if t.num_columns > 0]
+        g = np.zeros(dim + 1, dtype=np.float64)
+        n_tot, loss_tot = 0, 0.0
+        for t in parts:
+            for blob in t["grad"].to_pylist():
+                g += np.frombuffer(blob)
+            n_tot += int(pc.sum(t["n"]).as_py() or 0)
+            loss_tot += float(pc.sum(t["loss"]).as_py() or 0.0)
+        if n_tot == 0:
+            break
+        w = w - lr * g / n_tot
+        losses.append(loss_tot / n_tot)
+    w_ref = ray.put(w)
+
+    def score(b: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        X, y = _hashed_bow(b["text"], dim, label_term)
+        p = 1.0 / (1.0 + np.exp(-(X @ wv[:dim] + wv[dim])))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "label": pa.array(y.astype(np.int64), pa.int64()),
+            "prob": pa.array(np.round(p, 9), pa.float64()),
+            "pred": pa.array((p >= 0.5).astype(np.int64), pa.int64())})
+
+    out = docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    out._quality_losses = losses      # exposed for the learning-dynamics test
+    return out
