@@ -379,6 +379,10 @@ def main():
         timed(datapipe.media_ref_dedup, SF_DIR), 3)
     queries["bpe_train"] = round(timed(datapipe.bpe_train, SF_DIR), 3)
     queries["bpe_encode"] = round(timed(datapipe.bpe_encode, SF_DIR), 3)
+    queries["zipf_fit"] = round(timed(datapipe.zipf_fit, SF_DIR), 3)
+    queries["semdedup"] = round(timed(datapipe.semdedup, SF_DIR), 3)
+    queries["quality_classifier"] = round(
+        timed(datapipe.quality_classifier, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

@@ -8434,8 +8434,14 @@ def _semdedup_part(t: pa.Table, threshold: float, chunk: int) -> pa.Table:
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     cell = t["cell"].to_numpy(zero_copy_only=False)
     csim = t["cent_sim"].to_numpy(zero_copy_only=False)
-    M = _emb_matrix(t)
-    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    M = _emb_matrix(t).astype(np.float32, copy=False)
+    # fp32 throughout the screen: inputs are float32, the threshold margin
+    # of any real duplicate (>0.999 vs planted >0.9999) dwarfs fp32 eps,
+    # and sgemm halves both flop time and the temp-slab bandwidth that
+    # dominated the fp64 version (60.5 s -> see BASELINE.md soak entry)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                       np.float32(1e-30))
+    thr = np.float32(threshold)
     keep = np.ones(len(ids), dtype=bool)
     starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
     bounds = np.r_[starts, len(ids)]
@@ -8444,11 +8450,16 @@ def _semdedup_part(t: pa.Table, threshold: float, chunk: int) -> pa.Table:
         n = e - s
         for a in range(1, n, chunk):             # row 0 always kept
             b = min(a + chunk, n)
-            sims = X[a:b] @ X[:b].T              # (b-a, b)
-            # mask self and later-ordered rows: col j counts only if j < i
-            ii = np.arange(a, b)[:, None]
-            sims[np.arange(b)[None, :] >= ii] = -1.0
-            keep[s + a:s + b] = sims.max(axis=1) < threshold
+            # max over earlier-ordered rows = max of the all-valid left
+            # block [0, a) and the upper-triangle of the (b-a) x (b-a)
+            # diagonal block — no chunk x n mask allocation
+            m = np.full(b - a, -np.inf, dtype=np.float32)
+            if a > 0:
+                np.maximum(m, (X[a:b] @ X[:a].T).max(axis=1), out=m)
+            S = X[a:b] @ X[a:b].T
+            S[np.triu_indices(b - a)] = -np.inf   # self + later rows
+            np.maximum(m, S.max(axis=1), out=m)
+            keep[s + a:s + b] = m < thr
     return pa.table({"vec_id": pa.array(ids, pa.int64()),
                      "cell": pa.array(cell, pa.int64()),
                      "cent_sim": pa.array(csim, pa.float64()),
@@ -8560,26 +8571,61 @@ def _hashed_bow(texts: pa.Array, dim: int,
     return X, (y > 0).astype(np.float64)
 
 
+def _bow_segments(b: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc index, feature id, label) segments from a cached feature block —
+    the sparse view of the {0,1} matrix.  The GD passes run entirely on
+    these via two bincounts (z = segment-sum of w[vals]; gradient =
+    feature-keyed sum of residuals), never densifying: the dense
+    batch x dim build cost ~32 GB of memset per pass at 1M docs and
+    dominated the soak wall (probed 6x slower than the bincount pair).
+    Feature ids are DISTINCT per doc by construction (featurize emits
+    np.nonzero of a presence matrix), so the segment sums equal the dense
+    matmul exactly up to float association."""
+    feats = b["feats"]
+    if isinstance(feats, pa.ChunkedArray):
+        feats = feats.combine_chunks()
+    off = feats.offsets.to_numpy(zero_copy_only=False)
+    vals = feats.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    di = np.repeat(np.arange(b.num_rows, dtype=np.int64), np.diff(off))
+    return di, vals, b["label"].to_numpy(
+        zero_copy_only=False).astype(np.float64)
+
+
 def quality_classifier(sf_dir: str, label_term: str = "spark",
-                       dim: int = 4096, iters: int = 16, lr: float = 10.0):
+                       dim: int = 4096, iters: int = 16, lr: float = 20.0):
     """Distributed TRAIN + SCORE of a hashed-feature logistic-regression
     text classifier — the fasttext-style quality filter of production
     curation stacks (CCNet, Gopher, Llama web pipelines), here trained on a
     weak label (doc contains ``label_term``) so the whole loop is
     self-contained and deterministic.
 
-    Scale shape: classic data-parallel full-batch GD.  Each iteration is ONE
-    streamed ``map_batches`` pass; a block emits a single partial row
-    (gradient sum as a dim-float blob + example count + loss sum), the
-    driver folds blocks x 1 rows (bounded by ``dim``, never the corpus) and
-    updates the weights, and the new parameter vector is re-broadcast via
-    ``ray.put`` — gradients fold driver-side exactly like
-    :func:`kmeans_clusters`' centroid sums.  The final scoring pass streams
-    (doc_id, label, prob, pred).  Deterministic (zero init, fixed
-    iters/lr, ref-ordered fold) but iterative float math => rows-only gate;
-    learning dynamics (accuracy floor on a planted separable corpus,
-    monotone loss) are pinned in tests/test_round5c_ops.py."""
-    docs = _docs(sf_dir, ["doc_id", "text"])
+    Scale shape: featurize ONCE (tokenize + hash in one streamed pass,
+    materialized as (doc_id, distinct feature ids, label) — a few ints per
+    doc, SMALLER than the input text, spillable), then classic data-parallel
+    full-batch GD over the cached features.  Each iteration is ONE streamed
+    ``map_batches`` pass; a block emits a single partial row (gradient sum
+    as a dim-float blob + example count + loss sum), the driver folds
+    blocks x 1 rows (bounded by ``dim``, never the corpus) and updates the
+    weights, and the new parameter vector is re-broadcast via ``ray.put`` —
+    gradients fold driver-side exactly like :func:`kmeans_clusters`'
+    centroid sums.  The final scoring pass streams (doc_id, label, prob,
+    pred).  Deterministic (zero init, fixed iters/lr, ref-ordered fold) but
+    iterative float math => rows-only gate; learning dynamics (accuracy
+    floor on a planted separable corpus, monotone loss) are pinned in
+    tests/test_round5c_ops.py."""
+    def featurize(b: pa.Table) -> pa.Table:
+        X, y = _hashed_bow(b["text"], dim, label_term)
+        di, vals = np.nonzero(X)
+        n_per = np.bincount(di, minlength=len(y)).astype(np.int32)
+        feats = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(n_per)], pa.int32()),
+            pa.array(vals.astype(np.int32), pa.int32()))
+        return pa.table({"doc_id": b["doc_id"], "feats": feats,
+                         "label": pa.array((y > 0).astype(np.int8),
+                                           pa.int8())})
+
+    cached = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        featurize, batch_format="pyarrow", batch_size=4096).materialize()
     w = np.zeros(dim + 1, dtype=np.float64)      # [weights..., bias]
     losses: list[float] = []
     for _ in range(iters):
@@ -8587,12 +8633,14 @@ def quality_classifier(sf_dir: str, label_term: str = "spark",
 
         def grad_part(b: pa.Table) -> pa.Table:
             wv = ray.get(w_ref)
-            X, y = _hashed_bow(b["text"], dim, label_term)
-            z = X @ wv[:dim] + wv[dim]
+            di, vals, y = _bow_segments(b)
+            z = np.bincount(di, weights=wv[vals],
+                            minlength=len(y)) + wv[dim]
             p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
             g = np.empty(dim + 1, dtype=np.float64)
-            g[:dim] = X.T @ (p - y)
-            g[dim] = (p - y).sum()
+            g[:dim] = np.bincount(vals, weights=r[di], minlength=dim)
+            g[dim] = r.sum()
             eps = 1e-12
             loss = -(y * np.log(p + eps) + (1 - y) * np.log1p(-p + eps)).sum()
             return pa.table({"grad": pa.array([g.tobytes()], pa.binary()),
@@ -8600,8 +8648,8 @@ def quality_classifier(sf_dir: str, label_term: str = "spark",
                              "loss": pa.array([loss], pa.float64())})
 
         parts = [t for t in ray.get(
-            docs.map_batches(grad_part, batch_format="pyarrow",
-                             batch_size=4096).to_arrow_refs())
+            cached.map_batches(grad_part, batch_format="pyarrow",
+                               batch_size=4096).to_arrow_refs())
             if t.num_columns > 0]
         g = np.zeros(dim + 1, dtype=np.float64)
         n_tot, loss_tot = 0, 0.0
@@ -8618,14 +8666,15 @@ def quality_classifier(sf_dir: str, label_term: str = "spark",
 
     def score(b: pa.Table) -> pa.Table:
         wv = ray.get(w_ref)
-        X, y = _hashed_bow(b["text"], dim, label_term)
-        p = 1.0 / (1.0 + np.exp(-(X @ wv[:dim] + wv[dim])))
+        di, vals, y = _bow_segments(b)
+        z = np.bincount(di, weights=wv[vals], minlength=len(y)) + wv[dim]
+        p = 1.0 / (1.0 + np.exp(-z))
         return pa.table({
             "doc_id": b["doc_id"],
             "label": pa.array(y.astype(np.int64), pa.int64()),
             "prob": pa.array(np.round(p, 9), pa.float64()),
             "pred": pa.array((p >= 0.5).astype(np.int64), pa.int64())})
 
-    out = docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    out = cached.map_batches(score, batch_format="pyarrow", batch_size=4096)
     out._quality_losses = losses      # exposed for the learning-dynamics test
     return out
