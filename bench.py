@@ -458,6 +458,51 @@ def _host_probe_leg(n_workers: int) -> float:
             os.environ["OMP_NUM_THREADS"] = old
 
 
+_DECODE_PROBE_PATH = "/tmp/upton_ray_decode_probe.parquet"
+
+
+def _decode_probe_task(seed: int) -> int:
+    """One fixed quantum of parquet-decode work (the crawl's instance-fetch
+    hot loop is bucket decode) — memory-bandwidth-bound where the matmul
+    probe is cache-resident, so THIS probe mirrors how fetch-class work
+    scales on the host."""
+    import pyarrow.parquet as _pq
+
+    n = 0
+    for _ in range(6):
+        n += _pq.read_table(_DECODE_PROBE_PATH).num_rows
+    return n
+
+
+def _decode_probe_leg(n_workers: int) -> float:
+    """Aggregate parquet-decode rate (tasks/sec) with n_workers processes.
+    Round-5 addition: the matmul probe scaled 0.82 on a run where the crawl
+    scaled 0.27 at 8->32 — the gap is decode/memory bandwidth, which this
+    probe measures directly (same run: 0.42 at 8->32, bounding what ANY
+    decode-heavy stage can reach on this box)."""
+    import multiprocessing as mp
+
+    if not os.path.exists(_DECODE_PROBE_PATH):
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        rng = _np.random.RandomState(0)
+        texts = ["".join(chr(97 + c) for c in rng.randint(0, 26, 180))
+                 for _ in range(40_000)]
+        _pq.write_table(
+            _pa.table({"doc_id": _pa.array(_np.arange(40_000)),
+                       "text": _pa.array(texts)}),
+            _DECODE_PROBE_PATH)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(n_workers) as pool:
+        pool.map(_decode_probe_task, range(n_workers))        # warm/import
+        t0 = time.time()
+        pool.map(_decode_probe_task, range(n_workers, 3 * n_workers))
+        dt = time.time() - t0
+    return 2 * n_workers / dt
+
+
 def scaling():
     """Same crawl, same input, fresh processes, num_cpus=N then 4N ->
     throughput scaling efficiency (BASELINE.md protocol).
@@ -525,6 +570,8 @@ def scaling():
     # capped; if the probe is near 1.0 and the crawl is not, that's us.
     probe = {c: _host_probe_leg(c)
              for c in sorted({c for p in pairs for c in p})}
+    dprobe = {c: _decode_probe_leg(c)
+              for c in sorted({c for p in pairs for c in p})}
     for a, b in pairs:
         thr_a, thr_b = results[a]["pages_per_sec"], results[b]["pages_per_sec"]
         eff = (thr_b / thr_a) / (b / a)
@@ -535,10 +582,14 @@ def scaling():
         out[f"samples_{b}"] = results[b]["samples_pages_per_sec"]
         out[f"host_probe_efficiency_{a}to{b}"] = round(
             (probe[b] / probe[a]) / (b / a), 3)
+        out[f"decode_probe_efficiency_{a}to{b}"] = round(
+            (dprobe[b] / dprobe[a]) / (b / a), 3)
         out["queries"][f"crawl@{a}cpus"] = results[a]["queries"]["synthetic_crawl"]
         out["queries"][f"crawl@{b}cpus"] = results[b]["queries"]["synthetic_crawl"]
     out["host_probe_tasks_per_sec"] = {str(c): round(v, 2)
                                        for c, v in probe.items()}
+    out["decode_probe_tasks_per_sec"] = {str(c): round(v, 2)
+                                         for c, v in dprobe.items()}
     out["host_probe_efficiency"] = out[
         f"host_probe_efficiency_{pairs[0][0]}to{pairs[0][1]}"]
     out["value"] = out[f"efficiency_{pairs[0][0]}to{pairs[0][1]}"]
