@@ -982,6 +982,30 @@ def test_connected_components_both_paths(ray_session):
     assert all(v == k % 25 for k, v in outs[0].items())
 
 
+def test_connected_components_high_diameter_contract(ray_session, tmp_path):
+    """The 1M-node holes-graph soak caught plain min-fold silently
+    returning UNCONVERGED labels once diameter > max_iters.  Contract now:
+    (a) auto_shortcut_after escalates to pointer jumping and converges on a
+    chain graph whose diameter far exceeds max_iters; (b) with escalation
+    disabled and max_iters too small, the op RAISES instead of returning
+    wrong labels."""
+    import pytest
+
+    from upton_ray.datapipe import connected_components
+
+    # one chain component: ids 0,25,50,...  (k=25 edges; diameter 399)
+    ids = np.arange(400, dtype=np.int64) * 25
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                   tmp_path / "documents.parquet")
+    got = _collect(connected_components(str(tmp_path), max_iters=64,
+                                        auto_shortcut_after=8))
+    labs = got["label"].to_numpy(zero_copy_only=False)
+    assert (labs == 0).all() and len(labs) == 400
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(str(tmp_path), max_iters=16,
+                             auto_shortcut_after=10_000)
+
+
 def test_bm25_score_matches_hand_formula(ray_session, tmp_path):
     """Tiny corpus with hand-checkable tf/df/dl: the distributed two-pass
     BM25 must equal the textbook formula computed directly."""

@@ -4337,6 +4337,7 @@ def _cc_shortcut_answer(labels: pa.Table, P: int, *query_parts):
 def connected_components(sf_dir: str, k: int = 25, skip: int = 3,
                          num_partitions: int = 8, max_iters: int = 256,
                          shortcut: bool = False,
+                         auto_shortcut_after: int = 24,
                          label_checkpoint: str | None = None,
                          _crash_after: int | None = None):
     """Distributed connected components by min-label propagation — the
@@ -4359,6 +4360,15 @@ def connected_components(sf_dir: str, k: int = 25, skip: int = 3,
     decrease and lab(x) <= x holds throughout, so stopping when the
     min-fold reports zero changes is exact.  Oracle: DuckDB recursive CTE
     over the same edge relation.
+
+    ``auto_shortcut_after``: if the plain min-fold has not converged after
+    this many supersteps, pointer jumping switches ON for the remainder —
+    the graph has revealed itself as high-diameter and O(diameter) rounds
+    would not finish (the 1M-node holes-graph soak caught exactly this:
+    ~40k-position chains vs max_iters=256, silently returning unconverged
+    labels).  The rule depends only on the absolute step index, so
+    checkpoint resume replays it identically.  If max_iters still isn't
+    enough the op now RAISES rather than returning wrong labels.
 
     ``label_checkpoint``: directory for per-superstep label checkpoints
     (worker-side parquet writes + _SUCCESS markers); a fresh call with
@@ -4440,6 +4450,7 @@ def connected_components(sf_dir: str, k: int = 25, skip: int = 3,
         labels = [_cc_concat.remote(*[s[i] for s in lsplits])
                   for i in range(P)]
 
+    converged = False
     for step in range(start_step, max_iters):
         msgs = [_cc_msgs.options(num_returns=P).remote(labels[i], edges[i], P)
                 for i in range(P)]
@@ -4450,8 +4461,9 @@ def connected_components(sf_dir: str, k: int = 25, skip: int = 3,
         labels = [o[0] for o in outs]
         changed = sum(ray.get([o[1] for o in outs]))
         if changed == 0:
+            converged = True
             break
-        if shortcut:
+        if shortcut or step + 1 >= auto_shortcut_after:
             qs = [_cc_shortcut_queries.options(num_returns=P)
                   .remote(labels[i], P) for i in range(P)]
             if P == 1:
@@ -4474,6 +4486,11 @@ def connected_components(sf_dir: str, k: int = 25, skip: int = 3,
         if _crash_after is not None and step - start_step + 1 >= _crash_after:
             raise RuntimeError(f"injected crash after superstep {step}")
 
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"supersteps (pointer jumping was on from step "
+            f"{auto_shortcut_after}); raise max_iters")
     return ray.data.from_arrow_refs(labels).map_batches(
         lambda b: pa.table({"doc_id": b["node"], "label": b["lab"]}),
         batch_format="pyarrow")
