@@ -42,7 +42,8 @@ def _maxrss_mb() -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ops", default="semdedup,quality_classifier,zipf_fit")
+    ap.add_argument("--ops",
+                    default="semdedup,quality_classifier,zipf_fit,media")
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--n-vecs", type=int, default=1_000_000)
     args = ap.parse_args()
@@ -169,6 +170,33 @@ def main():
         res["zipf_fit"] = {
             "sec": round(dt, 2), "n_docs": args.n_docs,
             "slope": round(float(got.slope[0]), 6),
+            "oracle_s": round(oracle_s, 1),
+            "driver_rss_delta_mb": round(delta, 1)}
+
+    if "media" in ops:
+        corpus = build_corpus(args.n_docs)
+        con = duckdb.connect()
+        con.sql("PRAGMA memory_limit='48GB'")
+        con.sql("PRAGMA threads=16")
+        con.sql(f"CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{corpus}/documents.parquet/*.parquet')")
+        import __ray_entry__ as e
+        rss0 = _maxrss_mb()
+        t0 = time.time()
+        got = datapipe.media_phash_dedup(corpus).to_pandas() \
+            .sort_values("phash").reset_index(drop=True)
+        dt = time.time() - t0
+        delta = _maxrss_mb() - rss0
+        t1 = time.time()
+        want = con.sql(e.oracle_sql()["media_phash_dedup"]).df()
+        oracle_s = time.time() - t1
+        assert got.equals(want.astype(got.dtypes.to_dict())), \
+            "media_phash_dedup diverges from the gate oracle at 1M"
+        assert delta < 400, f"driver RSS grew {delta:.0f} MB"
+        res["media_phash_dedup"] = {
+            "sec": round(dt, 2), "n_docs": args.n_docs,
+            "dup_groups": int(len(got)),
+            "docs_per_sec": round(args.n_docs / dt, 1),
             "oracle_s": round(oracle_s, 1),
             "driver_rss_delta_mb": round(delta, 1)}
 
