@@ -82,10 +82,15 @@ def test_semdedup_threshold_above_one_keeps_all(ray_session, tmp_path):
 
 
 def test_semdedup_runs_on_sf0001(ray_session):
-    got = _collect(datapipe.semdedup(SF, k=4, threshold=0.98))
+    got = _collect(datapipe.semdedup(SF, k=4, threshold=0.98)) \
+        .sort_values("vec_id").reset_index(drop=True)
     assert got["keep"].any()
     assert set(got.columns) == {"vec_id", "cell", "cent_sim", "keep"}
     assert got["vec_id"].is_unique
+    # deterministic end to end (seeded quantizer, ordered screen)
+    again = _collect(datapipe.semdedup(SF, k=4, threshold=0.98)) \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert got.equals(again)
 
 
 # ------------------------------------------------------------------ zipf_fit
