@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(142 queries, 129 oracle-checked; the thirteen approximate/iterative ops are
+(144 queries, 131 oracle-checked; the thirteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": datapipe.zipf_fit,
         "semdedup": datapipe.semdedup,
         "quality_classifier": datapipe.quality_classifier,
+        "substring_dedup": datapipe.substring_dedup,
+        "temperature_resample": datapipe.temperature_resample,
     }
     return _driver_rotate(q)
 
@@ -2089,6 +2091,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.vec_id, e.label,
                list_cosine_similarity(e.embedding, cv.centroid) AS cos_sim
         FROM embeddings e JOIN cv USING (label)
+    """
+    # substring_dedup: duplicated = df >= 2 over per-doc-distinct 5-grams;
+    # a token is dup-covered when some duplicated gram occurrence spans it
+    sql["substring_dedup"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        o AS (SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 5
+                            THEN generate_series(1, len(w) - 4)
+                            ELSE [] END) AS pos,
+                     unnest(CASE WHEN len(w) >= 5
+                            THEN list_transform(
+                              generate_series(1, len(w) - 4),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   || ' ' || w[i+3] || ' ' || w[i+4])
+                            ELSE [] END) AS gram
+              FROM t),
+        dup AS (SELECT gram FROM o
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        pd AS (SELECT doc_id, pos FROM o
+               WHERE gram IN (SELECT gram FROM dup)),
+        tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS ord
+                FROM t),
+        cov AS (SELECT tok.doc_id, count(DISTINCT ord) AS c
+                FROM tok JOIN pd ON tok.doc_id = pd.doc_id
+                              AND tok.ord BETWEEN pd.pos AND pd.pos + 4
+                GROUP BY tok.doc_id)
+        SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+               CAST(coalesce(cov.c, 0) AS BIGINT) AS n_dup_tok
+        FROM t LEFT JOIN cov USING (doc_id)
+    """
+    # temperature_resample: head-normalized flattening — the rate needs
+    # only max(n)/n (exact int/int division) + one libm pow, both rounded
+    # to 12 dp, so the integer keep-counts replay bit-identically (the
+    # md5 52-bit uniform is the reservoir/weighted-sample draw contract)
+    sql["temperature_resample"] = """
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        r AS (SELECT source, n,
+                     round(least(1.0, 0.5 * pow(
+                         (SELECT max(n) FROM c) / n, 0.5)), 12) AS rate
+              FROM c),
+        k AS (SELECT d.source, count(*) AS nk
+              FROM documents d JOIN r USING (source)
+              WHERE (('0x' || substr(md5('tmp:' || d.doc_id), 1, 13))::UBIGINT
+                     + 1) / 4503599627370496.0 < r.rate
+              GROUP BY d.source)
+        SELECT r.source, CAST(r.n AS BIGINT) AS n_docs,
+               CAST(coalesce(k.nk, 0) AS BIGINT) AS n_kept
+        FROM r LEFT JOIN k USING (source)
+        ORDER BY r.source
     """
     sql.update(_fixture_goldens())
     return sql

@@ -8695,3 +8695,266 @@ def quality_classifier(sf_dir: str, label_term: str = "spark",
     out = cached.map_batches(score, batch_format="pyarrow", batch_size=4096)
     out._quality_losses = losses      # exposed for the learning-dynamics test
     return out
+
+
+# ------------------------------------------------- exact-substring coverage
+
+
+def _gram_df_partial(b: pa.Table, n: int) -> pa.Table:
+    """Per-block (gram, nd) partial document frequencies: grams deduped PER
+    DOC first (one Arrow groupby) so the exchange moves one row per
+    distinct gram per block — shared by dup_ngrams and substring_dedup."""
+    toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+    doc_of, grams, _ = _ragged_ngrams(toks, n)
+    if not len(doc_of):
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "nd": pa.array([], pa.int64())})
+    per_doc = pa.table({"d": pa.array(doc_of, pa.int64()), "gram": grams}) \
+        .group_by(["d", "gram"]).aggregate([([], "count_all")])
+    g = per_doc.group_by("gram").aggregate([([], "count_all")])
+    return pa.table({"gram": g["gram"],
+                     "nd": pc.cast(g["count_all"], pa.int64())})
+
+
+def _gram_positions(b: pa.Table, n: int):
+    """(toks, L, doc_of, grams, pos): every word-n-gram occurrence of the
+    batch with its 0-based start position inside its doc.  Pure offset
+    arithmetic (the _ragged_ngrams ragged-arange trick, re-run for pos)."""
+    toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+    L = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    doc_of, grams, g = _ragged_ngrams(toks, n)
+    gexc = np.r_[np.int64(0), np.cumsum(g)][:-1]
+    pos = np.arange(len(doc_of), dtype=np.int64) - np.repeat(gexc, g)
+    return L, doc_of, grams, pos
+
+
+def substring_dedup(sf_dir: str, n: int = 5,
+                    broadcast_limit: int = 512 << 20,
+                    force_distributed: bool = False):
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr pass): for every document, count the tokens covered by at
+    least one word ``n``-gram that also appears in >= 1 OTHER document.
+    Output (doc_id, n_tok, n_dup_tok) — n_dup_tok is the token mass an
+    exact-substring dedup pass would cut; completes :func:`dup_ngrams`,
+    which only surfaces the top-k candidate grams.
+
+    Scale shape — two paths, identical semantics, chosen by the measured
+    byte size of the duplicated-gram set (same broadcast-vs-shuffle
+    convention as the embedding verify):
+
+    * broadcast (default, dup set < ``broadcast_limit``): the dup-gram
+      strings ship ONCE via ``ray.put`` (zero-copy plasma view); each
+      batch marks its occurrences with one Arrow ``is_in`` and counts the
+      covered-token union with a vectorized difference array — no second
+      shuffle at all.
+    * distributed (auto past the cutoff, or ``force_distributed``): the
+      occurrence table (gram, doc_id, pos) is semi-joined against the dup
+      set on the gram hash, the surviving (doc_id, pos) rows reduce
+      doc-keyed into union-of-intervals coverage, and a doc-keyed outer
+      join attaches (doc_id, n_tok).  Three bounded exchanges; the
+      occurrence exchange is the same order of data movement as the
+      suffix-array sort the reference approach performs.
+
+    Duplicated = document frequency >= 2 over PER-DOC-DISTINCT grams
+    (cross-document duplication, the dup_ngrams/Lee-et-al notion);
+    within-doc repeats alone do not mark a gram.
+    """
+    dup_ds = _hash_reduce(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            lambda b: _gram_df_partial(b, n),
+            batch_format="pyarrow", batch_size=None),
+        ["gram"], _dup_gram_filter)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tok": pa.array([], pa.int64()),
+                      "n_dup_tok": pa.array([], pa.int64())})
+
+    if not force_distributed:
+        parts = [t for t in ray.get(dup_ds.to_arrow_refs())
+                 if t.num_columns > 0 and t.num_rows > 0]
+        dup = (pa.concat_tables(parts)["gram"].combine_chunks()
+               if parts else pa.array([], pa.string()))
+        if dup.nbytes <= broadcast_limit:
+            dup_ref = ray.put(dup)
+
+            def cover(b: pa.Table) -> pa.Table:
+                L, doc_of, grams, pos = _gram_positions(b, n)
+                out_tok = pa.array(L, pa.int64())
+                if not len(doc_of):
+                    return pa.table({"doc_id": b["doc_id"],
+                                     "n_tok": out_tok,
+                                     "n_dup_tok": pa.array(
+                                         np.zeros(len(L), np.int64))})
+                hit = pc.is_in(grams, value_set=ray.get(dup_ref)) \
+                    .to_numpy(zero_copy_only=False)
+                tok_off = np.r_[np.int64(0), np.cumsum(L)]
+                diff = np.zeros(tok_off[-1] + n, np.int64)
+                starts = tok_off[doc_of[hit]] + pos[hit]
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + n, -1)  # p+n <= L: stays in-doc
+                covered = (np.cumsum(diff[:tok_off[-1]]) > 0).astype(
+                    np.float64)
+                tok_doc = np.repeat(np.arange(len(L), dtype=np.int64), L)
+                cov = np.bincount(tok_doc, weights=covered,
+                                  minlength=len(L)).astype(np.int64)
+                return pa.table({"doc_id": b["doc_id"], "n_tok": out_tok,
+                                 "n_dup_tok": pa.array(cov, pa.int64())})
+
+            return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                cover, batch_format="pyarrow", batch_size=None)
+
+    # distributed path: occurrence semi-join -> doc-keyed coverage reduce
+    from upton_ray.shuffle import hash_join
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        _, doc_of, grams, pos = _gram_positions(b, n)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"gram": grams,
+                         "doc_id": pa.array(ids[doc_of], pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    occ = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        occurrences, batch_format="pyarrow", batch_size=None)
+    matched = hash_join(occ, dup_ds, on="gram", how="left semi",
+                        num_partitions=None) \
+        .map_batches(lambda t: t.select(["doc_id", "pos"])
+                     if t.num_columns else t, batch_format="pyarrow",
+                     batch_size=None)
+    covd = _hash_reduce(matched, ["doc_id"],
+                        lambda t: _interval_cover(t, n))
+    ntok = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok": pc.cast(pc.list_value_length(pc.split_pattern(
+                _norm_text(b["text"]), pattern=" ")), pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    joined = hash_join(ntok, covd, on="doc_id", how="left outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names:
+            return empty
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tok": t["n_tok"],
+            "n_dup_tok": pc.coalesce(t["n_dup_tok"],
+                                     pa.scalar(0, pa.int64()))})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def _dup_gram_filter(t: pa.Table) -> pa.Table:
+    """Reduce one gram-hash partition's (gram, nd) partials to the grams
+    with global document frequency >= 2 (each gram lives wholly in one
+    partition, so the partition-local sum IS the global df)."""
+    if "gram" not in t.column_names:
+        return pa.table({"gram": pa.array([], pa.string())})
+    g = t.group_by("gram").aggregate([("nd", "sum")])
+    return g.filter(pc.greater_equal(g["nd_sum"], 2)).select(["gram"])
+
+
+def _interval_cover(t: pa.Table, n: int) -> pa.Table:
+    """Union-of-intervals coverage per doc: given this partition's
+    (doc_id, pos) duplicated-gram occurrences (positions unique per doc —
+    one gram starts per token), each doc's covered-token count is
+    sum(min(n, next_pos - pos)) with the doc's last interval counting n.
+    One lexsort + segmented min — no per-doc loop."""
+    if "doc_id" not in t.column_names or t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_dup_tok": pa.array([], pa.int64())})
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    pos = t["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, did))
+    d, p = did[order], pos[order]
+    last = np.r_[d[:-1] != d[1:], True]
+    nxt = np.r_[p[1:], np.int64(0)]
+    gain = np.where(last, n, np.minimum(n, nxt - p))
+    uq, inv = np.unique(d, return_inverse=True)
+    cov = np.bincount(inv, weights=gain.astype(np.float64)).astype(np.int64)
+    return pa.table({"doc_id": pa.array(uq, pa.int64()),
+                     "n_dup_tok": pa.array(cov, pa.int64())})
+
+
+# --------------------------------------------- temperature source resampling
+
+
+def temperature_resample(sf_dir: str, alpha: float = 0.5,
+                         frac: float = 0.5):
+    """Temperature-based source rebalancing (the multilingual-LM mixing
+    rule of mBERT/XLM-R-style pipelines, q_s ∝ p_s^alpha): every document
+    of source s keeps independently with rate
+    ``round(min(1, frac * (n_max / n_s)^(1-alpha)), 12)`` — the head
+    source keeps ``frac``, tail sources are boosted by the flattening
+    exponent, capped at 1.  Output (source, n_docs, n_kept).
+
+    The head-normalized form is deliberate: the rate needs only
+    ``n_max / n_s`` (one exact int/int double division) plus one libm
+    ``pow`` — NO cross-source float sum anywhere, so the rate is
+    bit-reproducible in any IEEE engine and the per-doc keep decision
+    (md5-derived 52-bit uniform < rate, the reservoir/weighted-sample
+    draw contract) replays bit-identically in DuckDB.  The 12-dp round
+    pins the libm output; numpy/DuckDB half-rounding modes differ only on
+    exact .5e-12 boundaries (measure-zero, same accepted contract as
+    pagerank's per-iteration round).
+
+    Scale shape: two streamed passes over (doc_id, source) only — a
+    per-source count combiner (driver folds |sources| x blocks tiny rows),
+    then a rate-broadcast filter whose per-block output is again one row
+    per source.  No shuffle of document rows at any point."""
+    TWO52 = float(1 << 52)
+
+    def src_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    parts = [t for t in ray.get(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            src_counts, batch_format="pyarrow",
+            batch_size=None).to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not parts:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_kept": pa.array([], pa.int64())})
+    tot = pa.concat_tables(parts).group_by("source").aggregate([("n", "sum")])
+    srcs = tot["source"].to_pylist()
+    ns = {s: int(v) for s, v in zip(srcs, tot["n_sum"].to_pylist())}
+    n_max = max(ns.values())
+    rates = {s: float(np.round(min(
+        1.0, frac * float(np.power(n_max / n_s, 1.0 - alpha))), 12))
+        for s, n_s in ns.items()}
+    rates_ref = ray.put(rates)
+
+    def kept_counts(b: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        u = (np.array([int(h[:13], 16) for h in
+                       _md5_hex([f"tmp:{i}" for i in ids])],
+                      dtype=np.float64) + 1.0) / TWO52
+        uq, inv = np.unique(src, return_inverse=True)
+        rate = np.array([r[s] for s in uq], np.float64)[inv]
+        keep = u < rate
+        nk = np.bincount(inv, weights=keep.astype(np.float64),
+                         minlength=len(uq)).astype(np.int64)
+        return pa.table({"source": pa.array(uq.astype(object), pa.string()),
+                         "nk": pa.array(nk, pa.int64())})
+
+    kparts = [t for t in ray.get(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            kept_counts, batch_format="pyarrow",
+            batch_size=None).to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    kept = {s: 0 for s in srcs}
+    if kparts:
+        kt = pa.concat_tables(kparts).group_by("source") \
+            .aggregate([("nk", "sum")])
+        kept.update({s: int(v) for s, v in
+                     zip(kt["source"].to_pylist(), kt["nk_sum"].to_pylist())})
+    order = sorted(srcs)
+    return pa.table({"source": pa.array(order, pa.string()),
+                     "n_docs": pa.array([ns[s] for s in order], pa.int64()),
+                     "n_kept": pa.array([kept[s] for s in order],
+                                        pa.int64())})
