@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(144 queries, 131 oracle-checked; the thirteen approximate/iterative ops are
+(145 queries, 132 oracle-checked; the thirteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagination_successor": pagination_successor,
         # --- training-data pipeline extras ---
         "dedup_exact": datapipe.dedup_exact,
+        "snapshot_dedup": datapipe.snapshot_dedup,
         "fingerprint": datapipe.fingerprint,
         "winnow_fingerprint": datapipe.winnow_fingerprint,  # rows-only gate
         "token_count": datapipe.token_count,
@@ -509,6 +510,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        "snapshot_dedup": f"""
+            WITH f AS (
+              SELECT doc_id, md5({_NORM}) AS fp,
+                     CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8))
+                               AS BIGINT) % 10 AS BIGINT) AS sp
+              FROM documents)
+            SELECT doc_id, fp FROM f
+            WHERE sp >= 7
+              AND fp NOT IN (SELECT fp FROM f WHERE sp < 7)
         """,
         "token_count": r"""
             SELECT doc_id,

@@ -383,6 +383,12 @@ def main():
     queries["semdedup"] = round(timed(datapipe.semdedup, SF_DIR), 3)
     queries["quality_classifier"] = round(
         timed(datapipe.quality_classifier, SF_DIR), 3)
+    queries["substring_dedup"] = round(
+        timed(datapipe.substring_dedup, SF_DIR), 3)
+    queries["temperature_resample"] = round(
+        timed(datapipe.temperature_resample, SF_DIR), 3)
+    queries["snapshot_dedup"] = round(
+        timed(datapipe.snapshot_dedup, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

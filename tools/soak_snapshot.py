@@ -1,0 +1,176 @@
+"""snapshot_dedup soak at 10^6 docs — planted-ground-truth, exact-set
+verified, driver-RSS-flat (the family evidence bar).
+
+Corpus: doc_ids 0..n-1; the op's own split law (md5(doc_id) % 10 < 7 →
+prior snapshot) is replayed HERE in the builder, so the planted truth is
+known exactly: every old doc gets a unique page body; of the new docs,
+``dup_frac`` re-crawl an old doc's body verbatim (round-robin over old
+ids) and the rest are fresh.  Expected survivors = exactly the fresh new
+docs.
+
+Verified:
+- survivor doc_id set EXACTLY equals the planted fresh set;
+- the bloom screen is load-bearing at scale: with the auto-sized bitmap
+  the candidate fraction of new docs ~= true re-crawl fraction (FPR
+  contributes < 1%), asserted via the op's primitives on the same corpus;
+- driver max-RSS delta < 400 MB.
+
+Prints one JSON line.  Usage: python tools/soak_snapshot.py [--n-docs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+CACHE_ROOT = "/tmp/upton_ray_snapshot1m"
+
+
+def _maxrss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _splits(ids: np.ndarray, modulus: int = 10) -> np.ndarray:
+    return np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                     % modulus for i in ids], np.int64)
+
+
+def build_corpus(n_docs: int, dup_frac: float = 0.2,
+                 bucket_rows: int = 125_000) -> tuple[str, dict]:
+    """Returns (dir, truth) — truth holds the planted old/new/dup counts
+    and the exact fresh-survivor id set (as a sorted numpy array)."""
+    key = hashlib.md5(f"{n_docs}-{dup_frac}".encode()).hexdigest()[:12]
+    out = os.path.join(CACHE_ROOT, key)
+    meta = os.path.join(out, "truth.npz")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        z = np.load(meta)
+        return out, {"fresh": z["fresh"], "n_old": int(z["n_old"]),
+                     "n_dup": int(z["n_dup"])}
+    tmp = out + ".build"
+    doc_dir = os.path.join(tmp, "documents.parquet")
+    os.makedirs(doc_dir, exist_ok=True)
+
+    ids_all = np.arange(n_docs, dtype=np.int64)
+    sp = _splits(ids_all)
+    old_ids = ids_all[sp < 7]
+    new_ids = ids_all[sp >= 7]
+    # every k-th new doc re-crawls an old body (round-robin partner)
+    k = max(2, int(round(1.0 / max(dup_frac, 1e-9))))
+    dup_mask = (np.arange(len(new_ids)) % k) == 0
+    partners = old_ids[np.arange(int(dup_mask.sum())) % len(old_ids)]
+    partner_of = dict(zip(new_ids[dup_mask].tolist(), partners.tolist()))
+    fresh = np.sort(new_ids[~dup_mask])
+
+    part = 0
+    for lo in range(0, n_docs, bucket_rows):
+        ids = ids_all[lo:lo + bucket_rows]
+        texts = []
+        for i in ids:
+            if i in partner_of:
+                texts.append(f"snapshot page body {partner_of[i]} "
+                             f"crawl content block")
+            elif sp[i] < 7:
+                texts.append(f"snapshot page body {i} crawl content block")
+            else:
+                texts.append(f"fresh page body {i} new this crawl")
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array([f"src{int(i) % 32:02d}" for i in ids],
+                               pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq.write_table(t, os.path.join(doc_dir, f"part-{part:04d}.parquet"))
+        part += 1
+    np.savez(os.path.join(tmp, "truth.npz"), fresh=fresh,
+             n_old=len(old_ids), n_dup=int(dup_mask.sum()))
+    os.rename(tmp, out)
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out, {"fresh": fresh, "n_old": len(old_ids),
+                 "n_dup": int(dup_mask.sum())}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=1_000_000)
+    ap.add_argument("--dup-frac", type=float, default=0.2)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from upton_ray import datapipe
+
+    corpus, truth = build_corpus(args.n_docs, args.dup_frac)
+
+    rss0 = _maxrss_mb()
+    t0 = time.time()
+    ds = datapipe.snapshot_dedup(corpus)
+    got_parts = [t for t in ray.get(ds.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+    got_ids = np.sort(np.concatenate(
+        [t["doc_id"].to_numpy(zero_copy_only=False) for t in got_parts])
+        if got_parts else np.array([], np.int64))
+    wall = time.time() - t0
+    rss_delta = _maxrss_mb() - rss0
+
+    assert len(got_ids) == len(truth["fresh"]), \
+        (len(got_ids), len(truth["fresh"]))
+    assert np.array_equal(got_ids, truth["fresh"]), "survivor set mismatch"
+    assert rss_delta < 400, f"driver RSS grew {rss_delta:.0f} MB"
+
+    # bloom screen effectiveness on this corpus, via the op's primitives:
+    # rebuild the auto-sized bloom over the old fps and probe the new fps
+    n_old = truth["n_old"]
+    m_bits = 1 << max(13, int(np.ceil(np.log2(max(32 * n_old, 1)))))
+    ids_all = np.arange(args.n_docs, dtype=np.int64)
+    sp = _splits(ids_all)
+    import duckdb
+    con = duckdb.connect()
+    fps = con.execute(
+        f"SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', "
+        f"'g')))) AS fp FROM read_parquet('{corpus}/documents.parquet/*')"
+    ).arrow()
+    order = np.argsort(fps["doc_id"].to_numpy(zero_copy_only=False))
+    hexes = np.asarray(fps["fp"].to_pylist(), object)[order]
+    bm = np.zeros(m_bits // 8, np.uint8)
+    h1o, h2o = datapipe._bloom_hashes(list(hexes[sp < 7]))
+    datapipe._bloom_set(bm, h1o, h2o, 4)
+    h1n, h2n = datapipe._bloom_hashes(list(hexes[sp >= 7]))
+    cand_frac = float(datapipe._bloom_test(bm, h1n, h2n, 4).mean())
+    true_dup_frac = truth["n_dup"] / max(int((sp >= 7).sum()), 1)
+    assert cand_frac < true_dup_frac + 0.01, (cand_frac, true_dup_frac)
+
+    print(json.dumps({
+        "op": "snapshot_dedup", "n_docs": args.n_docs,
+        "n_old": n_old, "n_new": int((sp >= 7).sum()),
+        "n_planted_dup": truth["n_dup"],
+        "n_survivors": int(len(got_ids)),
+        "exact_set_match": True,
+        "auto_m_bits": m_bits,
+        "bloom_candidate_frac": round(cand_frac, 5),
+        "true_dup_frac": round(true_dup_frac, 5),
+        "wall_s": round(wall, 1),
+        "docs_per_s": round(args.n_docs / wall),
+        "driver_rss_delta_mb": round(rss_delta, 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -8958,3 +8958,150 @@ def temperature_resample(sf_dir: str, alpha: float = 0.5,
                      "n_docs": pa.array([ns[s] for s in order], pa.int64()),
                      "n_kept": pa.array([kept[s] for s in order],
                                         pa.int64())})
+
+
+# ------------------------------------------------- incremental snapshot dedup
+
+
+def _bloom_hashes(fp_hexes: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) Kirsch–Mitzenmacher double-hash bases from an md5 hex
+    fingerprint: the two 64-bit md5 halves (h2 forced odd so the probe
+    sequence walks the whole power-of-two table)."""
+    h1 = np.array([int(h[:16], 16) for h in fp_hexes], np.uint64)
+    h2 = np.array([int(h[16:], 16) for h in fp_hexes], np.uint64) \
+        | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_set(bm: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int):
+    """Set the k probe bits of every fingerprint in the packed bitmap
+    (len(bm) * 8 a power of two) — vectorized over rows, loop only over k."""
+    mask = np.uint64(len(bm) * 8 - 1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bm, (idx >> np.uint64(3)).astype(np.int64),
+                         (np.uint64(1) << (idx & np.uint64(7)))
+                         .astype(np.uint8))
+
+
+def _bloom_test(bm: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                k: int) -> np.ndarray:
+    """Boolean membership of every fingerprint (true = MAYBE present)."""
+    mask = np.uint64(len(bm) * 8 - 1)
+    hit = np.ones(len(h1), bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        bit = (bm[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        hit &= bit.astype(bool)
+    return hit
+
+
+def snapshot_dedup(sf_dir: str, m_bits: int | None = None, n_hash: int = 4,
+                   old_splits: int = 7, modulus: int = 10):
+    """Incremental (snapshot-over-snapshot) dedup — the recurring-crawl
+    production shape: the corpus splits deterministically into a PRIOR
+    snapshot (md5(doc_id) % ``modulus`` < ``old_splits``, the hash_split
+    convention) and a NEW crawl (the rest); keep exactly the new docs whose
+    normalized-text fingerprint never appeared in the prior snapshot.
+    Output (doc_id, fp) of the survivors.  This is the crawl engine's
+    URL-seen set (SURVEY §2 T1) re-applied to CONTENT identity across
+    crawl generations — what a weekly 100-TB refresh runs before any
+    in-snapshot near-dup pass.
+
+    Scale shape (bloom screen + exact confirm, no corpus-sized shuffle):
+
+    1. one streamed pass over OLD folds per-block packed bloom bitmaps
+       (``m_bits``/8 bytes each) into ONE bitmap with bitwise OR on the
+       driver (bounded: driver holds a single bitmap while block partials
+       stream through), then ships it once via ``ray.put``;
+    2. one streamed pass over NEW probes the broadcast bloom vectorized —
+       bloom-NEGATIVE rows are *definitely* new and pass with ZERO
+       shuffle (the overwhelming majority of a fresh crawl);
+    3. only bloom-POSITIVE candidates (true re-crawls plus the bloom's
+       false positives) enter the exact confirm, a left-anti
+       :func:`upton_ray.shuffle.hash_join` against the old fingerprints —
+       so a false positive can never drop a genuinely-new document.
+
+    ``m_bits`` defaults to AUTO: one column-pruned count pass over the old
+    side's doc_id sizes the bitmap at ~32 bits/key rounded up to a power of
+    two (FPR ~ 2e-5 at k=4) — a fixed bitmap would silently overload as the
+    prior snapshot grows and push the whole corpus into the confirm join.
+    At 100 TB: a 1 GiB bitmap indexes ~2.7e8 old docs at that rate (~1e9
+    under ~3% FPR), and the confirm exchange moves only candidate rows —
+    overlap-proportional, not corpus-proportional."""
+    from upton_ray.shuffle import hash_join
+
+    def split_of(ids: np.ndarray) -> np.ndarray:
+        return np.array([int(h[:8], 16) % modulus
+                         for h in _md5_hex([str(i) for i in ids])], np.int64)
+
+    def fp_split(b: pa.Table) -> pa.Table:
+        hexes = _md5_hex(_norm_text(b["text"]).to_pylist())
+        sp = split_of(b["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": b["doc_id"],
+                         "fp": pa.array(hexes, pa.string()),
+                         "is_old": pa.array(sp < old_splits)})
+
+    if m_bits is None:
+        # the split hash is uniform by construction, so the old-side count
+        # is total * old_splits/modulus to within sampling noise — and
+        # Dataset.count() on parquet is metadata-only (no row pass).  The
+        # 1.5x headroom absorbs the variance; in a real two-table
+        # deployment n_old is the prior snapshot's row count directly.
+        n_old = int(_docs(sf_dir, ["doc_id"]).count()
+                    * old_splits / modulus * 1.5)
+        m_bits = 1 << max(13, int(np.ceil(np.log2(max(32 * n_old, 1)))))
+
+    def side(keep_old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            t = fp_split(b)
+            m = t["is_old"] if keep_old else pc.invert(t["is_old"])
+            return t.filter(m).select(["doc_id", "fp"])
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", batch_size=None)
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        # SPARSE partial: the block's deduped probe-bit INDICES (~32 B/key),
+        # not the dense bitmap — a dense m_bits/8-byte partial per block
+        # would put blocks x bitmap bytes through the driver (the soak's
+        # driver-RSS gate caught exactly that: 64 blocks x 8 MB = +517 MB
+        # at 1M docs); sparse partials stream through at key-proportional
+        # size and the driver holds ONE bitmap.
+        if t.num_rows == 0:
+            return pa.table({"idx": pa.array([], pa.uint64())})
+        h1, h2 = _bloom_hashes(t["fp"].to_pylist())
+        mask = np.uint64(m_bits - 1)
+        idx = np.unique(np.concatenate(
+            [(h1 + np.uint64(i) * h2) & mask for i in range(n_hash)]))
+        return pa.table({"idx": pa.array(idx, pa.uint64())})
+
+    merged = np.zeros(m_bits // 8, np.uint8)
+    for ref in side(True).map_batches(
+            bloom_partial, batch_format="pyarrow",
+            batch_size=None).to_arrow_refs():
+        part = ray.get(ref)
+        if part.num_columns and part.num_rows:
+            idx = part["idx"].to_numpy(zero_copy_only=False)
+            np.bitwise_or.at(
+                merged, (idx >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8))
+        del part, ref
+    bloom_ref = ray.put(merged)
+
+    def probe(t: pa.Table, want_positive: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h1, h2 = _bloom_hashes(t["fp"].to_pylist())
+        hit = _bloom_test(ray.get(bloom_ref), h1, h2, n_hash)
+        return t.filter(pa.array(hit if want_positive else ~hit))
+
+    new_ds = side(False)
+    definite = new_ds.map_batches(
+        lambda t: probe(t, False), batch_format="pyarrow", batch_size=None)
+    candidates = new_ds.map_batches(
+        lambda t: probe(t, True), batch_format="pyarrow", batch_size=None)
+    confirmed = hash_join(candidates, side(True).map_batches(
+        lambda t: t.select(["fp"]), batch_format="pyarrow",
+        batch_size=None), on="fp", how="left anti")
+    return definite.union(confirmed)
