@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(145 queries, 132 oracle-checked; the thirteen approximate/iterative ops are
+(146 queries, 133 oracle-checked; the thirteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data pipeline extras ---
         "dedup_exact": datapipe.dedup_exact,
         "snapshot_dedup": datapipe.snapshot_dedup,
+        "snapshot_minhash_dedup": datapipe.snapshot_minhash_dedup,
         "fingerprint": datapipe.fingerprint,
         "winnow_fingerprint": datapipe.winnow_fingerprint,  # rows-only gate
         "token_count": datapipe.token_count,
@@ -521,6 +522,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fp FROM f
             WHERE sp >= 7
               AND fp NOT IN (SELECT fp FROM f WHERE sp < 7)
+        """,
+        "snapshot_minhash_dedup": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w,
+                     CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8))
+                               AS BIGINT) % 10 AS BIGINT) AS sp
+              FROM documents),
+            s AS (
+              SELECT doc_id, sp,
+                     list_distinct(CASE
+                       WHEN len(w) >= 3 THEN list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                       ELSE [] END) AS sh
+              FROM t),
+            p AS (
+              SELECT n.doc_id AS doc_id,
+                     len(list_intersect(n.sh, o.sh)) AS inter,
+                     len(n.sh) AS la, len(o.sh) AS lb
+              FROM s n JOIN s o ON n.sp >= 7 AND o.sp < 7)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners,
+                   max(CAST(inter AS DOUBLE) / (la + lb - inter)) AS max_jacc
+            FROM p
+            WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "token_count": r"""
             SELECT doc_id,

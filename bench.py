@@ -389,6 +389,8 @@ def main():
         timed(datapipe.temperature_resample, SF_DIR), 3)
     queries["snapshot_dedup"] = round(
         timed(datapipe.snapshot_dedup, SF_DIR), 3)
+    queries["snapshot_minhash_dedup"] = round(
+        timed(datapipe.snapshot_minhash_dedup, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

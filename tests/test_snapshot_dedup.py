@@ -100,3 +100,55 @@ def test_sf_matches_oracle(ray_session):
         .sort_values("doc_id").reset_index(drop=True)[got.columns]
     exp["doc_id"] = exp["doc_id"].astype(got["doc_id"].dtype)
     pd.testing.assert_frame_equal(got, exp)
+
+
+# ---------------------------------------------------- snapshot_minhash_dedup
+
+
+def _shingles(text: str) -> set:
+    w = text.split()
+    if len(w) >= 3:
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    return {" ".join(w)} if w else set()
+
+
+def test_snapshot_minhash_planted(ray_session, tmp_path):
+    """Cross-snapshot near-dups found; within-side near-dups excluded."""
+    old, new = _ids_by_side(40)
+    assert len(old) >= 3 and len(new) >= 5
+    texts = [" ".join(f"u{i}t{j}" for j in range(12)) for i in range(40)]
+    base = " ".join(f"page tok{j} word{j}x" for j in range(14))  # 42 tokens
+    texts[old[0]] = base
+    drifted = base.split()
+    drifted[20] = "CHANGED"
+    texts[new[0]] = " ".join(drifted)            # near-dup of old[0]
+    texts[new[1]] = base                         # exact re-crawl of old[0]
+    texts[new[2]] = texts[new[3]] = " ".join(    # new-new pair: excluded
+        f"nn tok{j} fresh{j}" for j in range(14))
+    texts[old[1]] = texts[old[2]] = " ".join(    # old-old pair: excluded
+        f"oo tok{j} stale{j}" for j in range(14))
+    _write_docs(tmp_path, texts)
+    got = _collect(datapipe.snapshot_minhash_dedup(str(tmp_path))) \
+        .set_index("doc_id")
+    assert set(got.index) == {new[0], new[1]}
+    a, b = _shingles(texts[old[0]].lower()), _shingles(texts[new[0]].lower())
+    exp = len(a & b) / len(a | b)
+    assert exp >= 0.8
+    assert got.loc[new[0], "n_partners"] == 1
+    assert abs(got.loc[new[0], "max_jacc"] - exp) < 1e-12
+    assert got.loc[new[1], "n_partners"] == 1
+    assert got.loc[new[1], "max_jacc"] == 1.0
+
+
+def test_snapshot_minhash_sf_matches_oracle(ray_session):
+    import __ray_entry__ as e
+    got = _collect(datapipe.snapshot_minhash_dedup(SF)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF}/documents.parquet'")
+    exp = con.sql(e.oracle_sql()["snapshot_minhash_dedup"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)[got.columns]
+    for c in got.columns:
+        exp[c] = exp[c].astype(got[c].dtype)
+    pd.testing.assert_frame_equal(got, exp)

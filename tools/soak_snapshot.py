@@ -106,7 +106,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--dup-frac", type=float, default=0.2)
+    ap.add_argument("--ops", default="exact,minhash")
     args = ap.parse_args()
+    ops = set(args.ops.split(","))
 
     import ray
 
@@ -117,6 +119,43 @@ def main():
     from upton_ray import datapipe
 
     corpus, truth = build_corpus(args.n_docs, args.dup_frac)
+    results = {}
+
+    if "minhash" in ops:
+        # planted truth for the NEAR-dup variant on the same corpus: every
+        # re-crawled new doc is a verbatim copy of its round-robin old
+        # partner (jacc = 1.0); distinct page bodies never clear 0.8.
+        # Expected: exactly the planted-dup new-id set, n_partners == 1,
+        # max_jacc == 1.0 for every row.
+        ids_all = np.arange(args.n_docs, dtype=np.int64)
+        sp = _splits(ids_all)
+        new_ids = ids_all[sp >= 7]
+        planted = np.sort(np.setdiff1d(new_ids, truth["fresh"],
+                                       assume_unique=True))
+        rss0 = _maxrss_mb()
+        t0 = time.time()
+        out = datapipe.snapshot_minhash_dedup(corpus)
+        wall = time.time() - t0
+        rss_delta = _maxrss_mb() - rss0
+        got = np.sort(out["doc_id"].to_numpy(zero_copy_only=False))
+        assert np.array_equal(got, planted), \
+            (len(got), len(planted))
+        import pyarrow.compute as _pc
+        assert _pc.min(out["n_partners"]).as_py() == 1
+        assert _pc.max(out["n_partners"]).as_py() == 1
+        assert _pc.min(out["max_jacc"]).as_py() == 1.0
+        assert rss_delta < 400, f"driver RSS grew {rss_delta:.0f} MB"
+        results["snapshot_minhash_dedup"] = {
+            "n_docs": args.n_docs, "n_planted_dup": int(len(planted)),
+            "n_matched": int(len(got)), "exact_set_match": True,
+            "wall_s": round(wall, 1),
+            "docs_per_s": round(args.n_docs / wall),
+            "driver_rss_delta_mb": round(rss_delta, 1)}
+
+    if "exact" not in ops:
+        print(json.dumps(results))
+        ray.shutdown()
+        return
 
     rss0 = _maxrss_mb()
     t0 = time.time()
@@ -156,7 +195,9 @@ def main():
     true_dup_frac = truth["n_dup"] / max(int((sp >= 7).sum()), 1)
     assert cand_frac < true_dup_frac + 0.01, (cand_frac, true_dup_frac)
 
+    results["snapshot_dedup"] = {}
     print(json.dumps({
+        "results": results,
         "op": "snapshot_dedup", "n_docs": args.n_docs,
         "n_old": n_old, "n_new": int((sp >= 7).sum()),
         "n_planted_dup": truth["n_dup"],

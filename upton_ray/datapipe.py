@@ -854,7 +854,7 @@ def _shingle_sets(docs):
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.8,
-                  max_bucket: int = 1024) -> pa.Table:
+                  max_bucket: int = 1024, _pair_filter=None) -> pa.Table:
     """Near-dup pairs by MinHash+LSH, verified with exact shingle-Jaccard.
 
     Pipeline: shingle->minhash (map_batches) -> band->bucket (flat emit +
@@ -932,7 +932,14 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
                       "doc_b": pa.array([], pa.int64()),
                       "jacc": pa.array([], pa.float64())})
     pairs = _drop_bucket_markers(cand, "doc_a", "doc_b", "minhash_dedup",
-                                 max_bucket).materialize()
+                                 max_bucket)
+    if _pair_filter is not None:
+        # candidate-stream predicate (e.g. snapshot_minhash_dedup keeps
+        # only cross-snapshot pairs) — applied BEFORE the verify exchange
+        # so filtered-out pairs never move
+        pairs = pairs.map_batches(_pair_filter, batch_format="pyarrow",
+                                  batch_size=None)
+    pairs = pairs.materialize()
     if pairs.count() == 0:
         return empty
     # distributed exact verification (see the section comment above
@@ -8997,6 +9004,14 @@ def _bloom_test(bm: np.ndarray, h1: np.ndarray, h2: np.ndarray,
     return hit
 
 
+def _snapshot_splits(ids: np.ndarray, modulus: int = 10) -> np.ndarray:
+    """The snapshot-split hash (shared by snapshot_dedup /
+    snapshot_minhash_dedup): md5(doc_id) first-8-hex mod ``modulus`` —
+    the hash_split convention, mirrored verbatim in the oracle SQL."""
+    return np.array([int(h[:8], 16) % modulus
+                     for h in _md5_hex([str(i) for i in ids])], np.int64)
+
+
 def snapshot_dedup(sf_dir: str, m_bits: int | None = None, n_hash: int = 4,
                    old_splits: int = 7, modulus: int = 10):
     """Incremental (snapshot-over-snapshot) dedup — the recurring-crawl
@@ -9032,13 +9047,10 @@ def snapshot_dedup(sf_dir: str, m_bits: int | None = None, n_hash: int = 4,
     overlap-proportional, not corpus-proportional."""
     from upton_ray.shuffle import hash_join
 
-    def split_of(ids: np.ndarray) -> np.ndarray:
-        return np.array([int(h[:8], 16) % modulus
-                         for h in _md5_hex([str(i) for i in ids])], np.int64)
-
     def fp_split(b: pa.Table) -> pa.Table:
         hexes = _md5_hex(_norm_text(b["text"]).to_pylist())
-        sp = split_of(b["doc_id"].to_numpy(zero_copy_only=False))
+        sp = _snapshot_splits(b["doc_id"].to_numpy(zero_copy_only=False),
+                              modulus)
         return pa.table({"doc_id": b["doc_id"],
                          "fp": pa.array(hexes, pa.string()),
                          "is_old": pa.array(sp < old_splits)})
@@ -9105,3 +9117,52 @@ def snapshot_dedup(sf_dir: str, m_bits: int | None = None, n_hash: int = 4,
         lambda t: t.select(["fp"]), batch_format="pyarrow",
         batch_size=None), on="fp", how="left anti")
     return definite.union(confirmed)
+
+
+def snapshot_minhash_dedup(sf_dir: str, threshold: float = 0.8,
+                           max_bucket: int = 1024, old_splits: int = 7,
+                           modulus: int = 10) -> pa.Table:
+    """Cross-snapshot NEAR-dup: which NEW-crawl docs are near-duplicates
+    (exact shingle-Jaccard >= ``threshold``) of ANY prior-snapshot doc —
+    the fuzzy companion to :func:`snapshot_dedup` (which only catches
+    byte-identical re-crawls; boilerplate drift, timestamps and ad rotation
+    need this pass).  Same deterministic split law (md5(doc_id) %
+    ``modulus`` < ``old_splits`` = prior snapshot).  Output per matched new
+    doc: (doc_id, n_partners, max_jacc), sorted by doc_id.
+
+    Scale shape: the full :func:`minhash_dedup` machinery — shingle sets
+    materialized once, banded-LSH buckets, bucket-capped candidate pairs,
+    distributed exact verify — with ONE addition: the candidate stream is
+    filtered to CROSS-snapshot pairs before the verify exchange.  A doc's
+    side is a pure function of doc_id, so the filter is a stateless
+    vectorized map over candidate batches; within-side pairs never move.
+    max_jacc is an exact fold (max of identical doubles, no
+    reassociation), so the gate compares hash-exact against the SQL
+    anti-joined brute-force oracle."""
+    def cross_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        sa = _snapshot_splits(t["doc_a"].to_numpy(zero_copy_only=False),
+                              modulus)
+        sb = _snapshot_splits(t["doc_b"].to_numpy(zero_copy_only=False),
+                              modulus)
+        return t.filter(pa.array((sa < old_splits) != (sb < old_splits)))
+
+    verified = minhash_dedup(sf_dir, threshold, max_bucket,
+                             _pair_filter=cross_only)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_partners": pa.array([], pa.int64()),
+                      "max_jacc": pa.array([], pa.float64())})
+    if verified.num_rows == 0:
+        return empty
+    ia = verified["doc_a"].to_numpy(zero_copy_only=False)
+    ib = verified["doc_b"].to_numpy(zero_copy_only=False)
+    sa = _snapshot_splits(ia, modulus)
+    new_id = np.where(sa >= old_splits, ia, ib)   # exactly one side is new
+    g = pa.table({"doc_id": pa.array(new_id, pa.int64()),
+                  "jacc": verified["jacc"]}) \
+        .group_by("doc_id") \
+        .aggregate([([], "count_all"), ("jacc", "max")])
+    return pa.table({"doc_id": g["doc_id"],
+                     "n_partners": pc.cast(g["count_all"], pa.int64()),
+                     "max_jacc": g["jacc_max"]}).sort_by("doc_id")
