@@ -245,6 +245,7 @@ class HttpWebStore:
         self.max_workers = max_workers    # None = auto (distinct hosts)
         self._cache: dict[str, list | None] = {}
         self._cache_max = cache_pages
+        self._pinned: dict[str, list | None] = {}   # paced prefetches
         self._conns: dict[tuple, object] = {}   # (scheme, netloc) -> conn
         self._n_lock = threading.Lock()
         self.n_requests = 0
@@ -362,20 +363,34 @@ class HttpWebStore:
     def lookup_one(self, url: str):
         return self._fetch(url)
 
+    def prefetch(self, url: str):
+        """Paced per-URL fetch (the walkers call this right after the
+        host's politeness ``wait_turn``, so the GET goes on the wire at
+        the paced instant instead of in the batched burst).  The result
+        is PINNED until the next :meth:`lookup_table` assembles it —
+        exempt from LRU eviction, because a fetch batch may exceed
+        ``cache_pages`` and would otherwise evict its own prefetches."""
+        spans = (self._fetch(url) if url in self._cache
+                 else self._get(url))
+        self._pinned[url] = spans
+        return spans
+
     def page_len(self, url: str):
         spans = self._fetch(url)
         return None if spans is None else len(spans)
 
     def lookup_table(self, urls) -> pa.Array:
         urls = list(urls)
-        missing = list(dict.fromkeys(
-            u for u in urls if u not in self._cache))
         # batch-local results: prefetched spans are assembled from here,
         # NOT round-tripped through the LRU — a batch larger than
         # ``cache_pages`` would evict its own prefetches and silently
         # re-fetch them one by one (measured: an RTT-bound 8-host batch
-        # ran at 0.85x sequential before this fix)
-        got: dict[str, list | None] = {}
+        # ran at 0.85x sequential before this fix).  Politeness-paced
+        # :meth:`prefetch` results arrive the same way (pinned).
+        got: dict[str, list | None] = dict(self._pinned)
+        self._pinned.clear()
+        missing = list(dict.fromkeys(
+            u for u in urls if u not in got and u not in self._cache))
         if len(missing) > 1 and (self.max_workers is None
                                  or self.max_workers > 1):
             from concurrent.futures import ThreadPoolExecutor
@@ -698,9 +713,16 @@ class IndexWalker:
             # EDF order across the block's chains: one chain's politeness
             # wait absorbs the others' fetches, so the block costs its
             # longest chain's floor, not the sum of chains
+            prefetch = getattr(st.store, "prefetch", None)
+            force = np.array(rows["force_empty"], dtype=bool)
             for j in st.sched.order_batch(urls):
                 if from_resource[j]:
                     st.sched.wait_turn(host_of(urls[j]))
+                    if prefetch is not None and not force[j]:
+                        # network store: the GET goes on the wire NOW, at
+                        # the paced instant — the batched lookup below
+                        # assembles from the pinned result
+                        prefetch(urls[j])
 
         # vectorized body fetch; forced-empty rows look up "" (never present)
         lookup_urls = np.where(np.array(rows["force_empty"], dtype=bool), "", urls)             if n else urls
@@ -761,12 +783,15 @@ class InstanceWalker:
             st.lease_batch(furls, from_res)
             # earliest-deadline-first over this worker's heap (pacer-governed
             # hosts start at their leased window; others at their local state)
+            prefetch = getattr(st.store, "prefetch", None)
             for j in st.sched.order_batch(furls):
                 if from_res[j]:
                     u = furls[j]
                     statuses[fetchable[j]] = st.statuses.get(u, 200)
                     st.sched.wait_turn(host_of(u))
                     slept[fetchable[j]] = True
+                    if prefetch is not None and statuses[fetchable[j]] == 200:
+                        prefetch(u)       # wire-paced GET (network stores)
         else:
             fr_rows = fetchable[from_res]
             slept[fr_rows] = True
