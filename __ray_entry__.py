@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(146 queries, 133 oracle-checked; the thirteen approximate/iterative ops are
+(147 queries, 134 oracle-checked; the thirteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": datapipe.dedup_exact,
         "snapshot_dedup": datapipe.snapshot_dedup,
         "snapshot_minhash_dedup": datapipe.snapshot_minhash_dedup,
+        "snapshot_embedding_dedup": datapipe.snapshot_embedding_dedup,
         "fingerprint": datapipe.fingerprint,
         "winnow_fingerprint": datapipe.winnow_fingerprint,  # rows-only gate
         "token_count": datapipe.token_count,
@@ -550,6 +551,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        # partner counts only: the cosine itself reassociates across
+        # engines, so it stays out of the hash-compared columns (the
+        # pair SET is exact — every LSH candidate is exactly verified)
+        "snapshot_embedding_dedup": """
+            WITH sp AS (
+              SELECT vec_id, embedding,
+                     CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                               1, 8))
+                               AS BIGINT) % 10 AS BIGINT) AS sp
+              FROM embeddings)
+            SELECT n.vec_id AS vec_id,
+                   CAST(count(*) AS BIGINT) AS n_partners
+            FROM sp n JOIN sp o ON n.sp >= 7 AND o.sp < 7
+            WHERE list_cosine_similarity(n.embedding, o.embedding) >= 0.95
+            GROUP BY 1
+            ORDER BY 1
         """,
         "token_count": r"""
             SELECT doc_id,

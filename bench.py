@@ -391,6 +391,8 @@ def main():
         timed(datapipe.snapshot_dedup, SF_DIR), 3)
     queries["snapshot_minhash_dedup"] = round(
         timed(datapipe.snapshot_minhash_dedup, SF_DIR), 3)
+    queries["snapshot_embedding_dedup"] = round(
+        timed(datapipe.snapshot_embedding_dedup, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

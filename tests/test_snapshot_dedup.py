@@ -152,3 +152,57 @@ def test_snapshot_minhash_sf_matches_oracle(ray_session):
     for c in got.columns:
         exp[c] = exp[c].astype(got[c].dtype)
     pd.testing.assert_frame_equal(got, exp)
+
+
+# -------------------------------------------------- snapshot_embedding_dedup
+
+
+def _write_embeddings(tmp_path, vecs: np.ndarray):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n = len(vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+
+
+def test_snapshot_embedding_planted(ray_session, tmp_path):
+    """Cross-snapshot embedding near-dups found (jittered copies of old
+    vectors); within-side near-dups excluded; random vectors never match."""
+    old, new = _ids_by_side(64)
+    assert len(old) >= 3 and len(new) >= 5
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(64, 32))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def near(v):                       # cos > 0.999 jittered copy
+        w = v + 0.01 * rng.normal(size=v.shape)
+        return w / np.linalg.norm(w)
+
+    vecs[new[0]] = near(vecs[old[0]])            # cross: must match
+    vecs[new[1]] = vecs[old[1]]                  # cross, exact copy
+    vecs[new[2]] = near(vecs[new[3]])            # new-new: excluded
+    vecs[old[2]] = near(vecs[old[0]])            # old-old: excluded — but
+    # it ALSO sits near new[0] (both jitters of old[0]) if cos >= 0.95
+    _write_embeddings(tmp_path, vecs)
+    got = _collect(datapipe.snapshot_embedding_dedup(str(tmp_path))) \
+        .set_index("vec_id")
+    cos = float(vecs[new[0]] @ vecs[old[2]])
+    exp_partners_new0 = 1 + (cos >= 0.95)
+    assert set(got.index) == {new[0], new[1]}
+    assert got.loc[new[0], "n_partners"] == exp_partners_new0
+    assert got.loc[new[1], "n_partners"] == 1
+
+
+def test_snapshot_embedding_sf_matches_oracle(ray_session):
+    import __ray_entry__ as e
+    got = _collect(datapipe.snapshot_embedding_dedup(SF))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{SF}/embeddings.parquet'")
+    exp = con.sql(e.oracle_sql()["snapshot_embedding_dedup"]).df()
+    # the sf corpus plants no 0.95-pairs — both sides must agree on empty
+    assert len(got) == len(exp) == 0

@@ -106,7 +106,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--dup-frac", type=float, default=0.2)
-    ap.add_argument("--ops", default="exact,minhash")
+    ap.add_argument("--ops", default="exact,minhash,embedding")
+    ap.add_argument("--n-vecs", type=int, default=1_000_000)
     args = ap.parse_args()
     ops = set(args.ops.split(","))
 
@@ -120,6 +121,47 @@ def main():
 
     corpus, truth = build_corpus(args.n_docs, args.dup_frac)
     results = {}
+
+    if "embedding" in ops:
+        # planted truth on the embeddings_1m corpus: pairs (i, i+half)
+        # inside each 125k part for marked i, cos > 0.999.  A pair is
+        # relevant here iff it CROSSES the md5 split; its new-side member
+        # must come back with n_partners == 1.  Within-side planted pairs
+        # and all random pairs (P(cos >= 0.95) ~ 3e-32 at d=64) must not.
+        from tools.embeddings_1m import build as build_emb
+        corpus_e = build_emb(args.n_vecs)
+        pairs = []
+        written, bucket = 0, 125_000
+        while written < args.n_vecs:
+            rows = min(bucket, args.n_vecs - written)
+            half = rows // 2
+            loc = np.flatnonzero((np.arange(half) + written) % 20 == 0)
+            pairs += [(written + i, written + i + half) for i in loc]
+            written += rows
+        flat = np.array(pairs, np.int64)
+        sp_a = _splits(flat[:, 0])
+        sp_b = _splits(flat[:, 1])
+        cross = (sp_a < 7) != (sp_b < 7)
+        new_member = np.where(sp_a[cross] >= 7,
+                              flat[cross, 0], flat[cross, 1])
+        expected = np.sort(new_member)
+        rss0 = _maxrss_mb()
+        t0 = time.time()
+        out = datapipe.snapshot_embedding_dedup(corpus_e)
+        wall = time.time() - t0
+        rss_delta = _maxrss_mb() - rss0
+        got = np.sort(out["vec_id"].to_numpy(zero_copy_only=False))
+        assert np.array_equal(got, expected), (len(got), len(expected))
+        import pyarrow.compute as _pc
+        assert _pc.min(out["n_partners"]).as_py() == 1
+        assert _pc.max(out["n_partners"]).as_py() == 1
+        assert rss_delta < 400, f"driver RSS grew {rss_delta:.0f} MB"
+        results["snapshot_embedding_dedup"] = {
+            "n_vecs": args.n_vecs, "n_planted_pairs": int(len(flat)),
+            "n_cross_pairs": int(cross.sum()), "n_matched": int(len(got)),
+            "exact_set_match": True, "wall_s": round(wall, 1),
+            "vecs_per_s": round(args.n_vecs / wall),
+            "driver_rss_delta_mb": round(rss_delta, 1)}
 
     if "minhash" in ops:
         # planted truth for the NEAR-dup variant on the same corpus: every

@@ -1817,7 +1817,8 @@ def crawl_bfs(sf_dir: str, seeds=(0, 1, 2), branching: int = 3,
 def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
                         n_bits: int | None = None,
                         band_bits: int | None = None,
-                        seed: int = 42, max_bucket: int = 1024) -> pa.Table:
+                        seed: int = 42, max_bucket: int = 1024,
+                        _pair_filter=None) -> pa.Table:
     """Embedding near-dup via sign-random-projection LSH — the scale path
     promised by :func:`embedding_dedup`: signatures -> banded buckets ->
     within-bucket candidates -> exact cosine verification, so no stage ever
@@ -1877,8 +1878,14 @@ def embedding_dedup_lsh(sf_dir: str, threshold: float = 0.95,
     empty = pa.table({"vec_a": pa.array([], pa.int64()),
                       "vec_b": pa.array([], pa.int64())})
     pairs = _drop_bucket_markers(cand, "vec_a", "vec_b",
-                                 "embedding_dedup_lsh",
-                                 max_bucket).materialize()
+                                 "embedding_dedup_lsh", max_bucket)
+    if _pair_filter is not None:
+        # candidate-stream predicate (snapshot_embedding_dedup keeps only
+        # cross-snapshot pairs) — before the verify, so dropped pairs
+        # never cost a cosine
+        pairs = pairs.map_batches(_pair_filter, batch_format="pyarrow",
+                                  batch_size=None)
+    pairs = pairs.materialize()
     if pairs.count() == 0:
         return empty
     # exact verification: broadcast the (small, fixed-dim) vector matrix
@@ -9166,3 +9173,46 @@ def snapshot_minhash_dedup(sf_dir: str, threshold: float = 0.8,
     return pa.table({"doc_id": g["doc_id"],
                      "n_partners": pc.cast(g["count_all"], pa.int64()),
                      "max_jacc": g["jacc_max"]}).sort_by("doc_id")
+
+
+def snapshot_embedding_dedup(sf_dir: str, threshold: float = 0.95,
+                             old_splits: int = 7,
+                             modulus: int = 10) -> pa.Table:
+    """Cross-snapshot near-dup in EMBEDDING space: which NEW-snapshot
+    vectors are near-duplicates (exact cosine >= ``threshold``) of ANY
+    prior-snapshot vector — the semantic companion to
+    :func:`snapshot_minhash_dedup` (a re-crawled page that was rewritten
+    or re-templated drifts past token-level Jaccard but stays put in
+    embedding space).  Split law on vec_id, same md5 convention.  Output
+    (vec_id, n_partners) per matched new vector, sorted — partner COUNTS
+    only (exact ints): the cosine itself reassociates between numpy and
+    the SQL engine, so it stays out of the hash-compared columns.
+
+    Scale shape: :func:`embedding_dedup_lsh` (SRP signatures, occupancy-
+    adaptive bands, bucket caps, exact broadcast-or-partitioned verify)
+    with the candidate stream filtered to cross-snapshot pairs BEFORE any
+    cosine is computed — a vector's side is a pure function of vec_id."""
+    def cross_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        sa = _snapshot_splits(t["vec_a"].to_numpy(zero_copy_only=False),
+                              modulus)
+        sb = _snapshot_splits(t["vec_b"].to_numpy(zero_copy_only=False),
+                              modulus)
+        return t.filter(pa.array((sa < old_splits) != (sb < old_splits)))
+
+    verified = embedding_dedup_lsh(sf_dir, threshold,
+                                   _pair_filter=cross_only)
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "n_partners": pa.array([], pa.int64())})
+    if verified.num_rows == 0:
+        return empty
+    ia = verified["vec_a"].to_numpy(zero_copy_only=False)
+    ib = verified["vec_b"].to_numpy(zero_copy_only=False)
+    sa = _snapshot_splits(ia, modulus)
+    new_id = np.where(sa >= old_splits, ia, ib)   # exactly one side is new
+    g = pa.table({"vec_id": pa.array(new_id, pa.int64())}) \
+        .group_by("vec_id").aggregate([([], "count_all")])
+    return pa.table({"vec_id": g["vec_id"],
+                     "n_partners": pc.cast(g["count_all"], pa.int64())}) \
+        .sort_by("vec_id")
