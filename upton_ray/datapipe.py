@@ -8745,6 +8745,7 @@ def _gram_positions(b: pa.Table, n: int):
 
 def substring_dedup(sf_dir: str, n: int = 5,
                     broadcast_limit: int = 512 << 20,
+                    broadcast_gram_limit: int = 1_000_000,
                     force_distributed: bool = False):
     """Exact-substring duplication coverage (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -8755,8 +8756,14 @@ def substring_dedup(sf_dir: str, n: int = 5,
     which only surfaces the top-k candidate grams.
 
     Scale shape — two paths, identical semantics, chosen by the measured
-    byte size of the duplicated-gram set (same broadcast-vs-shuffle
-    convention as the embedding verify):
+    SIZE of the duplicated-gram set — both its bytes (object-store
+    budget, the embedding-verify convention) and its COUNT: pyarrow's
+    ``is_in`` rebuilds the value-set hash table on every kernel call, so
+    the broadcast path pays blocks x hash_build(|dup|) — measured at 1M
+    docs with a planted 10% dup family (5.5M dup grams): broadcast 152 s
+    vs distributed 86 s, so past ``broadcast_gram_limit`` (default 1M
+    grams) the gram-keyed semi-join is the cheaper path even though it
+    shuffles the corpus's whole occurrence table:
 
     * broadcast (default, dup set < ``broadcast_limit``): the dup-gram
       strings ship ONCE via ``ray.put`` (zero-copy plasma view); each
@@ -8790,7 +8797,7 @@ def substring_dedup(sf_dir: str, n: int = 5,
                  if t.num_columns > 0 and t.num_rows > 0]
         dup = (pa.concat_tables(parts)["gram"].combine_chunks()
                if parts else pa.array([], pa.string()))
-        if dup.nbytes <= broadcast_limit:
+        if dup.nbytes <= broadcast_limit and len(dup) <= broadcast_gram_limit:
             dup_ref = ray.put(dup)
 
             def cover(b: pa.Table) -> pa.Table:
