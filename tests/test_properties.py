@@ -108,3 +108,37 @@ def test_selector_wrong_final_tag_never_matches(path_segs, other):
                             for s in segs):
         return
     assert not match_kind(path, other), (path, other)
+
+
+@given(st.lists(st.text(alphabet="0123456789abcdef", min_size=32,
+                        max_size=32), min_size=1, max_size=200),
+       st.integers(min_value=10, max_value=22),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(fp_hexes, log_m, k):
+    """The snapshot-dedup bloom can produce false positives but NEVER a
+    false negative, for any md5-hex input set, any power-of-two size,
+    any probe count — a false negative would silently DROP a genuinely
+    new document."""
+    from upton_ray.datapipe import _bloom_hashes, _bloom_set, _bloom_test
+
+    bm = np.zeros((1 << log_m) // 8, np.uint8)
+    h1, h2 = _bloom_hashes(fp_hexes)
+    _bloom_set(bm, h1, h2, k)
+    assert _bloom_test(bm, h1, h2, k).all()
+
+
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=100))
+@settings(max_examples=40, deadline=None)
+def test_snapshot_split_stable_and_bounded(ids):
+    """The snapshot split law is deterministic across calls/orderings and
+    lands in [0, modulus) — the old/new partition of a corpus must never
+    depend on batch boundaries."""
+    from upton_ray.datapipe import _snapshot_splits
+
+    a = np.array(ids, np.int64)
+    s1 = _snapshot_splits(a)
+    s2 = _snapshot_splits(a[::-1].copy())[::-1]
+    assert np.array_equal(s1, s2)
+    assert ((s1 >= 0) & (s1 < 10)).all()
