@@ -482,10 +482,23 @@ def test_multi_host_live_politeness(ray_session):
             med = sorted(gaps)[len(gaps) // 2]
             assert med >= 0.5 * delay, (hseg, gaps)
 
-        # hosts overlap: wall ~ one host's paced serial time, far below
-        # the 3-hosts-serialized bound — and at least the single-host floor
+        # hosts overlap ON THE WIRE: judge concurrency from the server-side
+        # hit timeline, not the driver wall — the crawl pays ~2 s of fixed
+        # Ray overhead (groupby setup, trace collect) that does not scale
+        # with pages and once swamped a wall-based bound (first committed
+        # form of this test).  If the three hosts were serialized the
+        # server-side span would be ~3x one host's paced time; overlapped
+        # it is ~one host's.
         serial_all = 3 * per_host_pages * delay
-        assert wall < 0.75 * serial_all, (wall, serial_all)
-        assert wall >= 0.6 * (per_host_pages - 1) * delay, wall
+        all_ts = sorted(t for _, t in hits)
+        span = all_ts[-1] - all_ts[0]
+        assert span < 0.75 * serial_all, (span, serial_all)
+        # every host's fetch window overlaps every other's
+        firsts = {h: min(t for hh, t in hits if hh == h) for h, _ in hits}
+        lasts = {h: max(t for hh, t in hits if hh == h) for h, _ in hits}
+        assert max(firsts.values()) < min(lasts.values()), (firsts, lasts)
+        # and the span respects the single-host paced floor
+        assert span >= 0.6 * (per_host_pages - 1) * delay, span
+        assert wall >= span
     finally:
         srv.shutdown()
