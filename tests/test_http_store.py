@@ -486,17 +486,29 @@ def test_multi_host_live_politeness(ray_session):
         # hit timeline, not the driver wall — the crawl pays ~2 s of fixed
         # Ray overhead (groupby setup, trace collect) that does not scale
         # with pages and once swamped a wall-based bound (first committed
-        # form of this test).  If the three hosts were serialized the
-        # server-side span would be ~3x one host's paced time; overlapped
-        # it is ~one host's.
-        serial_all = 3 * per_host_pages * delay
+        # form of this test).  Judge it against the OBSERVED per-host spans
+        # rather than the nominal paced time: CPU contention stretches every
+        # host's paced stream equally (one full-suite run saw 3.8 s against
+        # a nominal 3.15 s bound while the hosts still overlapped perfectly),
+        # so absolute-time bounds flake under load but the span/sum ratio is
+        # load-invariant — serialized execution gives span >= sum of host
+        # spans, full overlap gives span ~= max host span + start skew.
         all_ts = sorted(t for _, t in hits)
         span = all_ts[-1] - all_ts[0]
-        assert span < 0.75 * serial_all, (span, serial_all)
+        host_spans = {h: (max(t for hh, t in hits if hh == h)
+                          - min(t for hh, t in hits if hh == h))
+                      for h, _ in hits}
+        assert span < 0.75 * sum(host_spans.values()), (span, host_spans)
+        assert span < 1.8 * max(host_spans.values()), (span, host_spans)
         # every host's fetch window overlaps every other's
         firsts = {h: min(t for hh, t in hits if hh == h) for h, _ in hits}
         lasts = {h: max(t for hh, t in hits if hh == h) for h, _ in hits}
         assert max(firsts.values()) < min(lasts.values()), (firsts, lasts)
+        # the timeline actually interleaves hosts (serial would switch
+        # hosts exactly twice across the whole timeline)
+        order = [h for h, _ in sorted(hits, key=lambda p: p[1])]
+        switches = sum(a != b for a, b in zip(order, order[1:]))
+        assert switches > per_host_pages, (switches, order)
         # and the span respects the single-host paced floor
         assert span >= 0.6 * (per_host_pages - 1) * delay, span
         assert wall >= span
