@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(147 queries, 134 oracle-checked; the thirteen approximate/iterative ops are
+(152 queries, 139 oracle-checked; the thirteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -394,6 +394,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": datapipe.quality_classifier,
         "substring_dedup": datapipe.substring_dedup,
         "temperature_resample": datapipe.temperature_resample,
+        # round 5e: curation / cross-snapshot diagnostics
+        "soft_dedup": datapipe.soft_dedup,
+        "group_split": datapipe.group_split,
+        "source_overlap": datapipe.source_overlap,
+        "ks_drift": datapipe.ks_drift,
+        "recrawl_priority": datapipe.recrawl_priority,
     }
     return _driver_rotate(q)
 
@@ -2200,6 +2206,71 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(k.nk, 0) AS BIGINT) AS n_kept
         FROM r LEFT JOIN k USING (source)
         ORDER BY r.source
+    """
+    # round 5e: curation / cross-snapshot diagnostics
+    sql["soft_dedup"] = f"""
+        WITH f AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+        SELECT doc_id, 1.0 / COUNT(*) OVER (PARTITION BY fp) AS weight
+        FROM f
+    """
+    sql["group_split"] = """
+        SELECT source,
+               CAST(CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                    % 10 AS BIGINT) AS split,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    """
+    sql["source_overlap"] = f"""
+        WITH t AS (SELECT source, string_split({_NORM}, ' ') AS w
+                   FROM documents),
+        f AS (SELECT DISTINCT source, sh FROM (
+              SELECT source, unnest(CASE
+                  WHEN len(w) >= 3 THEN list_transform(
+                      generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                  ELSE [] END) AS sh
+              FROM t)),
+        c AS (SELECT source, count(*) AS n FROM f GROUP BY 1),
+        o AS (SELECT a.source AS src_a, b.source AS src_b,
+                     count(*) AS ov
+              FROM f a JOIN f b USING (sh)
+              WHERE a.source <> b.source GROUP BY 1, 2)
+        SELECT src_a, src_b, CAST(ov AS BIGINT) AS overlap,
+               CAST(ov AS DOUBLE) / c.n AS containment
+        FROM o JOIN c ON c.source = o.src_a
+        ORDER BY src_a, src_b
+    """
+    sql["ks_drift"] = """
+        WITH s AS (SELECT n_chars AS v,
+                          CASE WHEN CAST(('0x' || substr(
+                                   md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                   AS BIGINT) % 10 < 7
+                               THEN 1 ELSE 0 END AS is_old
+                   FROM documents),
+        c AS (SELECT v, SUM(is_old) AS co, SUM(1 - is_old) AS cn
+              FROM s GROUP BY 1),
+        t AS (SELECT v, SUM(co) OVER (ORDER BY v) AS cum_o,
+                     SUM(cn) OVER (ORDER BY v) AS cum_n FROM c),
+        tot AS (SELECT SUM(co) AS n_old, SUM(cn) AS n_new FROM c)
+        SELECT CAST(tot.n_old AS BIGINT) AS n_old,
+               CAST(tot.n_new AS BIGINT) AS n_new,
+               MAX(ABS(CAST(cum_o AS DOUBLE) / tot.n_old
+                       - CAST(cum_n AS DOUBLE) / tot.n_new)) AS ks_stat
+        FROM t, tot GROUP BY tot.n_old, tot.n_new
+    """
+    sql["recrawl_priority"] = f"""
+        WITH h AS (SELECT source AS host, count(*) AS n_pages,
+                          SUM(CASE WHEN text <> {_NORM} THEN 1 ELSE 0 END)
+                              AS n_changed
+                   FROM documents GROUP BY 1)
+        SELECT host, CAST(n_pages AS BIGINT) AS n_pages,
+               CAST(n_changed AS BIGINT) AS n_changed,
+               CAST(n_changed AS DOUBLE) / n_pages AS change_rate,
+               CAST(row_number() OVER (
+                   ORDER BY CAST(n_changed AS DOUBLE) / n_pages DESC, host)
+                   AS BIGINT) AS priority_rank
+        FROM h ORDER BY host
     """
     sql.update(_fixture_goldens())
     return sql

@@ -393,6 +393,13 @@ def main():
         timed(datapipe.snapshot_minhash_dedup, SF_DIR), 3)
     queries["snapshot_embedding_dedup"] = round(
         timed(datapipe.snapshot_embedding_dedup, SF_DIR), 3)
+    queries["soft_dedup"] = round(timed(datapipe.soft_dedup, SF_DIR), 3)
+    queries["group_split"] = round(timed(datapipe.group_split, SF_DIR), 3)
+    queries["source_overlap"] = round(
+        timed(datapipe.source_overlap, SF_DIR), 3)
+    queries["ks_drift"] = round(timed(datapipe.ks_drift, SF_DIR), 3)
+    queries["recrawl_priority"] = round(
+        timed(datapipe.recrawl_priority, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap

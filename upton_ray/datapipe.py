@@ -9223,3 +9223,256 @@ def snapshot_embedding_dedup(sf_dir: str, threshold: float = 0.95,
     return pa.table({"vec_id": g["vec_id"],
                      "n_partners": pc.cast(g["count_all"], pa.int64())}) \
         .sort_by("vec_id")
+
+
+# ------------------------------------------- round-5e curation / diagnostics
+
+
+def soft_dedup(sf_dir: str):
+    """Duplicate DOWN-WEIGHTING instead of dropping: every document keeps a
+    training weight of 1/|its exact-duplicate cluster| (cluster key = the
+    normalized-text fingerprint of :func:`fingerprint`), so an epoch over
+    the weighted corpus sees each distinct CONTENT exactly once in
+    expectation while no document is discarded — the soft alternative to
+    :func:`dedup_exact` used when provenance diversity inside a duplicate
+    cluster matters (same boilerplate on many hosts).  Output
+    (doc_id, weight).
+
+    Scale shape: one fingerprint pass, then ONE fp-keyed exchange
+    (:func:`upton_ray.shuffle.hash_reduce`); each partition assigns weights
+    with a dictionary-encode + bincount — no corpus-sized table ever leaves
+    the workers and the driver holds nothing.  (A count-then-broadcast plan
+    would ship a distinct-fp table that is itself corpus-sized on a mostly
+    unique corpus — the exchange is the right plan at 100 TB.)"""
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        enc = pc.dictionary_encode(t["fp"].combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx)
+        return pa.table({"doc_id": t["doc_id"],
+                         "weight": pa.array(1.0 / cnt[idx], pa.float64())})
+
+    return _hash_reduce(fingerprint(sf_dir), ["fp"], weigh)
+
+
+def group_split(sf_dir: str, n_splits: int = 10):
+    """Leakage-safe train/val/test split: the split key is the SOURCE (the
+    crawl host analog), so every document of one source lands in the same
+    split — the group-aware contract that keeps near-duplicate pages of one
+    site from straddling train and eval (a per-doc split like
+    :func:`hash_split` leaks template/boilerplate overlap across the
+    boundary).  Same md5-replayable law as hash_split, applied to the group
+    key: split = first-8-hex(md5(source)) mod ``n_splits``.  Output one row
+    per (source, split) with the doc count — group-level, so the oracle
+    also certifies that no source spans two splits (it would surface as two
+    rows for one source).
+
+    Scale shape: per-block combiner (whole-block count per source) then a
+    source-keyed exchange of |sources|-bounded partials; md5 runs once per
+    SOURCE on the reduced table, not per row."""
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "n_docs": pc.cast(g["count_all"], pa.int64())})
+
+    def red(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_docs", "sum")])
+        srcs = g["source"].to_pylist()
+        split = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n_splits
+                 for s in srcs]
+        return pa.table({"source": g["source"],
+                         "split": pa.array(split, pa.int64()),
+                         "n_docs": pc.cast(g["n_docs_sum"], pa.int64())})
+
+    parts = _docs(sf_dir, ["source"]).map_batches(
+        part, batch_format="pyarrow", batch_size=None)
+    return _hash_reduce(parts, ["source"], red)
+
+
+def source_overlap(sf_dir: str):
+    """Pairwise corpus-overlap diagnostic: for every ordered source pair
+    (a, b), how many of a's DISTINCT 3-token shingles (the :func:`shingles`
+    unit minhash/decontamination already use) also appear in b, and the
+    containment |SH(a) n SH(b)| / |SH(a)| — the overlap matrix a
+    mixing/dedup plan reads before deciding which sources to cross-dedup
+    (high containment of a in b means a is mostly re-hosted b content;
+    exact-fp overlap is near-zero on any healthy corpus, shingle
+    containment is the signal that actually moves).  Output
+    (src_a, src_b, overlap, containment) for pairs with overlap > 0,
+    sorted.
+
+    Scale shape: per-block DISTINCT (shingle, source) combiner, one
+    shingle-keyed exchange, then each partition folds its shingles' source
+    sets into BITMASKS (sources are few; one uint64 per shingle) and emits
+    |S|^2-bounded partial pair counts — the driver only ever sees
+    |S|^2 x P integer partials, never a shingle.  The n^2-pair space is
+    never formed: a shingle shared by k sources contributes k(k-1) pair
+    increments via its mask, all inside one partition."""
+    def distinct_part(b: pa.Table) -> pa.Table:
+        texts = _norm_text(b["text"]).to_pylist()
+        srcs = b["source"].to_pylist()
+        sh, so = [], []
+        for txt, s in zip(texts, srcs):
+            for g in shingles(txt):
+                sh.append(g)
+                so.append(s)
+        t = pa.table({"fp": pa.array(sh, pa.string()),
+                      "source": pa.array(so, pa.string())})
+        return t.group_by(["fp", "source"]).aggregate([])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src_a": pa.array([], pa.string()),
+                          "src_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # partition-local dedupe again (block partials overlap), then mask
+        t = t.group_by(["fp", "source"]).aggregate([])
+        src = pc.dictionary_encode(t["source"].combine_chunks())
+        names = src.dictionary.to_pylist()
+        if len(names) > 64:     # bitmask width guard (sources are few)
+            raise ValueError("source_overlap: >64 sources; widen the mask")
+        sidx = src.indices.to_numpy(zero_copy_only=False)
+        fpe = pc.dictionary_encode(t["fp"].combine_chunks())
+        fidx = fpe.indices.to_numpy(zero_copy_only=False)
+        masks = np.zeros(len(fpe.dictionary), np.uint64)
+        np.bitwise_or.at(masks, fidx,
+                         np.uint64(1) << sidx.astype(np.uint64))
+        rows_a, rows_b, rows_n = [], [], []
+        for i, a in enumerate(names):
+            in_a = (masks >> np.uint64(i)) & np.uint64(1)
+            rows_a.append(a); rows_b.append(a)
+            rows_n.append(int(in_a.sum()))        # (a,a): |FP(a)| partial
+            for j, b_ in enumerate(names):
+                if i == j:
+                    continue
+                both = in_a & ((masks >> np.uint64(j)) & np.uint64(1))
+                rows_a.append(a); rows_b.append(b_)
+                rows_n.append(int(both.sum()))
+        return pa.table({"src_a": pa.array(rows_a, pa.string()),
+                         "src_b": pa.array(rows_b, pa.string()),
+                         "n": pa.array(rows_n, pa.int64())})
+
+    parts = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        distinct_part, batch_format="pyarrow", batch_size=None)
+    partials = _hash_reduce(parts, ["fp"], pair_counts)
+    agg = pa.concat_tables(
+        ray.get(partials.to_arrow_refs())).group_by(
+        ["src_a", "src_b"]).aggregate([("n", "sum")])
+    na = {r["src_a"]: r["n_sum"] for r in agg.to_pylist()
+          if r["src_a"] == r["src_b"]}
+    rows = [r for r in agg.to_pylist()
+            if r["src_a"] != r["src_b"] and r["n_sum"] > 0]
+    rows.sort(key=lambda r: (r["src_a"], r["src_b"]))
+    return pa.table({
+        "src_a": pa.array([r["src_a"] for r in rows], pa.string()),
+        "src_b": pa.array([r["src_b"] for r in rows], pa.string()),
+        "overlap": pa.array([r["n_sum"] for r in rows], pa.int64()),
+        "containment": pa.array(
+            [r["n_sum"] / na[r["src_a"]] for r in rows], pa.float64()),
+    })
+
+
+def ks_drift(sf_dir: str, old_splits: int = 7, modulus: int = 10):
+    """Two-sample Kolmogorov–Smirnov drift between crawl snapshots: the max
+    ECDF gap of the document-length distribution (n_chars) between the
+    PRIOR snapshot and the NEW crawl (the :func:`_snapshot_splits` law on
+    doc_id) — the cheap distribution-shift alarm a recurring pipeline
+    checks before retraining on a refresh (a big KS on lengths usually
+    means a template change or an extraction regression upstream).  Output
+    one row (n_old, n_new, ks_stat).
+
+    Scale shape: per-block combiner of (n_chars -> old/new counts) on
+    whole blocks, one value-keyed exchange bounded by the DISTINCT length
+    domain (not the corpus), and a driver fold over that bounded table
+    (sort + cumsum + max) — identical double arithmetic to the SQL oracle
+    (int cumsum / int total), so the statistic matches at 1e-9."""
+    def part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        old = _snapshot_splits(ids, modulus) < old_splits
+        v = b["n_chars"].to_numpy(zero_copy_only=False)
+        t = pa.table({"v": pa.array(v, pa.int64()),
+                      "c_old": pa.array(old.astype(np.int64), pa.int64()),
+                      "c_new": pa.array((~old).astype(np.int64), pa.int64())})
+        g = t.group_by("v").aggregate([("c_old", "sum"), ("c_new", "sum")])
+        return pa.table({"v": g["v"], "c_old": g["c_old_sum"],
+                         "c_new": g["c_new_sum"]})
+
+    def red(t: pa.Table) -> pa.Table:
+        g = t.group_by("v").aggregate([("c_old", "sum"), ("c_new", "sum")])
+        return pa.table({"v": g["v"], "c_old": g["c_old_sum"],
+                         "c_new": g["c_new_sum"]})
+
+    parts = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        part, batch_format="pyarrow", batch_size=None)
+    small = pa.concat_tables(
+        ray.get(_hash_reduce(parts, ["v"], red).to_arrow_refs()))
+    small = small.sort_by("v")
+    co = small["c_old"].to_numpy(zero_copy_only=False)
+    cn = small["c_new"].to_numpy(zero_copy_only=False)
+    n_old, n_new = int(co.sum()), int(cn.sum())
+    ks = float(np.max(np.abs(np.cumsum(co) / n_old
+                             - np.cumsum(cn) / n_new)))
+    return pa.table({"n_old": pa.array([n_old], pa.int64()),
+                     "n_new": pa.array([n_new], pa.int64()),
+                     "ks_stat": pa.array([ks], pa.float64())})
+
+
+def recrawl_priority(sf_dir: str):
+    """Per-host recrawl scheduling from cross-snapshot content diffs: for
+    each host (= source, the docweb host law), the fraction of its pages
+    whose content fingerprint CHANGED between the prior snapshot and the
+    re-crawl, ranked most-volatile-first — the change-rate table an
+    adaptive crawler feeds back into per-host revisit intervals (volatile
+    hosts get short intervals, static archives long ones).  The sandbox
+    has one copy of each page, so the prior snapshot's content is the
+    DETERMINISTIC stand-in norm(text) (the md5 of the normalized text vs
+    the md5 of the raw text): "changed" iff normalization alters the page,
+    which the SQL oracle reproduces exactly.  A real deployment swaps the
+    stand-in for the stashed fingerprint column of the previous crawl
+    (S3/S4 cache read) — same plan, same schema.  Output
+    (host, n_pages, n_changed, change_rate, priority_rank).
+
+    Scale shape: pure per-block combiner (pages + changed counts per host,
+    whole blocks) then a host-keyed exchange of |hosts|-bounded partials;
+    the rank is a driver sort of the |hosts|-row result."""
+    def part(b: pa.Table) -> pa.Table:
+        changed = pc.cast(
+            pc.not_equal(b["text"], _norm_text(b["text"])), pa.int64())
+        t = pa.table({"host": b["source"],
+                      "n_pages": pa.array(
+                          np.ones(b.num_rows, np.int64), pa.int64()),
+                      "n_changed": changed})
+        g = t.group_by("host").aggregate([("n_pages", "sum"),
+                                          ("n_changed", "sum")])
+        return pa.table({"host": g["host"], "n_pages": g["n_pages_sum"],
+                         "n_changed": g["n_changed_sum"]})
+
+    def red(t: pa.Table) -> pa.Table:
+        g = t.group_by("host").aggregate([("n_pages", "sum"),
+                                          ("n_changed", "sum")])
+        return pa.table({"host": g["host"], "n_pages": g["n_pages_sum"],
+                         "n_changed": g["n_changed_sum"]})
+
+    parts = _docs(sf_dir, ["text", "source"]).map_batches(
+        part, batch_format="pyarrow", batch_size=None)
+    small = pa.concat_tables(ray.get(
+        _hash_reduce(parts, ["host"], red).to_arrow_refs()))
+    small = small.group_by("host").aggregate([("n_pages", "sum"),
+                                              ("n_changed", "sum")])
+    hosts = small["host"].to_pylist()
+    npg = small["n_pages_sum"].to_numpy(zero_copy_only=False)
+    nch = small["n_changed_sum"].to_numpy(zero_copy_only=False)
+    rate = nch / npg
+    order = sorted(range(len(hosts)),
+                   key=lambda i: (-rate[i], hosts[i]))
+    rank = np.empty(len(hosts), np.int64)
+    rank[order] = np.arange(1, len(hosts) + 1)
+    return pa.table({"host": pa.array(hosts, pa.string()),
+                     "n_pages": pa.array(npg, pa.int64()),
+                     "n_changed": pa.array(nch, pa.int64()),
+                     "change_rate": pa.array(rate, pa.float64()),
+                     "priority_rank": pa.array(rank, pa.int64())}) \
+        .sort_by("host")
