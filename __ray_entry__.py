@@ -434,6 +434,21 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         "user_path", "token_entropy", "reservoir_sample", "sample_weighted",
         "running_total", "event_lag", "rolling_avg", "first_last_touch",
         "conversion_lag", "daily_active_users",
+        # verified at 1M-10M rows in the round-5 soaks (BASELINE.md round-5
+        # sections: snapshot family planted-exact at 10^7, the 19-op
+        # soak_r5 table, graph soak, soak_r5d) — demoting them pulls the
+        # still-unsoaked queries into the driver's 50-row window
+        "snapshot_dedup", "snapshot_minhash_dedup", "snapshot_embedding_dedup",
+        "media_phash_dedup", "pagerank", "connected_components",
+        "prepare_corpus", "line_dedup", "inter_event_stats", "triangle_count",
+        "knn_graph", "top_terms_per_lang", "trailing_window_sum",
+        "vocab_coverage", "degree_distribution", "perplexity_buckets",
+        "hits_scores", "gopher_rules", "normalize_text", "host_cap",
+        "media_ref_dedup", "substring_dedup", "temperature_resample",
+        # unigram_logprob is the verified hot stage of the 1M
+        # perplexity_buckets soak; time_decay_score verified at 10M events
+        # in the round-4c soak
+        "unigram_logprob", "time_decay_score",
     ]
     rows_only_unchecked = [
         "ann_pq_rerank", "kmeans_clusters", "approx_quantiles", "ann_lsh",
@@ -467,9 +482,16 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         "dedup_keep_best", "ann_range_search", "doc_length_histogram",
         "sample_stratified", "dedup_clusters", "tfidf_top_term", "doc_chunk",
     ]
+    newest_first = [
+        # added after the round-5 mid-round gate runs: zero driver history,
+        # no at-scale soak yet — highest marginal value from a driver row
+        "soft_dedup", "group_split", "source_overlap", "ks_drift",
+        "recrawl_priority",
+    ]
     late = (set(soaked) | set(rows_only_unchecked) | set(float_reassoc)
             | set(prev_checked))
-    order = ([k for k in q if k not in late]
+    order = ([k for k in newest_first if k in q]
+             + [k for k in q if k not in late and k not in set(newest_first)]
              + [k for k in soaked if k in q]
              + [k for k in float_reassoc if k in q]
              + [k for k in rows_only_unchecked if k in q]
