@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(152 queries, 139 oracle-checked; the thirteen approximate/iterative ops are
+(155 queries, 142 oracle-checked; the thirteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -400,6 +400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": datapipe.source_overlap,
         "ks_drift": datapipe.ks_drift,
         "recrawl_priority": datapipe.recrawl_priority,
+        # round 5f: web/embedding curation ops
+        "anchor_text": datapipe.anchor_text,
+        "embedding_quantize": datapipe.embedding_quantize,
+        "dup_rate": datapipe.dup_rate,
     }
     return _driver_rotate(q)
 
@@ -485,6 +489,7 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
     newest_first = [
         # added after the round-5 mid-round gate runs: zero driver history,
         # no at-scale soak yet — highest marginal value from a driver row
+        "anchor_text", "embedding_quantize", "dup_rate",
         "soft_dedup", "group_split", "source_overlap", "ks_drift",
         "recrawl_priority",
     ]
@@ -2293,6 +2298,55 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY CAST(n_changed AS DOUBLE) / n_pages DESC, host)
                    AS BIGINT) AS priority_rank
         FROM h ORDER BY host
+    """
+    sql["anchor_text"] = f"""
+        WITH anch AS (
+          SELECT doc_id AS u,
+                 CASE WHEN strpos(norm, ' ') > 0
+                      THEN split_part(norm, ' ', 1) || ' ' ||
+                           split_part(norm, ' ', 2)
+                      ELSE norm END AS anchor
+          FROM (SELECT doc_id, {_NORM} AS norm FROM documents)),
+        e0 AS (SELECT u, unnest([3*u+1, 3*u+2, 3*u+3,
+                                 CASE WHEN u >= 1 THEN u // 2 END]) AS v,
+                      anchor
+               FROM anch),
+        edges AS (SELECT u, v, anchor FROM e0
+                  WHERE v IS NOT NULL AND v IN (SELECT doc_id FROM documents)),
+        cnt AS (SELECT v AS doc_id, anchor, count(*) AS c
+                FROM edges GROUP BY v, anchor),
+        tot AS (SELECT doc_id, sum(c) AS n_inlinks FROM cnt GROUP BY doc_id),
+        top AS (SELECT doc_id, anchor AS top_anchor, c AS top_count,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, anchor ASC) AS rn
+                FROM cnt)
+        SELECT t.doc_id, CAST(tot.n_inlinks AS BIGINT) AS n_inlinks,
+               t.top_anchor, CAST(t.top_count AS BIGINT) AS top_count
+        FROM top t JOIN tot USING (doc_id) WHERE rn = 1 ORDER BY doc_id
+    """
+    sql["embedding_quantize"] = """
+        WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                           CAST(unnest(embedding) AS DOUBLE) AS x
+                    FROM embeddings),
+        st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+        q AS (SELECT vec_id, x, mn, mx,
+                     CASE WHEN mx > mn
+                          THEN least(greatest(
+                              floor((x - mn) * 255 / (mx - mn)), 0), 255)
+                          ELSE 0 END AS code
+              FROM ex JOIN st USING (dim)),
+        r AS (SELECT vec_id, code,
+                     x - (mn + code * (mx - mn) / 255) AS err FROM q)
+        SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+               avg(err * err) AS mse
+        FROM r GROUP BY vec_id ORDER BY vec_id
+    """
+    sql["dup_rate"] = f"""
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5({_NORM})) AS n_distinct,
+               CAST(count(*) - count(DISTINCT md5({_NORM})) AS DOUBLE)
+                   / count(*) AS dup_rate
+        FROM documents GROUP BY source ORDER BY source
     """
     sql.update(_fixture_goldens())
     return sql

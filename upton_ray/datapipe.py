@@ -9476,3 +9476,179 @@ def recrawl_priority(sf_dir: str):
                      "change_rate": pa.array(rate, pa.float64()),
                      "priority_rank": pa.array(rank, pa.int64())}) \
         .sort_by("host")
+
+
+# ------------------------------------- round-5f web/embedding curation ops
+
+
+def anchor_text(sf_dir: str, branching: int = 3):
+    """Inlink anchor-text aggregation over the arithmetic doc-link graph
+    (doc d -> branching*d+1..+branching where the child exists, plus the
+    d -> d//2 backlink — the same graph :func:`pagerank` /
+    :func:`hits_scores` walk): every edge carries the SOURCE doc's anchor
+    string (its first two normalized tokens, the <a>-text stand-in), and
+    each TARGET aggregates its inlink votes — the classic anchor-text
+    index retrieval features and crawl prioritization read (anchors
+    describe the page they point AT, often better than its own text).
+    Ties break count-desc then anchor-asc, the SQL row_number law.
+
+    Scale shape: the edge list never materializes corpus-wide — each block
+    emits (branching+1) x rows pre-combined to (dst, anchor, c) partials,
+    then ONE dst-keyed exchange (:func:`upton_ray.shuffle.hash_reduce`)
+    finishes counts, totals and the per-dst argmax in-partition; the
+    driver holds nothing.  Output (doc_id, n_inlinks, top_anchor,
+    top_count), one row per linked-to doc."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+
+    def emit(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        anchor = pc.binary_join(pc.list_slice(toks, 0, 2), " ")
+        if isinstance(anchor, pa.ChunkedArray):
+            anchor = anchor.combine_chunks()
+        idxs, dsts = [], []
+        for j in range(1, branching + 1):
+            d = branching * ids + j
+            src = np.nonzero(d < n)[0]
+            idxs.append(src)
+            dsts.append(d[src])
+        src = np.nonzero(ids >= 1)[0]
+        idxs.append(src)
+        dsts.append(ids[src] // 2)
+        take = np.concatenate(idxs)
+        t = pa.table({
+            "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            "anchor": anchor.take(pa.array(take, pa.int64()))})
+        g = t.group_by(["dst", "anchor"]).aggregate([([], "count_all")])
+        return pa.table({"dst": g["dst"], "anchor": g["anchor"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    def red(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_inlinks": pa.array([], pa.int64()),
+                             "top_anchor": pa.array([], pa.string()),
+                             "top_count": pa.array([], pa.int64())})
+        g = t.group_by(["dst", "anchor"]).aggregate([("c", "sum")])
+        s = g.sort_by([("dst", "ascending"), ("c_sum", "descending"),
+                       ("anchor", "ascending")])
+        dst = s["dst"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(dst), bool)
+        first[1:] = dst[1:] != dst[:-1]
+        top = s.filter(pa.array(first))
+        tot = g.group_by("dst").aggregate([("c_sum", "sum")]) \
+            .sort_by([("dst", "ascending")])
+        return pa.table({
+            "doc_id": top["dst"],
+            "n_inlinks": pc.cast(tot["c_sum_sum"], pa.int64()),
+            "top_anchor": top["anchor"],
+            "top_count": pc.cast(top["c_sum"], pa.int64())})
+
+    parts = docs.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    return _hash_reduce(parts, ["dst"], red)
+
+
+def embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding table — the 4x storage /
+    bandwidth compression an ANN serving tier applies before indexing:
+    per-DIMENSION global [min, max] ranges, each value encoded as
+    code = clip(floor((x - mn) * 255 / (mx - mn)), 0, 255), reconstruction
+    recon = mn + code * (mx - mn) / 255.  Output per vector: the code sum
+    (an integer content check the oracle replays bit-for-bit) and the
+    reconstruction MSE (the quantization-quality signal a pipeline gates
+    on before swapping full-precision vectors out of the hot tier).
+
+    Scale shape: pass 1 folds per-block (min, max) DIM-vectors — the
+    driver touches blocks x dims doubles, never rows; the (mn, rng)
+    matrices broadcast ONCE via ray.put; pass 2 is a pure vectorized map
+    (no shuffle anywhere).  All arithmetic follows the SQL expression
+    shapes exactly — same IEEE double ops both sides — so codes match
+    bit-for-bit and the MSE differs only by summation order (~1e-16).
+    Output (vec_id, code_sum, mse)."""
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def mm(b: pa.Table) -> pa.Table:
+        M = _emb_matrix(b)
+        return pa.table({"mn": pa.array([M.min(axis=0)],
+                                        pa.list_(pa.float64())),
+                         "mx": pa.array([M.max(axis=0)],
+                                        pa.list_(pa.float64()))})
+
+    parts = [t for t in ray.get(
+        emb.map_batches(mm, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()) if t.num_rows > 0]
+    mns = np.stack([np.asarray(t["mn"].to_pylist()[i])
+                    for t in parts for i in range(t.num_rows)])
+    mxs = np.stack([np.asarray(t["mx"].to_pylist()[i])
+                    for t in parts for i in range(t.num_rows)])
+    mn, mx = mns.min(axis=0), mxs.max(axis=0)
+    rng = mx - mn
+    q_ref = ray.put((mn, rng))
+
+    def quant(b: pa.Table) -> pa.Table:
+        lo, width = ray.get(q_ref)
+        M = _emb_matrix(b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((M - lo) * 255.0 / width)
+        raw = np.where(width > 0, raw, 0.0)
+        codes = np.clip(raw, 0.0, 255.0)
+        recon = lo + codes * width / 255.0
+        err = M - recon
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "code_sum": pa.array(codes.sum(axis=1).astype(np.int64),
+                                 pa.int64()),
+            "mse": pa.array((err * err).mean(axis=1), pa.float64())})
+
+    return emb.map_batches(quant, batch_format="pyarrow")
+
+
+def dup_rate(sf_dir: str):
+    """Per-source exact duplicate-rate diagnostic: n_docs, distinct
+    normalized-text fingerprints, and dup_rate = (n_docs - n_distinct) /
+    n_docs — the first number a curation plan reads per source before
+    deciding where to spend dedup budget (a 40%-dup crawl host and a
+    0%-dup curated archive get different pipelines).
+
+    Scale shape: the fingerprint space is corpus-sized, so distincts are
+    counted the :func:`distinct_by_type` way — per-block (source, fp)
+    pre-combine, ONE pair-keyed exchange where each surviving pair lands
+    in exactly one partition (per-partition counts are disjoint partials),
+    and the driver folds P x |sources| ints.  Output
+    (source, n_docs, n_distinct, dup_rate) sorted by source."""
+    def part(b: pa.Table) -> pa.Table:
+        norm = _norm_text(b["text"])
+        fp = pa.array(_md5_hex(norm.to_pylist()), pa.string())
+        g = pa.table({"source": b["source"], "fp": fp}) \
+            .group_by(["source", "fp"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "fp": g["fp"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    def red(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64())})
+        g = t.group_by(["source", "fp"]).aggregate([("c", "sum")])
+        s = g.group_by("source").aggregate([("c_sum", "sum"),
+                                            ([], "count_all")])
+        return pa.table({"source": s["source"],
+                         "n_docs": pc.cast(s["c_sum_sum"], pa.int64()),
+                         "n_distinct": pc.cast(s["count_all"], pa.int64())})
+
+    parts = _docs(sf_dir, ["text", "source"]).map_batches(
+        part, batch_format="pyarrow", batch_size=None)
+    small = pa.concat_tables([t for t in ray.get(
+        _hash_reduce(parts, ["source", "fp"], red).to_arrow_refs())
+        if t.num_rows > 0])
+    g = small.group_by("source").aggregate([("n_docs", "sum"),
+                                            ("n_distinct", "sum")])
+    nd = g["n_docs_sum"].to_numpy(zero_copy_only=False)
+    nu = g["n_distinct_sum"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "source": g["source"],
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_distinct": pa.array(nu, pa.int64()),
+        "dup_rate": pa.array((nd - nu) / nd, pa.float64())}) \
+        .sort_by("source")
