@@ -400,6 +400,10 @@ def main():
     queries["ks_drift"] = round(timed(datapipe.ks_drift, SF_DIR), 3)
     queries["recrawl_priority"] = round(
         timed(datapipe.recrawl_priority, SF_DIR), 3)
+    queries["anchor_text"] = round(timed(datapipe.anchor_text, SF_DIR), 3)
+    queries["embedding_quantize"] = round(
+        timed(datapipe.embedding_quantize, SF_DIR), 3)
+    queries["dup_rate"] = round(timed(datapipe.dup_rate, SF_DIR), 3)
 
     # adversarial skew strata (upton_ray.skew): 40% byte-identical duplicate
     # cluster + one user owning 30% of events — measures that the cap
