@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(155 queries, 142 oracle-checked; the thirteen approximate/iterative ops are
+(156 queries, 143 oracle-checked; the thirteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -134,6 +134,13 @@ def _fixture_goldens() -> dict[str, str]:
     # instance continuation (P4/Q5): the stateless successor caps at depth 2 —
     # page 2 (webinar_page_1.html) doesn't exist -> empty record at depth 1
     continuation = [(0, 0, 0, HEADLINES["webinar"]), (0, 1, 0, "")]
+    # sitemap seeding (engine extension): two-level sitemap-index tree,
+    # level order (a: webinar, discussion; b: prosecutor, sixfacts,
+    # relative-duplicate webinar) — duplicate kept positionally, fetched once
+    sitemap = [(0, 0, 0, HEADLINES["webinar"]), (1, 0, 0, ""),
+               (2, 0, 0, HEADLINES["prosecutor"]),
+               (3, 0, 0, HEADLINES["sixfacts"]),
+               (4, 0, 0, HEADLINES["webinar"])]
     # CSV/TSV sink golden (S5/S6): the files' lines in Upton output order —
     # table documents explode to one CSV row per inner list (incl. the Q6
     # empty header row), scalar documents are single rows
@@ -153,6 +160,7 @@ def _fixture_goldens() -> dict[str, str]:
         "crawl_paginated": _values_sql(paginated),
         "crawl_robots": _values_sql(robots),
         "crawl_continuation": _values_sql(continuation),
+        "crawl_sitemap": _values_sql(sitemap),
         "crawl_csv": ("SELECT * FROM (VALUES\n  " + csv_vals +
                       ") AS t(which, line_no, rec)"),
         # widened selector model: child combinator + attribute-selector index,
@@ -247,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_table": lambda sf: _fixture_crawl("table"),
         "crawl_paginated": lambda sf: _fixture_crawl("paginated"),
         "crawl_robots": lambda sf: _fixture_crawl("robots"),
+        "crawl_sitemap": lambda sf: _fixture_crawl("sitemap"),
         "crawl_continuation": lambda sf: _fixture_crawl("continuation"),
         "crawl_csv": lambda sf: _csv_crawl(),
         "crawl_selectors": lambda sf: _fixture_crawl("css_adv"),
@@ -489,7 +498,7 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
     newest_first = [
         # added after the round-5 mid-round gate runs: zero driver history,
         # no at-scale soak yet — highest marginal value from a driver row
-        "anchor_text", "embedding_quantize", "dup_rate",
+        "crawl_sitemap", "anchor_text", "embedding_quantize", "dup_rate",
         "soft_dedup", "group_split", "source_overlap", "ks_drift",
         "recrawl_priority",
     ]

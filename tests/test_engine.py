@@ -15,7 +15,8 @@ CFGS = scenario_configs()
 
 CONFORMANCE = ["basic", "relative", "list", "table", "paginated",
                "paginated_error", "paginated_sleeps", "dedup_stash",
-               "nocache_refetch", "instance_error", "continuation"]
+               "nocache_refetch", "instance_error", "continuation",
+               "sitemap"]
 
 
 @pytest.mark.parametrize("name", CONFORMANCE)

@@ -38,6 +38,13 @@ class CrawlConfig:
     next_index_page_url: Optional[Callable[[str, int], str]] = None
 
     # --- engine extensions (absent in the reference; north_rule requirements) ---
+    # sitemap seeding (upton_ray.sitemap): expand a sitemap / sitemap-index
+    # tree into the instance frontier. Seed precedence: url_array >
+    # sitemap_url > index_url. Sitemap-file fetches are frontier
+    # CONSTRUCTION (like the robots probe): unpaced, unstashed, outside
+    # sleep accounting — the politeness budget governs page fetches.
+    sitemap_url: Optional[str] = None
+    sitemap_max_depth: int = 3
     robots: dict = field(default_factory=dict)   # host -> list of disallowed prefixes
     robots_txt: dict = field(default_factory=dict)  # host -> raw robots.txt body
     respect_robots: bool = False

@@ -464,6 +464,34 @@ class Crawler:
                   .groupby(["seed_id", "page_no"])
                   .map_groups(_assign_segment, batch_format="pyarrow"))
 
+    def _frontier_from_sitemaps(self):
+        """Sitemap-seeded frontier (cfg.sitemap_url): expand the sitemap /
+        sitemap-index tree level-by-level (upton_ray.sitemap.expand_levels,
+        each level a distributed actor-pool probe over the store), then the
+        same instance_index prefix-sum as index-page links.  Checkpoints
+        under the round0 lineage marker exactly like get_index, so a
+        crashed run resumes without re-expanding."""
+        cfg = self.cfg
+        ckpt = self._ckpt("frontier.parquet")
+        if ckpt and self._lineage_done("round0") and os.path.exists(ckpt):
+            return ray.data.read_parquet(ckpt)
+        from upton_ray.sitemap import expand_levels
+
+        links, _n_files = expand_levels(
+            self.web_ref, cfg.sitemap_url, max_depth=cfg.sitemap_max_depth,
+            concurrency=cfg.fetch_concurrency)
+        frontier = self._assign_instance_index(links)
+        if ckpt:
+            import shutil
+
+            if os.path.exists(ckpt):
+                shutil.rmtree(ckpt)
+            frontier.write_parquet(ckpt)
+            frontier = ray.data.read_parquet(ckpt)
+            self._mark_done("round0")
+            self._dump_seen()
+        return frontier
+
     # --------------------------------------------------------------- round 1
 
     def _frontier_from_url_array(self):
@@ -841,6 +869,9 @@ class Crawler:
             self._load_robots_from_web()
         if cfg.url_array is not None:
             frontier = self._frontier_from_url_array()
+            trace_info = None
+        elif cfg.sitemap_url:
+            frontier = self._frontier_from_sitemaps()
             trace_info = None
         else:
             frontier, trace_info = self.get_index(trace=trace)

@@ -104,6 +104,39 @@ class UptonOracle:
                             else resolve_url(href, self.cfg.index_url))
         return urls
 
+    # --- sitemap seeding (engine extension; upton_ray/sitemap.py) ---
+    def expand_sitemaps(self) -> list:
+        """Sequential statement of the sitemap-expansion law: level-by-level
+        to sitemap_max_depth, files in discovery order, <loc> entries in
+        document order, relative locs resolved against the sitemap URL,
+        already-visited files skipped.  Sitemap-file reads are frontier
+        construction — no stash, no sleep, no fetch log (the engine's
+        probe likewise fetches outside the politeness loop)."""
+        from upton_ray.sitemap import CHILD_KIND, LOC_KIND
+
+        cfg = self.cfg
+        pending = [cfg.sitemap_url]
+        visited = {cfg.sitemap_url}
+        urls: list = []
+        for _depth in range(cfg.sitemap_max_depth):
+            nxt: list = []
+            for sm_url in pending:
+                for s in self.web.get(sm_url, EMPTY):
+                    loc = s["media_ref"]
+                    if not loc:
+                        continue
+                    if s["kind"] == LOC_KIND:
+                        urls.append(resolve_url(loc, sm_url))
+                    elif s["kind"] == CHILD_KIND:
+                        child = resolve_url(loc, sm_url)
+                        if child not in visited:
+                            visited.add(child)
+                            nxt.append(child)
+            pending = nxt
+            if not pending:
+                break
+        return urls
+
     # --- instance side (P3, P4, P6, M3) ---
     def get_instance(self, url) -> list[list[dict]]:
         cfg = self.cfg
@@ -124,7 +157,12 @@ class UptonOracle:
             return self.res
         self._ran = True
         cfg = self.cfg
-        url_array = list(cfg.url_array) if cfg.url_array is not None else self.get_index()
+        if cfg.url_array is not None:
+            url_array = list(cfg.url_array)
+        elif getattr(cfg, "sitemap_url", None):
+            url_array = self.expand_sitemaps()
+        else:
+            url_array = self.get_index()
         self.res.index_urls = list(url_array)
         for instance_index, instance_url in enumerate(url_array):
             pages = self.get_instance(instance_url)

@@ -103,6 +103,12 @@ def _raw_configs() -> dict[str, CrawlConfig]:
             respect_robots=True,
             robots={"www.example.com": ["/sixfacts"]},
             sleep_time_between_requests=0),
+        # sitemap extension: two-level sitemap-index tree seeds the
+        # frontier; one relative loc + one duplicate loc (stash dedup)
+        "sitemap": CrawlConfig(
+            sitemap_url=BASE + "sitemap_index.xml",
+            extractor="css:h1.article-title",
+            sleep_time_between_requests=0),
         # instance continuation (P4/Q5): stateless successor caps at depth 2
         "continuation": CrawlConfig(
             url_array=[BASE + "webinar.html"],

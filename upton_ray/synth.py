@@ -152,6 +152,22 @@ def fixture_web() -> dict[str, list[dict]]:
         BASE + "propublica_search.html?p=1": _page(*search_p1),
         BASE + "propublica_search.html?p=2": _page(*search_p2),
         BASE + "propublica_search.html?p=3": [],
+        # sitemap extension fixtures (upton_ray/sitemap.py): a two-level
+        # sitemap-index tree over the article pages. Kinds are the span
+        # encoding of <urlset>/<sitemapindex> entries; sitemap_b's last loc
+        # is RELATIVE (resolves against the sitemap URL, M2 semantics) and
+        # repeats webinar.html (stash dedup: fetched once, kept per
+        # position).
+        BASE + "sitemap_index.xml": _page(
+            ("sitemapindex/sitemap/loc", "", "sitemap_a.xml"),
+            ("sitemapindex/sitemap/loc", "", BASE + "sitemap_b.xml")),
+        BASE + "sitemap_a.xml": _page(
+            ("urlset/url/loc", "", BASE + "webinar.html"),
+            ("urlset/url/loc", "", BASE + "discussion.html")),
+        BASE + "sitemap_b.xml": _page(
+            ("urlset/url/loc", "", BASE + "prosecutor.html"),
+            ("urlset/url/loc", "", BASE + "sixfacts.html"),
+            ("urlset/url/loc", "", "webinar.html")),
     }
     return web
 
