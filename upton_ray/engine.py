@@ -480,7 +480,16 @@ class Crawler:
         links, _n_files = expand_levels(
             self.web_ref, cfg.sitemap_url, max_depth=cfg.sitemap_max_depth,
             concurrency=cfg.fetch_concurrency)
-        frontier = self._assign_instance_index(links)
+        frontier = self._assign_instance_index(links).materialize()
+        # sitemap frontiers arrive in one block per probe task — far fewer
+        # than the fetch pool wants; re-grain to ~2 blocks per CPU so the
+        # InstanceWalker pool fills (same rule as directory corpus reads)
+        if frontier.count() > 10_000:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+            except Exception:
+                cpus = 8
+            frontier = frontier.repartition(max(2, 2 * cpus))
         if ckpt:
             import shutil
 

@@ -233,6 +233,15 @@ def _text(seed: int, *xs: int, n: int = 8) -> str:
 
 _ART_RE = re.compile(r"^http://h(\d+)\.synth\.example/a/(\d+)\.html$")
 _IDX_RE = re.compile(r"^http://h(\d+)\.synth\.example/index\.html(?:\?p=(\d+))?$")
+# sitemap tree over the scale web (upton_ray/sitemap.py): a global root
+# (on host 0) lists every host's sitemap index, each host index lists its
+# per-segment files, each file covers links_per_page articles — the same
+# partitioning as index pages, so sitemap seeding reaches exactly the
+# pages index-page crawling reaches.
+_SM_ROOT_RE = re.compile(r"^http://h0\.synth\.example/sitemap_root\.xml$")
+_SM_HOST_RE = re.compile(r"^http://h(\d+)\.synth\.example/sitemap\.xml$")
+_SM_FILE_RE = re.compile(
+    r"^http://h(\d+)\.synth\.example/sitemap-(\d+)\.xml$")
 
 
 def index_url(p: ScaleParams, h: int) -> str:
@@ -261,6 +270,27 @@ def gen_page(p: ScaleParams, url: str) -> list[dict] | None:
                              _text(p.seed, h, a, 1, n=4), f"a/{a}.html", off))
             off += 1
         return spans
+    if _SM_ROOT_RE.match(url):
+        return [_sp("sitemapindex/sitemap/loc", "",
+                    f"{p.host(h)}/sitemap.xml", h)
+                for h in range(p.n_hosts)]
+    m = _SM_HOST_RE.match(url)
+    if m:
+        h = int(m.group(1))
+        if h >= p.n_hosts:
+            return []
+        return [_sp("sitemapindex/sitemap/loc", "",
+                    f"{p.host(h)}/sitemap-{k}.xml", k)
+                for k in range(p.n_index_pages(h))]
+    m = _SM_FILE_RE.match(url)
+    if m:
+        h, k = int(m.group(1)), int(m.group(2))
+        if h >= p.n_hosts or k >= p.n_index_pages(h):
+            return []
+        lo = k * p.links_per_page
+        hi = min(lo + p.links_per_page, p.n_articles(h))
+        return [_sp("urlset/url/loc", "", f"{p.host(h)}/a/{a}.html", a - lo)
+                for a in range(lo, hi)]
     m = _ART_RE.match(url)
     if m:
         h, a = int(m.group(1)), int(m.group(2))
