@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(156 queries, 143 oracle-checked; the thirteen approximate/iterative ops are
+(159 queries, 145 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -413,6 +413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": datapipe.anchor_text,
         "embedding_quantize": datapipe.embedding_quantize,
         "dup_rate": datapipe.dup_rate,
+        # round 5g: stats / graph / PCA
+        "feature_corr": datapipe.feature_corr,
+        "link_reciprocity": datapipe.link_reciprocity,
+        "embedding_pca": datapipe.embedding_pca,
     }
     return _driver_rotate(q)
 
@@ -466,6 +470,7 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
     rows_only_unchecked = [
         "ann_pq_rerank", "kmeans_clusters", "approx_quantiles", "ann_lsh",
         "bpe_train", "bpe_encode", "semdedup", "quality_classifier",
+        "embedding_pca",
     ]
     float_reassoc = [
         # oracle-checked at atol=1e-9 (tools/check_queries.py) but NOT
@@ -478,6 +483,11 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         "mix_weights",
         # regr_slope/var_pop sums reassociate between numpy and DuckDB
         "zipf_fit",
+        # the per-vector MSE mean sums in numpy-pairwise vs DuckDB-
+        # sequential order (codes themselves are bit-exact)
+        "embedding_quantize",
+        # centered-moment folds reassociate vs DuckDB's streaming corr()
+        "feature_corr",
     ]
     prev_checked = [
         "crawl_documents", "crawl_basic", "crawl_list", "crawl_table",
@@ -498,7 +508,7 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
     newest_first = [
         # added after the round-5 mid-round gate runs: zero driver history,
         # no at-scale soak yet — highest marginal value from a driver row
-        "crawl_sitemap", "anchor_text", "embedding_quantize", "dup_rate",
+        "crawl_sitemap", "anchor_text", "dup_rate", "link_reciprocity",
         "soft_dedup", "group_split", "source_overlap", "ks_drift",
         "recrawl_priority",
     ]
@@ -2349,6 +2359,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                avg(err * err) AS mse
         FROM r GROUP BY vec_id ORDER BY vec_id
+    """
+    sql["feature_corr"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               corr(value, CAST(epoch_us(ts) AS DOUBLE)/1000000) AS corr
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    sql["link_reciprocity"] = """
+        WITH e0 AS (SELECT doc_id AS u,
+                           unnest([3*doc_id+1, 3*doc_id+2, 3*doc_id+3,
+                                   CASE WHEN doc_id >= 1
+                                        THEN doc_id // 2 END]) AS v
+                    FROM documents),
+        edges AS (SELECT u, v FROM e0
+                  WHERE v IS NOT NULL
+                    AND v IN (SELECT doc_id FROM documents)),
+        r AS (SELECT count(*) AS n_recip FROM edges e
+              JOIN edges x ON e.u = x.v AND e.v = x.u),
+        t AS (SELECT count(*) AS n_edges FROM edges)
+        SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
+               CAST(r.n_recip AS BIGINT) AS n_reciprocal,
+               CAST(r.n_recip AS DOUBLE) / t.n_edges AS reciprocity
+        FROM t, r
     """
     sql["dup_rate"] = f"""
         SELECT source, count(*) AS n_docs,

@@ -401,6 +401,11 @@ def main():
     queries["recrawl_priority"] = round(
         timed(datapipe.recrawl_priority, SF_DIR), 3)
     queries["anchor_text"] = round(timed(datapipe.anchor_text, SF_DIR), 3)
+    queries["feature_corr"] = round(timed(datapipe.feature_corr, SF_DIR), 3)
+    queries["link_reciprocity"] = round(
+        timed(datapipe.link_reciprocity, SF_DIR), 3)
+    queries["embedding_pca"] = round(
+        timed(datapipe.embedding_pca, SF_DIR), 3)
     queries["embedding_quantize"] = round(
         timed(datapipe.embedding_quantize, SF_DIR), 3)
     queries["dup_rate"] = round(timed(datapipe.dup_rate, SF_DIR), 3)

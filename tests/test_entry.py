@@ -20,16 +20,16 @@ def test_query_and_oracle_counts():
     sql = e.oracle_sql()
     # crawl goldens live in oracle_sql too; count only keys paired to a query
     paired = [k for k in q if k in sql]
-    assert len(q) == 156, len(q)
-    assert len(paired) == 143, len(paired)
+    assert len(q) == 159, len(q)
+    assert len(paired) == 145, len(paired)
     rows_only = sorted(set(q) - set(sql))
-    assert len(rows_only) == 13, rows_only
+    assert len(rows_only) == 14, rows_only
     # the rows-only set is exactly the approximate/iterative family
     assert rows_only == sorted([
         "winnow_fingerprint", "ann_ivf", "ann_pq", "ann_recall",
         "approx_distinct_users", "ann_pq_rerank", "kmeans_clusters",
         "approx_quantiles", "ann_lsh", "bpe_train", "bpe_encode",
-        "semdedup", "quality_classifier"]), \
+        "semdedup", "quality_classifier", "embedding_pca"]), \
         rows_only
 
 

@@ -1,0 +1,133 @@
+"""Round-5g operators: feature_corr (per-type two-pass Pearson vs event
+time), link_reciprocity (bidirectional-edge fraction of the arithmetic
+link graph) and embedding_pca (distributed covariance + top-k projection).
+
+feature_corr / link_reciprocity are oracle-checked by the sf gate; here
+their semantics are pinned on planted structure (a perfectly linear and a
+perfectly anti-linear stratum; the hand-derivable single reciprocal pair).
+embedding_pca is rows-only on the gate, so its exactness contract lives
+here: orthonormal components, projection variance == top eigenvalues of
+the exact covariance, deterministic sign, mean-centering.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from upton_ray import datapipe
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, ts_us, user_id, event_type, value):
+    n = len(ts_us)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(np.asarray(ts_us, np.int64), pa.timestamp("us")),
+        "user_id": pa.array(np.asarray(user_id, np.int64), pa.int64()),
+        "event_type": pa.array(list(event_type), pa.string()),
+        "value": pa.array(np.asarray(value, np.float64), pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def _write_embeddings(tmp_path, vecs):
+    n = len(vecs)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+
+# --------------------------------------------------------------- feature_corr
+
+
+def test_feature_corr_planted_linear(ray_session, tmp_path):
+    """value = a*t + b within a type -> corr exactly +/-1; a constant-lag
+    anticorrelated type -> -1."""
+    base = 1_700_000_000_000_000
+    ts = [base + i * 1_000_000 for i in range(8)] * 2
+    et = ["up"] * 8 + ["down"] * 8
+    val = [2.0 * i + 5 for i in range(8)] + [100 - 3.0 * i for i in range(8)]
+    _write_events(tmp_path, ts, [1] * 16, et, val)
+    out = {r["event_type"]: r
+           for r in datapipe.feature_corr(str(tmp_path)).to_pylist()}
+    assert out["up"]["n"] == 8 and out["down"]["n"] == 8
+    assert abs(out["up"]["corr"] - 1.0) < 1e-12
+    assert abs(out["down"]["corr"] + 1.0) < 1e-12
+
+
+def test_feature_corr_matches_duckdb_sf(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+    got = datapipe.feature_corr(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = con.execute(e.oracle_sql()["feature_corr"]).df()
+    assert (got.n.values == exp.n.values).all()
+    np.testing.assert_allclose(got["corr"].values, exp["corr"].values,
+                               rtol=0, atol=1e-12)
+
+
+# ----------------------------------------------------------- link_reciprocity
+
+
+def test_link_reciprocity_law(ray_session):
+    """In the d -> 3d+1..3d+3 / d -> d//2 graph the ONLY reciprocal pair is
+    (0, 1): 0->1 is a child edge and 1->0 the backlink.  (3u+j = 2u or
+    2u+1 forces u = 0.)"""
+    out = datapipe.link_reciprocity(SF).to_pylist()[0]
+    assert out["n_reciprocal"] == 2          # both directions of (0, 1)
+    assert out["reciprocity"] == 2 / out["n_edges"]
+
+
+# -------------------------------------------------------------- embedding_pca
+
+
+def _fetch(ds):
+    import ray
+    return pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows])
+
+
+def test_embedding_pca_exact_contract(ray_session, tmp_path):
+    """Projections equal the exact-covariance eigendecomposition: per-axis
+    variance == top eigenvalues, axes uncorrelated, projections centered."""
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: dominant variance along a known direction
+    base = rng.standard_normal((400, 6)) * [5.0, 2.0, 1, 0.5, 0.2, 0.1]
+    _write_embeddings(tmp_path, base.astype(np.float32))
+    out = _fetch(datapipe.embedding_pca(str(tmp_path))) \
+        .sort_by("vec_id").to_pandas()
+    P = out[["p0", "p1"]].to_numpy()
+    M = np.asarray(pq.read_table(
+        tmp_path / "embeddings.parquet")["embedding"].to_pylist(),
+        np.float64)
+    cov = np.cov(M, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    # per-axis projection variance == top-2 eigenvalues
+    np.testing.assert_allclose(P.var(axis=0, ddof=0), evals[:2],
+                               rtol=1e-9, atol=1e-12)
+    # axes uncorrelated and centered
+    assert abs(np.cov(P.T, bias=True)[0, 1]) < 1e-9
+    np.testing.assert_allclose(P.mean(axis=0), [0, 0], atol=1e-9)
+    assert P[:, 0].var() >= P[:, 1].var()
+
+
+def test_embedding_pca_deterministic_sign(ray_session, tmp_path):
+    """Two runs produce identical output (sign fixed by largest-|loading|
+    coordinate), so the op is replayable."""
+    rng = np.random.RandomState(7)
+    _write_embeddings(tmp_path, rng.standard_normal((100, 4))
+                      .astype(np.float32))
+    a = _fetch(datapipe.embedding_pca(str(tmp_path))) \
+        .sort_by("vec_id").to_pandas()
+    b = _fetch(datapipe.embedding_pca(str(tmp_path))) \
+        .sort_by("vec_id").to_pandas()
+    assert (a.values == b.values).all()

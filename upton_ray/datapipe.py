@@ -9652,3 +9652,194 @@ def dup_rate(sf_dir: str):
         "n_distinct": pa.array(nu, pa.int64()),
         "dup_rate": pa.array((nd - nu) / nd, pa.float64())}) \
         .sort_by("source")
+
+
+# --------------------------------------- round-5g stats / graph / PCA ops
+
+
+def feature_corr(sf_dir: str):
+    """Per-event-type Pearson correlation between spend (``value``) and
+    event TIME (epoch seconds) — the drift diagnostic behind "is this
+    feature stationary over the collection window" checks a training
+    pipeline runs before trusting a feature column.
+
+    Numerics: the one-pass csum formula (n*Sxy - Sx*Sy) cancels
+    catastrophically when x is epoch-seconds (~1.7e9, Sx^2 ~ 1e25), so
+    this runs TWO streamed passes — pass 1 folds per-(block, type)
+    (n, Sx, Sy) partials to exact means, pass 2 folds centered moments
+    Σ(x-mx)(y-my), Σ(x-mx)², Σ(y-my)² — matching the numerically stable
+    result DuckDB's corr() computes to ~1e-12.  Both passes are pure
+    combiners: the driver folds blocks x |types| rows, no shuffle.
+    Output (event_type, n, corr)."""
+    cols = ["ts", "event_type", "value"]
+
+    def _xy(b: pa.Table):
+        x = pc.cast(pc.cast(b["ts"], pa.int64()), pa.float64())
+        x = pc.divide(x, 1_000_000.0)    # epoch seconds, like SQL epoch(ts)
+        return (x.to_numpy(zero_copy_only=False),
+                b["value"].to_numpy(zero_copy_only=False),
+                b["event_type"].to_numpy(zero_copy_only=False))
+
+    def pass1(b: pa.Table) -> pa.Table:
+        x, y, et = _xy(b)
+        uniq, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.float64)
+        sx = np.bincount(inv, weights=x)
+        sy = np.bincount(inv, weights=y)
+        return pa.table({"event_type": pa.array(uniq),
+                         "n": pa.array(n), "sx": pa.array(sx),
+                         "sy": pa.array(sy)})
+
+    ev = _events(sf_dir, cols)
+    p1 = pa.concat_tables([t for t in ray.get(
+        ev.map_batches(pass1, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()) if t.num_rows]) \
+        .group_by("event_type").aggregate([("n", "sum"), ("sx", "sum"),
+                                           ("sy", "sum")])
+    types = p1["event_type"].to_pylist()
+    n_t = p1["n_sum"].to_numpy(zero_copy_only=False)
+    mx = p1["sx_sum"].to_numpy(zero_copy_only=False) / n_t
+    my = p1["sy_sum"].to_numpy(zero_copy_only=False) / n_t
+    m_ref = ray.put(({t: i for i, t in enumerate(types)}, mx, my))
+
+    def pass2(b: pa.Table) -> pa.Table:
+        pos, mxv, myv = ray.get(m_ref)
+        x, y, et = _xy(b)
+        idx = np.fromiter((pos[t] for t in et), dtype=np.int64,
+                          count=len(et))
+        cx, cy = x - mxv[idx], y - myv[idx]
+        return pa.table({
+            "event_type": pa.array(list(pos)),
+            "sxy": pa.array(np.bincount(idx, weights=cx * cy,
+                                        minlength=len(pos))),
+            "sxx": pa.array(np.bincount(idx, weights=cx * cx,
+                                        minlength=len(pos))),
+            "syy": pa.array(np.bincount(idx, weights=cy * cy,
+                                        minlength=len(pos)))})
+
+    p2 = pa.concat_tables([t for t in ray.get(
+        ev.map_batches(pass2, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()) if t.num_rows]) \
+        .group_by("event_type").aggregate([("sxy", "sum"), ("sxx", "sum"),
+                                           ("syy", "sum")])
+    order = {t: i for i, t in enumerate(p2["event_type"].to_pylist())}
+    take = [order[t] for t in types]
+    sxy = p2["sxy_sum"].to_numpy(zero_copy_only=False)[take]
+    sxx = p2["sxx_sum"].to_numpy(zero_copy_only=False)[take]
+    syy = p2["syy_sum"].to_numpy(zero_copy_only=False)[take]
+    corr = sxy / np.sqrt(sxx * syy)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n": pa.array(n_t.astype(np.int64), pa.int64()),
+                     "corr": pa.array(corr, pa.float64())}) \
+        .sort_by("event_type")
+
+
+def link_reciprocity(sf_dir: str, branching: int = 3):
+    """Reciprocity of the arithmetic doc-link graph (the :func:`pagerank`
+    edge law): the fraction of directed edges whose reverse edge also
+    exists — the link-spam / community-structure signal a crawl-analysis
+    stage reads next to degree stats.  Output one row
+    (n_edges, n_reciprocal, reciprocity).
+
+    Scale shape: each block emits its own edges keyed by the UNORDERED
+    pair (lo, hi) plus a direction bit; one pair-keyed exchange
+    (:func:`upton_ray.shuffle.hash_reduce`) then counts, per pair IN ONE
+    PARTITION, whether both directions arrived — per-partition partials
+    are (edges, reciprocal) int pairs and the driver folds P rows.  The
+    n^2 self-join the SQL oracle runs never materializes here."""
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def emit(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for j in range(1, branching + 1):
+            d = branching * ids + j
+            ok = d < n
+            us.append(ids[ok])
+            vs.append(d[ok])
+        ok = ids >= 1
+        us.append(ids[ok])
+        vs.append(ids[ok] // 2)
+        u, v = np.concatenate(us), np.concatenate(vs)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "fwd": pa.array(u < v)})
+
+    def red(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_edges": pa.array([], pa.int64()),
+                             "n_reciprocal": pa.array([], pa.int64())})
+        g = t.group_by(["lo", "hi"]).aggregate(
+            [("fwd", "min"), ("fwd", "max"), ([], "count_all")])
+        both = pc.and_(pc.equal(g["fwd_min"], False),
+                       pc.equal(g["fwd_max"], True))
+        n_recip = int(pc.sum(pc.multiply(
+            pc.cast(both, pa.int64()),
+            pc.cast(g["count_all"], pa.int64()))).as_py() or 0)
+        return pa.table({"n_edges": pa.array([t.num_rows], pa.int64()),
+                         "n_reciprocal": pa.array([n_recip], pa.int64())})
+
+    parts = _hash_reduce(
+        docs.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        ["lo", "hi"], red)
+    small = pa.concat_tables([t for t in ray.get(parts.to_arrow_refs())
+                              if t.num_rows])
+    ne = int(pc.sum(small["n_edges"]).as_py() or 0)
+    nr = int(pc.sum(small["n_reciprocal"]).as_py() or 0)
+    return pa.table({"n_edges": pa.array([ne], pa.int64()),
+                     "n_reciprocal": pa.array([nr], pa.int64()),
+                     "reciprocity": pa.array([nr / ne if ne else 0.0],
+                                             pa.float64())})
+
+
+def embedding_pca(sf_dir: str, k: int = 2):
+    """Top-``k`` principal components of the embedding table + per-vector
+    projections — the dimensionality-reduction / whitening front end of
+    embedding-space curation (cluster, visualize, de-bias).  Eigen-
+    decomposition is not SQL-expressible, so this op is rows-only on the
+    driver gate; its exactness contract is pinned in tests: components
+    orthonormal, projection variance equals the top eigenvalues of the
+    exact covariance, deterministic sign (largest-|loading| coordinate
+    positive).
+
+    Scale shape: ONE streamed pass folds per-block (n, Σx, Σx·xᵀ)
+    partials — the driver holds blocks x (d + d²) doubles, never rows;
+    eigh runs on the d x d covariance on the driver (d is model width,
+    not corpus size); the (mean, components) broadcast once via ray.put
+    and projection is a pure vectorized map.  Output
+    (vec_id, p0..p{k-1})."""
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        M = _emb_matrix(b)
+        return pa.table({
+            "n": pa.array([M.shape[0]], pa.int64()),
+            "s": pa.array([M.sum(axis=0)], pa.list_(pa.float64())),
+            "ss": pa.array([(M.T @ M).ravel()], pa.list_(pa.float64()))})
+
+    parts = [t for t in ray.get(
+        emb.map_batches(moments, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()) if t.num_rows > 0]
+    n = sum(int(x) for t in parts for x in t["n"].to_pylist())
+    s = sum(np.asarray(x) for t in parts for x in t["s"].to_pylist())
+    ss = sum(np.asarray(x) for t in parts for x in t["ss"].to_pylist())
+    d = len(s)
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, ::-1][:, :k].T            # (k, d), eigenvalue-desc
+    sign = np.sign(comp[np.arange(k), np.abs(comp).argmax(axis=1)])
+    comp = comp * sign[:, None]               # deterministic orientation
+    p_ref = ray.put((mean, comp))
+
+    def project(b: pa.Table) -> pa.Table:
+        mu, C = ray.get(p_ref)
+        P = (_emb_matrix(b) - mu) @ C.T
+        cols = {"vec_id": b["vec_id"]}
+        for i in range(C.shape[0]):
+            cols[f"p{i}"] = pa.array(P[:, i], pa.float64())
+        return pa.table(cols)
+
+    return emb.map_batches(project, batch_format="pyarrow")
