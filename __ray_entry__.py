@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(159 queries, 145 oracle-checked; the fourteen approximate/iterative ops are
+(160 queries, 146 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_corr": datapipe.feature_corr,
         "link_reciprocity": datapipe.link_reciprocity,
         "embedding_pca": datapipe.embedding_pca,
+        "session_stats": datapipe.session_stats,
     }
     return _driver_rotate(q)
 
@@ -509,8 +510,8 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         # added after the round-5 mid-round gate runs: zero driver history,
         # no at-scale soak yet — highest marginal value from a driver row
         "crawl_sitemap", "anchor_text", "dup_rate", "link_reciprocity",
-        "soft_dedup", "group_split", "source_overlap", "ks_drift",
-        "recrawl_priority",
+        "session_stats", "soft_dedup", "group_split", "source_overlap",
+        "ks_drift", "recrawl_priority",
     ]
     late = (set(soaked) | set(rows_only_unchecked) | set(float_reassoc)
             | set(prev_checked))
@@ -2359,6 +2360,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                avg(err * err) AS mse
         FROM r GROUP BY vec_id ORDER BY vec_id
+    """
+    sql["session_stats"] = """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o),
+        sess AS (SELECT user_id, session_id, count(*) AS n_events
+                 FROM s GROUP BY user_id, session_id)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounce,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS bounce_rate,
+               CAST(sum(n_events) AS DOUBLE) / count(*)
+                   AS avg_session_events
+        FROM sess GROUP BY user_id ORDER BY user_id
     """
     sql["feature_corr"] = """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,

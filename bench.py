@@ -406,6 +406,8 @@ def main():
         timed(datapipe.link_reciprocity, SF_DIR), 3)
     queries["embedding_pca"] = round(
         timed(datapipe.embedding_pca, SF_DIR), 3)
+    queries["session_stats"] = round(
+        timed(datapipe.session_stats, SF_DIR), 3)
     queries["embedding_quantize"] = round(
         timed(datapipe.embedding_quantize, SF_DIR), 3)
     queries["dup_rate"] = round(timed(datapipe.dup_rate, SF_DIR), 3)

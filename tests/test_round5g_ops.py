@@ -131,3 +131,25 @@ def test_embedding_pca_deterministic_sign(ray_session, tmp_path):
     b = _fetch(datapipe.embedding_pca(str(tmp_path))) \
         .sort_by("vec_id").to_pandas()
     assert (a.values == b.values).all()
+
+
+# -------------------------------------------------------------- session_stats
+
+
+def test_session_stats_planted(ray_session, tmp_path):
+    """Hand-built sessions: user 1 has a 2-event session and a bounce
+    (35-minute gap); user 2 has one 3-event session."""
+    MIN = 60 * 1_000_000
+    base = 1_700_000_000_000_000
+    ts = [base, base + 5 * MIN, base + 45 * MIN,           # user 1: [2], [1]
+          base, base + MIN, base + 2 * MIN]                # user 2: [3]
+    _write_events(tmp_path, ts, [1, 1, 1, 2, 2, 2],
+                  ["a"] * 6, [1.0] * 6)
+    import ray
+    out = {r["user_id"]: r for t in ray.get(
+        datapipe.session_stats(str(tmp_path)).to_arrow_refs())
+        for r in t.to_pylist()}
+    assert out[1] == {"user_id": 1, "n_sessions": 2, "n_bounce": 1,
+                      "bounce_rate": 0.5, "avg_session_events": 1.5}
+    assert out[2] == {"user_id": 2, "n_sessions": 1, "n_bounce": 0,
+                      "bounce_rate": 0.0, "avg_session_events": 3.0}

@@ -89,6 +89,10 @@ def main():
         ev = build_events(args.n_events)
         oracle_leg("feature_corr", datapipe.feature_corr, ev, "events",
                    args.n_events)
+    if "sessions" in legs:
+        ev = build_events(args.n_events)
+        oracle_leg("session_stats", datapipe.session_stats, ev, "events",
+                   args.n_events)
     if "recip" in legs:
         docs = build_corpus(args.n_docs)
         oracle_leg("link_reciprocity", datapipe.link_reciprocity, docs,

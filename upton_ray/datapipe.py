@@ -9843,3 +9843,58 @@ def embedding_pca(sf_dir: str, k: int = 2):
         return pa.table(cols)
 
     return emb.map_batches(project, batch_format="pyarrow")
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session rollup over :func:`sessionize`'s gap law: session
+    count, BOUNCE count/rate (single-event sessions — the classic
+    engagement-quality gate) and mean events per session.  Output
+    (user_id, n_sessions, n_bounce, bounce_rate, avg_session_events).
+
+    Scale shape: sessionize already emits exactly one row per
+    (user, session) across its interior/residual union, so this adds a
+    per-block combiner (user-keyed partial counts over whole blocks) and
+    ONE user-keyed exchange of those partials — rows moved ~ |users| per
+    block, never sessions, and the ratios divide exact ints so the SQL
+    replay is bit-equal."""
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ns": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "ne": pa.array([], pa.int64())})
+        t = pa.table({
+            "user_id": b["user_id"],
+            "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            "bounce": pc.cast(pc.equal(b["n_events"], 1), pa.int64()),
+            "n_events": b["n_events"]})
+        g = t.group_by("user_id").aggregate(
+            [("one", "sum"), ("bounce", "sum"), ("n_events", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "ns": pc.cast(g["one_sum"], pa.int64()),
+                         "nb": pc.cast(g["bounce_sum"], pa.int64()),
+                         "ne": pc.cast(g["n_events_sum"], pa.int64())})
+
+    def red(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_bounce": pa.array([], pa.int64()),
+                "bounce_rate": pa.array([], pa.float64()),
+                "avg_session_events": pa.array([], pa.float64())})
+        g = t.group_by("user_id").aggregate(
+            [("ns", "sum"), ("nb", "sum"), ("ne", "sum")])
+        ns = g["ns_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["nb_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = g["ne_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": g["user_id"],
+            "n_sessions": pa.array(ns, pa.int64()),
+            "n_bounce": pa.array(nb, pa.int64()),
+            "bounce_rate": pa.array(nb / ns, pa.float64()),
+            "avg_session_events": pa.array(ne / ns, pa.float64())})
+
+    sess = sessionize(sf_dir, gap_minutes=gap_minutes)
+    parts = sess.map_batches(part, batch_format="pyarrow", batch_size=None)
+    return _hash_reduce(parts, ["user_id"], red)
