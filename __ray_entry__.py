@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(160 queries, 146 oracle-checked; the fourteen approximate/iterative ops are
+(161 queries, 147 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # genuine encoded bytes through the actor-pool seam, oracle-checked
         "media_decode_real": datapipe.media_decode_real,
         "media_phash_real": datapipe.media_phash_real,
+        "media_jpeg_real": datapipe.media_jpeg_real,
         "seeded_shuffle": datapipe.seeded_shuffle,
         "contamination_check": datapipe.contamination_check,
         "semi_join_events": datapipe.semi_join_events,
@@ -509,9 +510,9 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
     newest_first = [
         # added after the round-5 mid-round gate runs: zero driver history,
         # no at-scale soak yet — highest marginal value from a driver row
-        "crawl_sitemap", "anchor_text", "dup_rate", "link_reciprocity",
-        "session_stats", "soft_dedup", "group_split", "source_overlap",
-        "ks_drift", "recrawl_priority",
+        "crawl_sitemap", "media_jpeg_real", "anchor_text", "dup_rate",
+        "link_reciprocity", "session_stats", "soft_dedup", "group_split",
+        "source_overlap", "ks_drift", "recrawl_priority",
     ]
     late = (set(soaked) | set(rows_only_unchecked) | set(float_reassoc)
             | set(prev_checked))
@@ -913,6 +914,15 @@ def oracle_sql() -> dict[str, str]:
         # matching it requires the real decode+phash to group identical
         # pixels across PNG/BMP/PPM containers with zero collisions
         "media_phash_real": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY doc_id // 10
+            HAVING count(*) >= 2
+        """,
+        # same planted law over genuine baseline-JPEG streams whose DRI/
+        # RSTn segmentation rotates per doc: byte-distinct, pixel-equal
+        "media_jpeg_real": """
             SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents

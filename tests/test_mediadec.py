@@ -192,3 +192,85 @@ def test_media_phash_real_recovers_planted_groups(ray_session):
         .sort_values("rep_doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want,
                                   check_dtype=False)
+
+
+# ----------------------------------------------------------------- JPEG
+
+
+def _grad(h, w, rgb=True):
+    yy, xx = np.mgrid[0:h, 0:w]
+    if not rgb:
+        return ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    return np.clip(np.stack([yy * 2 + 10, xx * 2 + 30, yy + xx], 2),
+                   0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape,sub", [
+    ((24, 32), False),        # block-aligned 4:4:4
+    ((37, 53), False),        # odd size -> edge padding
+    ((37, 53), True),         # 4:2:0 -> general MCU + upsample path
+    ((8, 8), False), ((1, 1), False),
+])
+def test_jpeg_roundtrip_rgb(shape, sub):
+    img = _grad(*shape)
+    out = md.decode_jpeg(md.encode_jpeg(img, quality=90, subsample=sub))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0    # q90 quantization bound
+
+
+def test_jpeg_roundtrip_grey():
+    img = _grad(30, 41, rgb=False)
+    out = md.decode_jpeg(md.encode_jpeg(img, quality=95))
+    assert out.shape == (30, 41, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 4
+
+
+@pytest.mark.parametrize("sub", [False, True])
+def test_jpeg_restart_markers_pixel_equal(sub):
+    """DRI/RSTn segmentation changes the BYTES but must not change one
+    decoded pixel (predictor reset only) — the media_jpeg_real group law
+    rests on this."""
+    img = _grad(33, 47)
+    plain = md.encode_jpeg(img, quality=90, subsample=sub)
+    rst = md.encode_jpeg(img, quality=90, subsample=sub,
+                         restart_interval=2)
+    assert plain != rst
+    assert (md.decode_jpeg(plain) == md.decode_jpeg(rst)).all()
+
+
+def test_jpeg_dispatch_and_rejects():
+    img = _grad(16, 16)
+    data = md.encode_jpeg(img)
+    assert md.decode_image(data).shape == (16, 16, 3)
+    with pytest.raises(ValueError):
+        md.decode_jpeg(b"\x89PNG not a jpeg")
+    # progressive (SOF2) refuses with a clear message, never wrong pixels
+    sof0 = data.find(b"\xFF\xC0")
+    prog = data[:sof0] + b"\xFF\xC2" + data[sof0 + 2:]
+    with pytest.raises(ValueError, match="non-baseline"):
+        md.decode_jpeg(prog)
+
+
+def test_jpeg_stuffed_bytes_roundtrip():
+    """A high-entropy image forces 0xFF bytes in the entropy stream
+    (stuffing path on both sides)."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+    data = md.encode_jpeg(img, quality=95)
+    assert b"\xff\x00" in data    # stuffing actually exercised
+    out = md.decode_jpeg(data)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 16        # noise at q95: bounded quantization loss
+
+
+def test_media_jpeg_real_recovers_planted_groups(ray_session):
+    from upton_ray import datapipe
+
+    got = datapipe.media_jpeg_real(SF).to_pandas()
+    exp = _oracle("""
+        SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY doc_id // 10 HAVING count(*) >= 2
+        ORDER BY rep_doc_id""")
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))

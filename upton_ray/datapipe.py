@@ -1587,8 +1587,43 @@ def media_phash_real(sf_dir: str):
     three containers and distinct images never collide.
 
     Output: (rep_doc_id, n_docs) per duplicate group."""
+    return _phash_groups(sf_dir, _encode_grouped_images)
+
+
+def _encode_grouped_jpegs(batch: pa.Table) -> pa.Table:
+    """Planted duplicate groups as REAL JPEG streams: every run of ten doc
+    ids shares one deterministic 24x32 grey image encoded baseline-JFIF,
+    with the RESTART INTERVAL rotating by doc_id (none / DRI=2 / DRI=5) —
+    three byte-distinct streams whose quantized coefficients, and so
+    decoded pixels, are identical.  Group recovery therefore requires a
+    correct entropy decode INCLUDING the RSTn predictor-reset path; a
+    decoder that mis-handles restarts splits the groups."""
+    from upton_ray.mediadec import encode_jpeg
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for i in ids.tolist():
+        rng = np.random.RandomState((i // 10) % (2 ** 31 - 1))
+        img = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+        payloads.append(encode_jpeg(img, quality=90,
+                                    restart_interval=(0, 2, 5)[i % 3]))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "media_bytes": pa.array(payloads, pa.binary()),
+    })
+
+
+def media_jpeg_real(sf_dir: str):
+    """:func:`media_phash_real`'s pipeline over genuine BASELINE JPEG
+    bytes (grey SOF0, Annex-K tables, rotating DRI/RSTn segmentation):
+    decode + DCT-phash in the actor pool, phash-keyed exchange, planted
+    groups out.  The oracle knows only the doc_id // 10 group law."""
+    return _phash_groups(sf_dir, _encode_grouped_jpegs)
+
+
+def _phash_groups(sf_dir: str, encoder_fn):
     ph = _docs(sf_dir, ["doc_id"]) \
-        .map_batches(_encode_grouped_images, batch_format="pyarrow") \
+        .map_batches(encoder_fn, batch_format="pyarrow") \
         .map_batches(MediaBytesPhasher, batch_format="pyarrow",
                      concurrency=2, batch_size=2048)
 

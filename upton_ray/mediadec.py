@@ -12,7 +12,13 @@ specs so genuine encoded bytes exercise the seam end to end:
   encoder (filter 0 or per-row choice) for fixtures;
 * **BMP** (BITMAPINFOHEADER, uncompressed BI_RGB 24/32-bit, bottom-up or
   top-down);
-* **PPM/PGM** (netpbm P5/P6 binary), the simplest interchange format.
+* **PPM/PGM** (netpbm P5/P6 binary), the simplest interchange format;
+* **JPEG** (ITU T.81 baseline/SOF0, JFIF): full marker parse, Annex-K
+  and arbitrary DQT/DHT tables, general (Hi, Vi) sampling factors
+  (4:4:4 / 4:2:2 / 4:2:0 / greyscale through one MCU loop), byte
+  unstuffing and DRI/RSTn restart segments, plus an encoder (4:4:4 or
+  4:2:0) for fixtures.  Progressive (SOF2) raises with a clear message
+  — a stated contract, not a silent wrong answer.
 
 The decoded representation is a ``numpy`` ``uint8`` array of shape
 ``(height, width, channels)``; :func:`decode_image` sniffs the container
@@ -252,6 +258,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_ppm(data)
+    if data[:2] == b"\xFF\xD8":
+        return decode_jpeg(data)
     raise ValueError(f"unknown image container (magic {data[:4]!r})")
 
 
@@ -314,3 +322,504 @@ def phash64(img: np.ndarray) -> int:
     for b in bits:
         out = (out << 1) | int(b)
     return out
+
+
+# ----------------------------------------------------------------- JPEG
+# Baseline JFIF (SOF0) from the public ITU T.81 spec: encoder (fixtures)
+# and decoder (the real-web container).  Annex K quantization + Huffman
+# tables; general (Hi, Vi) sampling factors on both sides, so 4:4:4,
+# 4:2:2 and 4:2:0 streams all decode through the one MCU loop; restart
+# markers (DRI/RSTn) reset DC predictors segment-by-segment.  Entropy
+# coding is per-symbol Python over numpy block math — fixture/bench
+# images are small; the corpus-scale cost lives in the actor pool, not
+# here.
+
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_QL = np.array([   # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+_QC = np.array([   # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99])
+
+# Annex K.3: (bits[1..16], values) for the four standard tables
+_HT_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_HT_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+_HT_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+_D8 = None
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix (equals T.81's FDCT scaling)."""
+    global _D8
+    if _D8 is None:
+        x = np.arange(8)
+        m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+        m *= np.sqrt(2.0 / 8.0)
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _D8 = m
+    return _D8
+
+
+def _canonical_codes(bits, values):
+    """(length, code) per symbol from the (BITS, HUFFVAL) spec lists."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base.astype(np.int64) * s + 50) // 100, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)      # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, appended-bits) for a DC diff / AC value (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b], axis=2)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode (H, W) grey or (H, W, 3) RGB uint8 as baseline JFIF.
+    ``subsample=True`` emits 4:2:0 (2x2 luma blocks per MCU) — used by
+    tests to force the decoder's general MCU/upsampling path;
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs (the decoder's
+    restart-segment path)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    grey = img.ndim == 2 or img.shape[2] == 1
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    h, w = img.shape[:2]
+    ql = _scaled_q(_QL, quality)
+    qc = _scaled_q(_QC, quality)
+    if grey:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qtab = [ql]
+        qid = [0]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        y = ycc[:, :, 0]
+        if subsample:
+            # box-mean 2x downsample of chroma (pad to even first)
+            pad = np.pad(ycc, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+            ch2, cw2 = (h + 1) // 2, (w + 1) // 2
+            cb = pad[:, :, 1].reshape(ch2, 2, cw2, 2).mean(axis=(1, 3))
+            cr = pad[:, :, 2].reshape(ch2, 2, cw2, 2).mean(axis=(1, 3))
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, ycc[:, :, 1] - 128.0, ycc[:, :, 2] - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qtab = [ql, qc, qc]
+        qid = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    D = _dct8()
+    # pad each plane to its MCU-covered size
+    padded = []
+    for pl, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        ch, cw = pl.shape
+        pp = np.pad(pl, ((0, ph - ch), (0, pw - cw)), mode="edge")
+        padded.append(pp)
+
+    dc_tabs = [_canonical_codes(*_HT_DC_L),
+               _canonical_codes(*_HT_DC_C)]
+    ac_tabs = [_canonical_codes(*_HT_AC_L),
+               _canonical_codes(*_HT_AC_C)]
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    n_mcu = 0
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                pred = [0] * len(planes)
+            n_mcu += 1
+            for ci, (pl, (sh, sv)) in enumerate(zip(padded, samp)):
+                tid = 0 if ci == 0 else 1
+                dct_t, act_t = dc_tabs[tid], ac_tabs[tid]
+                q = qtab[ci]
+                for v in range(sv):
+                    for hh in range(sh):
+                        by = (my * sv + v) * 8
+                        bx = (mx * sh + hh) * 8
+                        blk = pl[by:by + 8, bx:bx + 8]
+                        coef = D @ blk @ D.T
+                        zz = np.round(coef.ravel()[_ZZ]
+                                      / q.astype(np.float64)).astype(int)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        sz, mb = _mag_bits(diff)
+                        ln, code = dct_t[sz]
+                        bw.put(code, ln)
+                        if sz:
+                            bw.put(mb, sz)
+                        run = 0
+                        last = 63
+                        while last > 0 and zz[last] == 0:
+                            last -= 1
+                        for k in range(1, last + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = act_t[0xF0]   # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            sz, mb = _mag_bits(int(zz[k]))
+                            ln, code = act_t[(run << 4) | sz]
+                            bw.put(code, ln)
+                            bw.put(mb, sz)
+                            run = 0
+                        if last < 63:
+                            ln, code = act_t[0x00]       # EOB
+                            bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql[_ZZ].astype(np.uint8)))
+    if not grey:
+        out += seg(0xDB, bytes([1]) + bytes(qc[_ZZ].astype(np.uint8)))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) \
+        + bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qid[ci]])
+    out += seg(0xC0, bytes(sof))
+    for cls, tid, (bits, vals) in [(0, 0, _HT_DC_L), (1, 0, _HT_AC_L),
+                                   (0, 1, _HT_DC_C), (1, 1, _HT_AC_C)]:
+        if grey and tid == 1:
+            continue
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over an UNSTUFFED entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits, values):
+    """{(length, code): symbol} canonical table for decode."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JFIF stream: general (Hi, Vi) sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0 / grey), byte unstuffing, DRI/RSTn
+    restart segments.  Progressive (SOF2) raises — honestly out of scope
+    (the stated contract; baseline covers our encoder and the classic
+    web-JPEG profile)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, dict] = {}
+    comps = None
+    h = w = 0
+    dri = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + ln]
+        if marker == 0xDB:                      # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                if prec:
+                    raise ValueError("16-bit quant tables unsupported")
+                q = np.zeros(64, np.int64)
+                q[_ZZ] = np.frombuffer(seg[i + 1:i + 65], np.uint8)
+                qtabs[tid] = q
+                i += 65
+        elif marker == 0xC4:                    # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                htabs[(cls, tid)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:                    # SOF0 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, sf, qid = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF,
+                              "q": qid})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF {marker:#x}) "
+                             "unsupported — baseline (SOF0) only")
+        elif marker == 0xDD:                    # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                    # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["dc"] = tt >> 4
+                comp["ac"] = tt & 0xF
+                scan.append(comp)
+            pos += ln
+            break
+        pos += ln
+    else:
+        raise ValueError("no SOS segment")
+    if comps is None:
+        raise ValueError("no SOF0 segment")
+
+    # entropy data: unstuff FF00, split on RSTn, stop at next real marker
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in scan]
+    D = _dct8()
+    pred = [0] * len(scan)
+    seg_i = 0
+    br = _BitReader(segments[0])
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                seg_i += 1
+                br = _BitReader(segments[seg_i])
+                pred = [0] * len(scan)
+            n_mcu += 1
+            for ci, c in enumerate(scan):
+                q = qtabs[c["q"]]
+                dct_t = htabs[(0, c["dc"])]
+                act_t = htabs[(1, c["ac"])]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        sz = _read_symbol(br, dct_t)
+                        diff = _extend(br.bits(sz), sz) if sz else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _read_symbol(br, act_t)
+                            if rs == 0x00:          # EOB
+                                break
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16             # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_ZZ] = zz * q
+                        blk = D.T @ coef.reshape(8, 8) @ D
+                        by = (my * c["v"] + v) * 8
+                        bx = (mx * c["h"] + hh) * 8
+                        planes[ci][by:by + 8, bx:bx + 8] = blk
+
+    # crop to each component's true size, upsample to full, color-convert
+    full = []
+    for c, pl in zip(scan, planes):
+        ch = (h * c["v"] + vmax - 1) // vmax
+        cw = (w * c["h"] + hmax - 1) // hmax
+        pl = pl[:ch, :cw] + 128.0
+        if c["v"] != vmax or c["h"] != hmax:
+            pl = np.repeat(np.repeat(pl, vmax // c["v"], axis=0),
+                           hmax // c["h"], axis=1)[:h, :w]
+        else:
+            pl = pl[:h, :w]
+        full.append(pl)
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255) \
+            .astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
