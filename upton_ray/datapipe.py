@@ -1617,15 +1617,25 @@ def media_jpeg_real(sf_dir: str):
     """:func:`media_phash_real`'s pipeline over genuine BASELINE JPEG
     bytes (grey SOF0, Annex-K tables, rotating DRI/RSTn segmentation):
     decode + DCT-phash in the actor pool, phash-keyed exchange, planted
-    groups out.  The oracle knows only the doc_id // 10 group law."""
-    return _phash_groups(sf_dir, _encode_grouped_jpegs)
+    groups out.  The oracle knows only the doc_id // 10 group law.
+    JPEG entropy coding costs ~ms/image (per-symbol, inherent to the
+    format), so this gate sizes its pool wider than the lossless ones —
+    decode concurrency IS the production knob for codec-bound stages."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+    except Exception:
+        cpus = 4
+    return _phash_groups(sf_dir, _encode_grouped_jpegs,
+                         concurrency=max(2, min(12, cpus // 3)),
+                         batch_size=512)
 
 
-def _phash_groups(sf_dir: str, encoder_fn):
+def _phash_groups(sf_dir: str, encoder_fn, concurrency: int = 2,
+                  batch_size: int = 2048):
     ph = _docs(sf_dir, ["doc_id"]) \
         .map_batches(encoder_fn, batch_format="pyarrow") \
         .map_batches(MediaBytesPhasher, batch_format="pyarrow",
-                     concurrency=2, batch_size=2048)
+                     concurrency=concurrency, batch_size=batch_size)
 
     def partial(b: pa.Table) -> pa.Table:
         g = pa.table({"phash": b["phash"], "doc_id": b["doc_id"]}) \
