@@ -9943,3 +9943,77 @@ def session_stats(sf_dir: str, gap_minutes: int = 30):
     sess = sessionize(sf_dir, gap_minutes=gap_minutes)
     parts = sess.map_batches(part, batch_format="pyarrow", batch_size=None)
     return _hash_reduce(parts, ["user_id"], red)
+
+
+def char_classes(sf_dir: str):
+    """Per-doc character-class mix over the RAW text: fractions of
+    alphabetic / digit / whitespace / other characters — the cheap
+    code-vs-prose / garbage-detection signal quality filters read before
+    spending tokenizer budget (a doc that is 40% punctuation is not
+    prose).  Zero-length docs emit 0.0 fractions (the SQL COALESCE law).
+    Output (doc_id, n_chars_raw, alpha_frac, digit_frac, space_frac,
+    other_frac).
+
+    Scale shape: pure vectorized map — four RE2 count kernels per block,
+    fractions divide exact ints so the SQL replay is bit-equal; no
+    shuffle, nothing at the driver."""
+    def classes(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        total = pc.utf8_length(t).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        alpha = pc.count_substring_regex(t, "[a-zA-Z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = pc.count_substring_regex(t, "[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        space = pc.count_substring_regex(t, r"\s") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        other = total - alpha - digit - space
+        denom = np.maximum(total, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars_raw": pa.array(total, pa.int64()),
+            "alpha_frac": pa.array(alpha / denom, pa.float64()),
+            "digit_frac": pa.array(digit / denom, pa.float64()),
+            "space_frac": pa.array(space / denom, pa.float64()),
+            "other_frac": pa.array(other / denom, pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        classes, batch_format="pyarrow")
+
+
+def prefix_dup(sf_dir: str, k: int = 8):
+    """Duplicate LEADING-PREFIX detection: documents sharing their first
+    ``k`` normalized tokens (the RefinedWeb-style title/boilerplate-
+    prefix signal — templated pages differ in body but share openings,
+    which exact dedup misses).  Output one row per duplicated prefix:
+    (rep_doc_id, n_docs) with rep = min doc_id, the
+    :func:`media_phash_real` group shape.
+
+    Scale shape: per-block (prefix, min-id, count) combiner — whole-block
+    batches — then ONE prefix-keyed exchange where groups complete and
+    singletons drop; prefix strings travel once per distinct prefix per
+    block, never per doc."""
+    def part(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_norm_text(b["text"]), pattern=" ")
+        pref = pc.binary_join(pc.list_slice(toks, 0, k), " ")
+        g = pa.table({"pref": pref, "doc_id": b["doc_id"]}) \
+            .group_by("pref").aggregate([([], "count_all"),
+                                         ("doc_id", "min")])
+        return pa.table({"pref": g["pref"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "rep": g["doc_id_min"]})
+
+    def red(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rep_doc_id": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        g = t.group_by("pref").aggregate([("n", "sum"), ("rep", "min")])
+        keep = pc.greater_equal(g["n_sum"], 2)
+        return pa.table({
+            "rep_doc_id": pc.array_filter(g["rep_min"], keep),
+            "n_docs": pc.cast(pc.array_filter(g["n_sum"], keep),
+                              pa.int64())})
+
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        part, batch_format="pyarrow", batch_size=None)
+    return _hash_reduce(parts, ["pref"], red)
