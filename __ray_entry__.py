@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(161 queries, 147 oracle-checked; the fourteen approximate/iterative ops are
+(163 queries, 149 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_reciprocity": datapipe.link_reciprocity,
         "embedding_pca": datapipe.embedding_pca,
         "session_stats": datapipe.session_stats,
+        "char_classes": datapipe.char_classes,
+        "prefix_dup": datapipe.prefix_dup,
     }
     return _driver_rotate(q)
 
@@ -511,8 +513,9 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         # added after the round-5 mid-round gate runs: zero driver history,
         # no at-scale soak yet — highest marginal value from a driver row
         "crawl_sitemap", "media_jpeg_real", "anchor_text", "dup_rate",
-        "link_reciprocity", "session_stats", "soft_dedup", "group_split",
-        "source_overlap", "ks_drift", "recrawl_priority",
+        "link_reciprocity", "session_stats", "char_classes", "prefix_dup",
+        "soft_dedup", "group_split", "source_overlap", "ks_drift",
+        "recrawl_priority",
     ]
     late = (set(soaked) | set(rows_only_unchecked) | set(float_reassoc)
             | set(prev_checked))
@@ -2370,6 +2373,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                avg(err * err) AS mse
         FROM r GROUP BY vec_id ORDER BY vec_id
+    """
+    sql["char_classes"] = """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+               CAST(length(text) - length(regexp_replace(
+                   text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alpha_frac,
+               CAST(length(text) - length(regexp_replace(
+                   text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS digit_frac,
+               CAST(length(text) - length(regexp_replace(
+                   text, '\\s', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS space_frac,
+               CAST(length(regexp_replace(regexp_replace(
+                   text, '[a-zA-Z0-9]', '', 'g'), '\\s', '', 'g'))
+                   AS DOUBLE) / greatest(length(text), 1) AS other_frac
+        FROM documents ORDER BY doc_id
+    """
+    sql["prefix_dup"] = f"""
+        WITH p AS (SELECT doc_id, array_to_string(list_slice(
+                       string_split({_NORM}, ' '), 1, 8), ' ') AS pref
+                   FROM documents)
+        SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY pref HAVING count(*) >= 2 ORDER BY rep_doc_id
     """
     sql["session_stats"] = """
         WITH o AS (

@@ -410,6 +410,8 @@ def main():
         timed(datapipe.embedding_pca, SF_DIR), 3)
     queries["session_stats"] = round(
         timed(datapipe.session_stats, SF_DIR), 3)
+    queries["char_classes"] = round(timed(datapipe.char_classes, SF_DIR), 3)
+    queries["prefix_dup"] = round(timed(datapipe.prefix_dup, SF_DIR), 3)
     queries["embedding_quantize"] = round(
         timed(datapipe.embedding_quantize, SF_DIR), 3)
     queries["dup_rate"] = round(timed(datapipe.dup_rate, SF_DIR), 3)

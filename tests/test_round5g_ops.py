@@ -153,3 +153,48 @@ def test_session_stats_planted(ray_session, tmp_path):
                       "bounce_rate": 0.5, "avg_session_events": 1.5}
     assert out[2] == {"user_id": 2, "n_sessions": 1, "n_bounce": 0,
                       "bounce_rate": 0.0, "avg_session_events": 3.0}
+
+
+# --------------------------------------------------------------- char_classes
+
+
+def test_char_classes_planted(ray_session, tmp_path):
+    _write_docs_cc(tmp_path, ["ab12  !", ""])
+    import ray
+    rows = {r["doc_id"]: r for t in ray.get(
+        datapipe.char_classes(str(tmp_path)).to_arrow_refs())
+        for r in t.to_pylist()}
+    r0 = rows[0]
+    assert r0["n_chars_raw"] == 7
+    assert r0["alpha_frac"] == 2 / 7 and r0["digit_frac"] == 2 / 7
+    assert r0["space_frac"] == 2 / 7 and r0["other_frac"] == 1 / 7
+    r1 = rows[1]          # empty doc: 0-length, all fractions 0
+    assert r1["n_chars_raw"] == 0 and r1["alpha_frac"] == 0.0
+    assert r1["other_frac"] == 0.0
+
+
+def _write_docs_cc(tmp_path, texts):
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+
+# ----------------------------------------------------------------- prefix_dup
+
+
+def test_prefix_dup_planted(ray_session, tmp_path):
+    """Docs 0/2 share their first 8 tokens but differ after; doc 1 is
+    unique; docs 3/4 are short and identical (prefix = whole text)."""
+    shared = "a b c d e f g h"
+    _write_docs_cc(tmp_path, [shared + " tail one", "unique doc",
+                              shared + " tail two", "tiny", "TINY  "])
+    import ray
+    out = sorted((r["rep_doc_id"], r["n_docs"]) for t in ray.get(
+        datapipe.prefix_dup(str(tmp_path)).to_arrow_refs())
+        for r in t.to_pylist())
+    assert out == [(0, 2), (3, 2)]
