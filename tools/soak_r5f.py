@@ -37,9 +37,35 @@ def _maxrss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def _strip_first_token(src_dir: str) -> str:
+    """Derived corpus with each text's FIRST token removed (distributed,
+    cached): the datapipe_1m planted near-dup families differ only at
+    token 0, so stripping it makes them exact leading-prefix duplicates."""
+    out = src_dir + ".nohead"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def strip(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        rest = pc.binary_join(pc.list_slice(toks, 1, None), " ")
+        return b.set_column(b.column_names.index("text"), "text", rest)
+
+    ray.data.read_parquet(f"{src_dir}/documents.parquet") \
+        .map_batches(strip, batch_format="pyarrow") \
+        .write_parquet(os.path.join(out, "documents.parquet"))
+    open(done, "w").write("ok")
+    return out
+
+
 DOC_OPS = ["soft_dedup", "group_split", "source_overlap", "ks_drift",
-           "recrawl_priority", "anchor_text", "dup_rate"]
+           "recrawl_priority", "anchor_text", "dup_rate",
+           "char_classes", "prefix_dup"]
 VEC_OPS = ["embedding_quantize"]
+JPEG_OPS = ["media_jpeg_real"]      # codec-bound: runs at --jpeg-docs
 
 
 def main():
@@ -47,7 +73,8 @@ def main():
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--n-vecs", type=int, default=1_000_000)
     ap.add_argument("--overlap-docs", type=int, default=250_000)
-    ap.add_argument("--ops", default=",".join(DOC_OPS + VEC_OPS))
+    ap.add_argument("--jpeg-docs", type=int, default=200_000)
+    ap.add_argument("--ops", default=",".join(DOC_OPS + VEC_OPS + JPEG_OPS))
     args = ap.parse_args()
     ops = [o for o in args.ops.split(",") if o]
 
@@ -70,6 +97,8 @@ def main():
                     f"read_parquet('{corpus}/{table}.parquet/*')")
         exp = con.execute(oracles[name]).df()
         con.close()
+        if len(got_df) == 0 and len(exp) == 0:
+            return "OK"      # to_pandas drops columns on empty Datasets
         if sorted(got_df.columns) != sorted(exp.columns):
             return f"COLS {sorted(got_df.columns)} != {sorted(exp.columns)}"
         if len(got_df) != len(exp):
@@ -111,11 +140,22 @@ def main():
                     if args.overlap_docs != args.n_docs else doc_corpus)
     vec_corpus = build_vecs(args.n_vecs)
 
+    jpeg_corpus = (build_corpus(args.jpeg_docs)
+                   if any(o in ops for o in JPEG_OPS) else None)
+    prefix_corpus = (_strip_first_token(doc_corpus)
+                     if "prefix_dup" in ops else None)
     for name in ops:
         if name == "source_overlap":
             leg(name, small_corpus, "documents", args.overlap_docs)
         elif name in VEC_OPS:
             leg(name, vec_corpus, "embeddings", args.n_vecs)
+        elif name in JPEG_OPS:
+            leg(name, jpeg_corpus, "documents", args.jpeg_docs)
+        elif name == "prefix_dup":
+            # the dup families differ only at token 0, so stripping it
+            # turns every planted near-dup pair into an EXACT prefix
+            # duplicate — the oracle replays on the same derived corpus
+            leg(name, prefix_corpus, "documents", args.n_docs)
         else:
             leg(name, doc_corpus, "documents", args.n_docs)
 
