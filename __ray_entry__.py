@@ -470,6 +470,14 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         # perplexity_buckets soak; time_decay_score verified at 10M events
         # in the round-4c soak
         "unigram_logprob", "time_decay_score",
+        # round-5 continuation session: every op below gained independent
+        # at-scale verification (soak_r5f/r5g/sitemap tables in
+        # BASELINE.md), so per the bucket-1 rule they demote and 13
+        # never-verified queries take their window slots
+        "crawl_sitemap", "media_jpeg_real", "anchor_text", "dup_rate",
+        "link_reciprocity", "session_stats", "char_classes", "prefix_dup",
+        "soft_dedup", "group_split", "source_overlap", "ks_drift",
+        "recrawl_priority",
     ]
     rows_only_unchecked = [
         "ann_pq_rerank", "kmeans_clusters", "approx_quantiles", "ann_lsh",
@@ -509,13 +517,9 @@ def _driver_rotate(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[st
         "dedup_keep_best", "ann_range_search", "doc_length_histogram",
         "sample_stratified", "dedup_clusters", "tfidf_top_term", "doc_chunk",
     ]
-    newest_first = [
-        # added after the round-5 mid-round gate runs: zero driver history,
-        # no at-scale soak yet — highest marginal value from a driver row
-        "crawl_sitemap", "media_jpeg_real", "anchor_text", "dup_rate",
-        "link_reciprocity", "session_stats", "char_classes", "prefix_dup",
-        "soft_dedup", "group_split", "source_overlap", "ks_drift",
-        "recrawl_priority",
+    newest_first: list[str] = [
+        # (emptied: the round-5 continuation soaks verified every former
+        # member at 1M-10M rows, so they moved to the soaked bucket)
     ]
     late = (set(soaked) | set(rows_only_unchecked) | set(float_reassoc)
             | set(prev_checked))

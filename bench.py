@@ -192,6 +192,32 @@ def polite():
     }))
 
 
+def run_sitemap_crawl() -> float:
+    """Sitemap-seeded crawl (generator store, 96x160 web): the sitemaps.org
+    frontier source end to end — root index -> per-host sitemaps ->
+    per-segment files -> article fetch+extract."""
+    from upton_ray.config import CrawlConfig
+    from upton_ray.engine import Crawler
+    from upton_ray.synth import ScaleParams
+
+    p = ScaleParams(n_hosts=96, pages_per_host=160, links_per_page=20,
+                    spans_per_page=24, media_fraction=0.25,
+                    zipf_alpha=0.3, seed=42)
+    n_articles = sum(p.n_articles(h) for h in range(p.n_hosts))
+    cfg = CrawlConfig(
+        sitemap_url=p.host(0) + "/sitemap_root.xml", sitemap_max_depth=3,
+        extractor="css:h1.article-title", sleep_time_between_requests=0,
+        debug=False, index_debug=False,
+        num_seen_shards=4, fetch_concurrency=8, fetch_batch_size=1024)
+    crawler = Crawler(cfg, p)
+    t0 = time.time()
+    n = crawler.crawl(trace=False).records.count()
+    dt = time.time() - t0
+    crawler.shutdown()
+    assert n == n_articles, (n, n_articles)
+    return dt
+
+
 def main():
     import ray
 
@@ -208,6 +234,7 @@ def main():
     queries: dict[str, float] = {}
     crawl = run_synthetic_crawl()
     queries["synthetic_crawl"] = round(crawl["sec"], 3)
+    queries["sitemap_crawl"] = round(run_sitemap_crawl(), 3)
     queries["crawl_documents"] = round(timed(crawl_documents, SF_DIR), 3)
     queries["minhash_dedup"] = round(timed(datapipe.minhash_dedup, SF_DIR), 3)
     queries["ngram_jaccard"] = round(timed(datapipe.ngram_jaccard, SF_DIR), 3)
