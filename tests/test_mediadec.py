@@ -274,3 +274,21 @@ def test_media_jpeg_real_recovers_planted_groups(ray_session):
         FROM documents GROUP BY doc_id // 10 HAVING count(*) >= 2
         ORDER BY rep_doc_id""")
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_jpeg_malformed_streams_raise_valueerror():
+    """Truncation/fill-byte edge cases fail CLOSED with ValueError, never
+    NameError/IndexError (code-review findings, round-5 continuation)."""
+    img = _grad(24, 32)
+    data = md.encode_jpeg(img, quality=90, restart_interval=2)
+    # fill 0xFF bytes before a marker are spec-legal padding
+    assert (md.decode_jpeg(data[:2] + b"\xFF\xFF\xFF" + data[2:])
+            == md.decode_jpeg(data)).all()
+    # SOF0 present but EOI before any SOS
+    sos = data.find(b"\xFF\xDA")
+    with pytest.raises(ValueError, match="no SOS"):
+        md.decode_jpeg(data[:sos] + b"\xFF\xD9")
+    # entropy stream truncated at the first restart marker
+    rst = data.find(b"\xFF\xD0")
+    with pytest.raises(ValueError, match="truncated"):
+        md.decode_jpeg(data[:rst] + b"\xFF\xD9")

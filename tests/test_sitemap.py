@@ -100,3 +100,43 @@ def test_http_store_decodes_real_sitemap_xml():
         b"<html><body><h1 class='t'>x</h1></body></html>", "text/html")
     spans = store._get("http://h.test/page.html")
     assert spans and spans[0]["kind"].endswith("h1.t")
+
+
+def test_expand_levels_mixed_kind_file_dense_dom_pos(ray_session):
+    """A file interleaving CHILD and LOC entries must number its locs
+    DENSELY (dom_pos counts per kind): the instance_index prefix-sum
+    adds base + dom_pos, so a kind-shared counter would collide the next
+    file's first index (code-review finding, round-5 continuation)."""
+    B = "http://mx.test/"
+    web = {
+        B + "r.xml": _sm(CHILD_KIND, B + "a.xml")
+        + [{"kind": LOC_KIND, "text": "", "media_ref": B + "p0",
+            "offset": 1},
+           {"kind": LOC_KIND, "text": "", "media_ref": B + "p1",
+            "offset": 2}],
+        B + "a.xml": _sm(LOC_KIND, B + "p2"),
+    }
+    links, _ = expand_levels(web, B + "r.xml", max_depth=3)
+    import ray
+    rows = sorted(((r["seed_id"], r["dom_pos"], r["url"]) for t in
+                   ray.get(links.to_arrow_refs()) for r in t.to_pylist()))
+    assert rows == [(0, 0, B + "p0"), (0, 1, B + "p1"), (1, 0, B + "p2")]
+
+
+def test_expand_levels_depth_zero_empty_not_crash(ray_session):
+    B = "http://z.test/"
+    web = {B + "r.xml": _sm(LOC_KIND, B + "p0")}
+    links, n_files = expand_levels(web, B + "r.xml", max_depth=0)
+    import ray
+    assert sum(t.num_rows for t in ray.get(links.to_arrow_refs())) == 0
+    assert n_files == 1
+
+
+def test_sniff_sitemap_no_prefix_window():
+    """A urlset behind >4 KB of comment prolog still sniffs (spec-legal;
+    the old 4096-char window missed it)."""
+    from upton_ray.sitemap import sniff_sitemap
+    xml = "<!--" + "x" * 8000 + "--><urlset><url><loc>http://h/p</loc></url></urlset>"
+    assert sniff_sitemap(xml)
+    spans = sitemap_xml_to_spans(xml)
+    assert spans is None or spans  # ET may reject the comment — sniff must not

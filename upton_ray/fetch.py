@@ -29,12 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import re as _re
-
 from upton_ray import schema, synth
 from upton_ray.config import CrawlConfig
-
-_SITEMAP_SNIFF = _re.compile(r"<\s*(urlset|sitemapindex)\b", _re.I)
 from upton_ray.frontier import HostScheduler, RobotsCache
 from upton_ray.urlops import host_of, next_index_page_url, resolve_url
 
@@ -352,9 +348,9 @@ class HttpWebStore:
                     return spans
             except ValueError:
                 pass
-        if "xml" in ctype or _SITEMAP_SNIFF.search(text[:4096]):
-            from upton_ray.sitemap import sitemap_xml_to_spans
+        from upton_ray.sitemap import sitemap_xml_to_spans, sniff_sitemap
 
+        if "xml" in ctype or sniff_sitemap(text):
             sm = sitemap_xml_to_spans(text)
             if sm is not None:
                 return sm

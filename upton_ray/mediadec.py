@@ -665,11 +665,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple, dict] = {}
     comps = None
+    scan = None
     h = w = 0
     dri = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: markers may be padded by any number of fill 0xFFs
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -723,10 +727,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += ln
             break
         pos += ln
-    else:
-        raise ValueError("no SOS segment")
     if comps is None:
         raise ValueError("no SOF0 segment")
+    if scan is None:
+        raise ValueError("no SOS segment")
 
     # entropy data: unstuff FF00, split on RSTn, stop at next real marker
     segments: list[bytes] = []
@@ -765,6 +769,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
                 seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG entropy stream truncated "
+                                     "(missing restart segment)")
                 br = _BitReader(segments[seg_i])
                 pred = [0] * len(scan)
             n_mcu += 1

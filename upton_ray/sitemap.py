@@ -42,12 +42,19 @@ CHILD_KIND = "sitemapindex/sitemap/loc"
 _SM_SNIFF = re.compile(r"<\s*(urlset|sitemapindex)\b", re.I)
 
 
+def sniff_sitemap(text: str) -> bool:
+    """True if the body looks like a sitemap (root tag anywhere — a long
+    comment/license prolog before <urlset> is spec-legal, so no prefix
+    window).  Shared by the fetch path; one regex, one owner."""
+    return _SM_SNIFF.search(text) is not None
+
+
 def sitemap_xml_to_spans(xml: str) -> list[dict] | None:
     """Real sitemap XML -> span rows, or None if the body is not a sitemap
     (caller falls through to the HTML parser).  Namespace-agnostic: tags
     match on local name, the protocol's only structure that matters here
     (``urlset/url/loc`` and ``sitemapindex/sitemap/loc``)."""
-    if not _SM_SNIFF.search(xml[:4096]):
+    if not sniff_sitemap(xml):
         return None
     import xml.etree.ElementTree as ET
 
@@ -102,10 +109,15 @@ def make_sitemap_probe(web_ref):
             for rank, sm_url in zip(batch["rank"].to_pylist(),
                                     batch["url"].to_pylist()):
                 spans = self.store.lookup_one(sm_url) or []
-                pos = 0
+                # SEPARATE counters per kind: dom_pos must be dense over
+                # the loc rows alone (the instance_index prefix-sum adds
+                # base + dom_pos, so a gap from an interleaved child row
+                # would collide the next file's first index), and child
+                # ordering likewise counts only children
+                pos = {LOC_KIND: 0, CHILD_KIND: 0}
                 for s in spans:
                     k = s["kind"]
-                    if k not in (LOC_KIND, CHILD_KIND):
+                    if k not in pos:
                         continue
                     loc = s["media_ref"]
                     if not loc:
@@ -115,10 +127,10 @@ def make_sitemap_probe(web_ref):
                     except Exception:
                         continue
                     ranks.append(rank)
-                    poss.append(pos)
+                    poss.append(pos[k])
                     urls.append(resolved)
                     kinds.append(k == CHILD_KIND)
-                    pos += 1
+                    pos[k] += 1
             return pa.table({
                 "rank": pa.array(ranks, pa.int64()),
                 "pos": pa.array(poss, pa.int32()),
@@ -179,6 +191,13 @@ def expand_levels(web_ref, seed_url: str, max_depth: int = 3,
             pending.append((next_rank, u))
             next_rank += 1
             n_files += 1
+    if not loc_parts:          # max_depth <= 0: empty frontier, not a crash
+        links = ray.data.from_arrow(pa.table({
+            "seed_id": pa.array([], pa.int32()),
+            "page_no": pa.array([], pa.int32()),
+            "dom_pos": pa.array([], pa.int32()),
+            "url": pa.array([], pa.string())}))
+        return links, n_files
     links = loc_parts[0]
     for extra in loc_parts[1:]:
         links = links.union(extra)
