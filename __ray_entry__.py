@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(163 queries, 149 oracle-checked; the fourteen approximate/iterative ops are
+(164 queries, 150 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": datapipe.session_stats,
         "char_classes": datapipe.char_classes,
         "prefix_dup": datapipe.prefix_dup,
+        "incremental_profile": datapipe.incremental_profile,
     }
     return _driver_rotate(q)
 
@@ -2377,6 +2378,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                avg(err * err) AS mse
         FROM r GROUP BY vec_id ORDER BY vec_id
+    """
+    sql["incremental_profile"] = """
+        SELECT 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count(doc_id) AS BIGINT) AS nulls,
+               CAST(min(doc_id) AS VARCHAR) AS min_s,
+               CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+        UNION ALL
+        SELECT 'source', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(source) AS BIGINT),
+               min(source), max(source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(n_chars) AS BIGINT),
+               CAST(min(n_chars) AS VARCHAR),
+               CAST(max(n_chars) AS VARCHAR) FROM documents
+        ORDER BY col
     """
     sql["char_classes"] = """
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,

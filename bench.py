@@ -439,6 +439,10 @@ def main():
         timed(datapipe.session_stats, SF_DIR), 3)
     queries["char_classes"] = round(timed(datapipe.char_classes, SF_DIR), 3)
     queries["prefix_dup"] = round(timed(datapipe.prefix_dup, SF_DIR), 3)
+    queries["incremental_profile"] = round(
+        timed(lambda sf: datapipe.incremental_profile(
+            sf, cache_dir=f"/tmp/upton_ray_profile/bench-{os.getpid()}"),
+            SF_DIR), 3)
     queries["embedding_quantize"] = round(
         timed(datapipe.embedding_quantize, SF_DIR), 3)
     queries["dup_rate"] = round(timed(datapipe.dup_rate, SF_DIR), 3)

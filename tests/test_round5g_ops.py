@@ -198,3 +198,60 @@ def test_prefix_dup_planted(ray_session, tmp_path):
         datapipe.prefix_dup(str(tmp_path)).to_arrow_refs())
         for r in t.to_pylist())
     assert out == [(0, 2), (3, 2)]
+
+
+# -------------------------------------------------------- incremental_profile
+
+
+def test_incremental_profile_only_new_partitions(ray_session, tmp_path):
+    """A grown partitioned corpus re-profiles ONLY the new file: cached
+    summaries are byte-untouched (mtime check), the merged result equals
+    a from-scratch recompute, and a stale cache key can't survive a file
+    rewrite (mtime in the key)."""
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pqt
+
+    corpus = tmp_path / "documents.parquet"
+    corpus.mkdir()
+    cache = str(tmp_path / "cache")
+
+    def write_part(name, ids, texts, nchars):
+        pqt.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array([f"s{i % 2}" for i in ids], pa.string()),
+            "n_chars": pa.array(nchars, pa.int64()),
+        }), corpus / name)
+
+    write_part("part-0.parquet", [0, 1, 2], ["a", "b", "c"], [5, 9, 7])
+    write_part("part-1.parquet", [3, 4], ["d", "e"], [1, 20])
+    out1 = datapipe.incremental_profile(str(tmp_path), cache_dir=cache)
+    rows1 = {r["col"]: r for r in out1.to_pylist()}
+    assert rows1["doc_id"] == {"col": "doc_id", "n": 5, "nulls": 0,
+                               "min_s": "0", "max_s": "4"}
+    assert rows1["n_chars"]["min_s"] == "1" and \
+        rows1["n_chars"]["max_s"] == "20"
+    cached = {f: os.path.getmtime(os.path.join(cache, f))
+              for f in os.listdir(cache)}
+    assert len(cached) == 2
+
+    _time.sleep(0.02)
+    write_part("part-2.parquet", [9], ["z"], [100])
+    out2 = datapipe.incremental_profile(str(tmp_path), cache_dir=cache)
+    rows2 = {r["col"]: r for r in out2.to_pylist()}
+    assert rows2["doc_id"]["n"] == 6 and rows2["doc_id"]["max_s"] == "9"
+    assert rows2["n_chars"]["max_s"] == "100"
+    after = {f: os.path.getmtime(os.path.join(cache, f))
+             for f in os.listdir(cache)}
+    assert len(after) == 3
+    for f, m in cached.items():       # old partitions never re-profiled
+        assert after[f] == m
+    # rewriting a partition invalidates its key (mtime-in-key)
+    _time.sleep(0.02)
+    write_part("part-2.parquet", [9], ["z"], [42])
+    out3 = datapipe.incremental_profile(str(tmp_path), cache_dir=cache)
+    rows3 = {r["col"]: r for r in out3.to_pylist()}
+    assert rows3["n_chars"]["max_s"] == "42"
