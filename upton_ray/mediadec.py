@@ -536,8 +536,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                         bx = (mx * sh + hh) * 8
                         blk = pl[by:by + 8, bx:bx + 8]
                         coef = D @ blk @ D.T
+                        # divisor for zigzag coefficient i is q[_ZZ[i]]
+                        # (T.81 emits/applies DQT in zigzag order; using
+                        # the natural-order q here round-trips internally
+                        # but mis-quantizes third-party streams)
                         zz = np.round(coef.ravel()[_ZZ]
-                                      / q.astype(np.float64)).astype(int)
+                                      / q[_ZZ].astype(np.float64)) \
+                            .astype(int)
                         diff = int(zz[0]) - pred[ci]
                         pred[ci] = int(zz[0])
                         sz, mb = _mag_bits(diff)
@@ -601,7 +606,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 
 
 class _BitReader:
-    """MSB-first reader over an UNSTUFFED entropy segment."""
+    """MSB-first reader over an UNSTUFFED entropy segment, with a 16-bit
+    peek for LUT Huffman decoding (the classic table-driven decode: one
+    array lookup per symbol instead of one dict probe per BIT)."""
 
     def __init__(self, data: bytes):
         self.d = data
@@ -609,44 +616,76 @@ class _BitReader:
         self.acc = 0
         self.n = 0
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("JPEG entropy stream truncated")
-            self.acc = self.d[self.pos]
+    def _fill(self, k: int):
+        while self.n < k and self.pos < len(self.d):
+            self.acc = (self.acc << 8) | self.d[self.pos]
             self.pos += 1
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+            self.n += 8
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+    def peek16(self) -> int:
+        self._fill(16)
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        # stream tail: pad with 1s (the encoder's fill-bit value), so a
+        # code that fits the remaining bits still resolves; take() guards
+        # against actually consuming past the end
+        pad = 16 - self.n
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        if self.n < k:
+            raise ValueError("JPEG entropy stream truncated")
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
+
+    bits = take        # magnitude bits use the same bounded read
+
+
+_HUFF_LUT_CACHE: dict = {}
 
 
 def _huff_decoder(bits, values):
-    """{(length, code): symbol} canonical table for decode."""
-    out, code, k = {}, 0, 0
+    """16-bit LUT decode tables: lut_sym[peek16] = symbol,
+    lut_len[peek16] = code length (0 = invalid prefix).  Memoized by the
+    (BITS, HUFFVAL) spec — real corpora reuse the Annex-K tables on
+    every image, so the 65k-slot build runs once per distinct table per
+    process, not once per image."""
+    key = (bytes(bits), bytes(values))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut_sym = np.zeros(1 << 16, np.int16)
+    lut_len = np.zeros(1 << 16, np.uint8)
+    code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = values[k]
+            base = code << (16 - ln)
+            lut_sym[base:base + (1 << (16 - ln))] = values[k]
+            lut_len[base:base + (1 << (16 - ln))] = ln
             code += 1
             k += 1
         code <<= 1
+    # plain Python lists: list indexing beats numpy scalar indexing by
+    # ~5x in this per-symbol loop (numpy pays a boxing round-trip)
+    out = (lut_sym.tolist(), lut_len.tolist())
+    if len(_HUFF_LUT_CACHE) < 64:      # bounded: corpora reuse few tables
+        _HUFF_LUT_CACHE[key] = out
     return out
 
 
-def _read_symbol(br: _BitReader, table: dict) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | br.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _read_symbol(br: _BitReader, table) -> int:
+    lut_sym, lut_len = table
+    peek = br.peek16()
+    ln = lut_len[peek]
+    if ln == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.take(ln)
+    return lut_sym[peek]
 
 
 def _extend(v: int, size: int) -> int:
@@ -765,6 +804,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     seg_i = 0
     br = _BitReader(segments[0])
     n_mcu = 0
+    # entropy pass: plain-Python per-symbol decode into per-component
+    # coefficient lists; the dequant + IDCT run BATCHED afterwards (one
+    # einsum per component instead of two 8x8 matmuls per block)
+    coefs: list[list] = [[] for _ in scan]
+    spots: list[list] = [[] for _ in scan]
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
@@ -776,12 +820,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pred = [0] * len(scan)
             n_mcu += 1
             for ci, c in enumerate(scan):
-                q = qtabs[c["q"]]
                 dct_t = htabs[(0, c["dc"])]
                 act_t = htabs[(1, c["ac"])]
                 for v in range(c["v"]):
                     for hh in range(c["h"]):
-                        zz = np.zeros(64, np.int64)
+                        zz = [0] * 64
                         sz = _read_symbol(br, dct_t)
                         diff = _extend(br.bits(sz), sz) if sz else 0
                         pred[ci] += diff
@@ -802,12 +845,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 raise ValueError("AC index overflow")
                             zz[k] = _extend(br.bits(size), size)
                             k += 1
-                        coef = np.zeros(64)
-                        coef[_ZZ] = zz * q
-                        blk = D.T @ coef.reshape(8, 8) @ D
-                        by = (my * c["v"] + v) * 8
-                        bx = (mx * c["h"] + hh) * 8
-                        planes[ci][by:by + 8, bx:bx + 8] = blk
+                        coefs[ci].append(zz)
+                        spots[ci].append(((my * c["v"] + v) * 8,
+                                          (mx * c["h"] + hh) * 8))
+    for ci, c in enumerate(scan):
+        if not coefs[ci]:
+            continue
+        q = qtabs[c["q"]]
+        Z = np.asarray(coefs[ci], np.float64)        # (nb, 64) zigzag
+        nat = np.zeros_like(Z)
+        # dequant in zigzag order (T.81: DQT applies by zigzag index),
+        # then scatter to natural order
+        nat[:, _ZZ] = Z * q[_ZZ].astype(np.float64)
+        blk = np.einsum("ur,nrc,cv->nuv", D.T,
+                        nat.reshape(-1, 8, 8), D)
+        pl = planes[ci]
+        for (by, bx), b8 in zip(spots[ci], blk):
+            pl[by:by + 8, bx:bx + 8] = b8
 
     # crop to each component's true size, upsample to full, color-convert
     full = []
