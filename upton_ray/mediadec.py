@@ -510,6 +510,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         pp = np.pad(pl, ((0, ph - ch), (0, pw - cw)), mode="edge")
         padded.append(pp)
 
+    # batched FDCT + quantization per component (one einsum, vectorized
+    # round); the entropy loop below only reads pre-quantized rows
+    zz_grids = []
+    for pl, q in zip(padded, qtab):
+        ph, pw = pl.shape
+        B = pl.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ur,yxrc,cv->yxuv", D, B, D.T)
+        flat = coef.reshape(ph // 8, pw // 8, 64)[:, :, _ZZ]
+        zz_grids.append(np.round(
+            flat / q[_ZZ].astype(np.float64)).astype(np.int64))
+
     dc_tabs = [_canonical_codes(*_HT_DC_L),
                _canonical_codes(*_HT_DC_C)]
     ac_tabs = [_canonical_codes(*_HT_AC_L),
@@ -526,25 +537,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 n_rst += 1
                 pred = [0] * len(planes)
             n_mcu += 1
-            for ci, (pl, (sh, sv)) in enumerate(zip(padded, samp)):
+            for ci, (sh, sv) in enumerate(samp):
                 tid = 0 if ci == 0 else 1
                 dct_t, act_t = dc_tabs[tid], ac_tabs[tid]
-                q = qtab[ci]
+                grid = zz_grids[ci]
                 for v in range(sv):
                     for hh in range(sh):
-                        by = (my * sv + v) * 8
-                        bx = (mx * sh + hh) * 8
-                        blk = pl[by:by + 8, bx:bx + 8]
-                        coef = D @ blk @ D.T
-                        # divisor for zigzag coefficient i is q[_ZZ[i]]
-                        # (T.81 emits/applies DQT in zigzag order; using
-                        # the natural-order q here round-trips internally
-                        # but mis-quantizes third-party streams)
-                        zz = np.round(coef.ravel()[_ZZ]
-                                      / q[_ZZ].astype(np.float64)) \
-                            .astype(int)
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
+                        zz = grid[my * sv + v, mx * sh + hh].tolist()
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
                         sz, mb = _mag_bits(diff)
                         ln, code = dct_t[sz]
                         bw.put(code, ln)
