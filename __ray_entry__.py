@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(164 queries, 150 oracle-checked; the fourteen approximate/iterative ops are
+(165 queries, 151 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": datapipe.media_decode_real,
         "media_phash_real": datapipe.media_phash_real,
         "media_jpeg_real": datapipe.media_jpeg_real,
+        "media_resize_real": datapipe.media_resize_real,
         "seeded_shuffle": datapipe.seeded_shuffle,
         "contamination_check": datapipe.contamination_check,
         "semi_join_events": datapipe.semi_join_events,
@@ -927,6 +928,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY doc_id // 10
             HAVING count(*) >= 2
+        """,
+        # real decode + real area-mean resize: the two-band law predicts
+        # the 4x4 resized sum (8 cells of a = doc_id % 200, 8 of a + 55)
+        "media_resize_real": """
+            SELECT doc_id,
+                   CAST(8 * (doc_id % 200) + 8 * ((doc_id % 200) + 55)
+                        AS BIGINT) AS resized_sum
+            FROM documents ORDER BY doc_id
         """,
         # same planted law over genuine baseline-JPEG streams whose DRI/
         # RSTn segmentation rotates per doc: byte-distinct, pixel-equal

@@ -292,3 +292,28 @@ def test_jpeg_malformed_streams_raise_valueerror():
     rst = data.find(b"\xFF\xD0")
     with pytest.raises(ValueError, match="truncated"):
         md.decode_jpeg(data[:rst] + b"\xFF\xD9")
+
+
+def test_media_resize_real_band_law(ray_session):
+    """Real PNG decode + real area-mean 4x4 resize recovers the planted
+    two-band sums; a nearest-sample or wrong-grid resize would not."""
+    from upton_ray import datapipe
+
+    got = datapipe.media_resize_real(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle("""
+        SELECT doc_id, CAST(8*(doc_id % 200) + 8*((doc_id % 200) + 55)
+               AS BIGINT) AS resized_sum
+        FROM documents ORDER BY doc_id""")
+    assert got.equals(exp)
+
+
+def test_media_bytes_resizer_error_row():
+    from upton_ray.datapipe import MediaBytesResizer
+    import pyarrow as pa
+
+    r = MediaBytesResizer()
+    out = r(pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                      "media_bytes": pa.array([b"not an image"],
+                                              pa.binary())}))
+    assert out["resized_sum"].to_pylist() == [-1]

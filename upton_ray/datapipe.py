@@ -10120,3 +10120,63 @@ def incremental_profile(sf_dir: str, cache_dir: str | None = None):
                      "nulls": pa.array(out["nulls"], pa.int64()),
                      "min_s": pa.array(out["min_s"], pa.string()),
                      "max_s": pa.array(out["max_s"], pa.string())})
+
+
+def _encode_band_images(batch: pa.Table) -> pa.Table:
+    """Real 16x16 grey PNGs with a planted TWO-BAND law: the top half is
+    a = doc_id % 200, the bottom half a + 55 — so a correct area-mean
+    4x4 resize must average each band to itself (8 cells of a, 8 of
+    a+55; a passthrough, a wrong grid, or nearest-sampling all break the
+    predicted sum)."""
+    from upton_ray.mediadec import encode_png
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for i in ids.tolist():
+        a = i % 200
+        img = np.full((16, 16), a, np.uint8)
+        img[8:, :] = a + 55
+        payloads.append(encode_png(img))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "media_bytes": pa.array(payloads, pa.binary())})
+
+
+class MediaBytesResizer:
+    """Actor-pool stage: real container decode + real AREA-MEAN resize
+    (:func:`upton_ray.mediadec._resample`, the phash front end) to
+    ``n x n``; emits the resized grey pixel sum.  Undecodable -> -1, the
+    M8 error rule."""
+
+    def __init__(self, n: int = 4, decode_fn=None):
+        from upton_ray.mediadec import _resample, decode_image, to_grey
+        self.decode_fn = decode_fn or decode_image
+        self.resample = _resample
+        self.to_grey = to_grey
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for data in batch["media_bytes"].to_pylist():
+            try:
+                g = self.to_grey(self.decode_fn(data)).astype(np.float64)
+                r = self.resample(g, self.n)
+                out.append(int(round(float(r.sum()))))
+            except (ValueError, IndexError, struct_error):
+                out.append(-1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "resized_sum": pa.array(out, pa.int64())})
+
+
+def media_resize_real(sf_dir: str, n: int = 4):
+    """Media RESIZE over real bytes end to end: encode the two-band PNG
+    corpus, decode + area-mean downsample in the actor pool, emit
+    (doc_id, resized_sum).  The oracle predicts the sum from the planted
+    band law alone — 8 cells of a plus 8 cells of a+55 — so the gate
+    passes iff the real decode AND the real resample grid are both
+    correct (:func:`media_resize` keeps covering the fake-decoder seam
+    for formats this container cannot decode)."""
+    return _docs(sf_dir, ["doc_id"]) \
+        .map_batches(_encode_band_images, batch_format="pyarrow") \
+        .map_batches(MediaBytesResizer, fn_constructor_kwargs={"n": n},
+                     batch_format="pyarrow", concurrency=2,
+                     batch_size=2048)
