@@ -63,7 +63,7 @@ def _strip_first_token(src_dir: str) -> str:
 
 DOC_OPS = ["soft_dedup", "group_split", "source_overlap", "ks_drift",
            "recrawl_priority", "anchor_text", "dup_rate",
-           "char_classes", "prefix_dup"]
+           "char_classes", "prefix_dup", "media_resize_real"]
 VEC_OPS = ["embedding_quantize"]
 JPEG_OPS = ["media_jpeg_real"]      # codec-bound: runs at --jpeg-docs
 
