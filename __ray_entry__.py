@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(165 queries, 151 oracle-checked; the fourteen approximate/iterative ops are
+(166 queries, 152 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_real": datapipe.media_phash_real,
         "media_jpeg_real": datapipe.media_jpeg_real,
         "media_resize_real": datapipe.media_resize_real,
+        "frame_sample_real": datapipe.frame_sample_real,
         "seeded_shuffle": datapipe.seeded_shuffle,
         "contamination_check": datapipe.contamination_check,
         "semi_join_events": datapipe.semi_join_events,
@@ -928,6 +929,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY doc_id // 10
             HAVING count(*) >= 2
+        """,
+        # real MJPEG-AVI parse + every-3rd-frame JPEG decode: clip d has
+        # 4 + d % 5 constant-grey frames, frame j's value (d*7+j*31)%200
+        # survives baseline quantization exactly (DC-only blocks)
+        "frame_sample_real": """
+            WITH f AS (SELECT doc_id,
+                              unnest(generate_series(0, 3 + doc_id % 5, 3))
+                                  AS j
+                       FROM documents)
+            SELECT doc_id, CAST(j AS BIGINT) AS frame_no,
+                   CAST(256 * ((doc_id*7 + j*31) % 200) AS BIGINT)
+                       AS pixel_sum
+            FROM f ORDER BY doc_id, frame_no
         """,
         # real decode + real area-mean resize: the two-band law predicts
         # the 4x4 resized sum (8 cells of a = doc_id % 200, 8 of a + 55)

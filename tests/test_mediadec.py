@@ -317,3 +317,50 @@ def test_media_bytes_resizer_error_row():
                       "media_bytes": pa.array([b"not an image"],
                                               pa.binary())}))
     assert out["resized_sum"].to_pylist() == [-1]
+
+
+# ------------------------------------------------------------- MJPEG-AVI
+
+
+def test_avi_roundtrip_and_rejects():
+    frames = [md.encode_jpeg(np.full((16, 16), c, np.uint8), quality=90)
+              for c in (10, 99, 180)]
+    avi = md.encode_avi_mjpeg(frames, 16, 16)
+    assert md.decode_avi_frames(avi) == frames
+    # odd-length frame payloads exercise word padding
+    odd = [f + b"x" if len(f) % 2 == 0 else f for f in frames]
+    assert md.decode_avi_frames(md.encode_avi_mjpeg(odd, 16, 16)) == odd
+    with pytest.raises(ValueError, match="not an AVI"):
+        md.decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # a chunk overrunning its parent fails closed
+    bad = bytearray(avi)
+    movi = avi.find(b"00dc")
+    bad[movi + 4:movi + 8] = (2 ** 31).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="overruns"):
+        md.decode_avi_frames(bytes(bad))
+
+
+def test_frame_sample_real_planted_law(ray_session):
+    from upton_ray import datapipe
+
+    got = datapipe.frame_sample_real(SF).to_pandas() \
+        .sort_values(["doc_id", "frame_no"]).reset_index(drop=True)
+    exp = _oracle("""
+        WITH f AS (SELECT doc_id,
+                          unnest(generate_series(0, 3 + doc_id % 5, 3)) AS j
+                   FROM documents)
+        SELECT doc_id, CAST(j AS BIGINT) AS frame_no,
+               CAST(256 * ((doc_id*7 + j*31) % 200) AS BIGINT) AS pixel_sum
+        FROM f ORDER BY doc_id, frame_no""")
+    assert got.equals(exp)
+
+
+def test_avi_sampler_error_row():
+    from upton_ray.datapipe import AviFrameSampler
+    import pyarrow as pa
+
+    out = AviFrameSampler()(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "media_bytes": pa.array([b"garbage"], pa.binary())}))
+    assert out.to_pylist() == [{"doc_id": 3, "frame_no": -1,
+                                "pixel_sum": -1}]

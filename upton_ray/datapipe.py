@@ -10180,3 +10180,69 @@ def media_resize_real(sf_dir: str, n: int = 4):
         .map_batches(MediaBytesResizer, fn_constructor_kwargs={"n": n},
                      batch_format="pyarrow", concurrency=2,
                      batch_size=2048)
+
+
+def _encode_mjpeg_avis(batch: pa.Table) -> pa.Table:
+    """Real MJPEG-AVI payloads with a planted PER-FRAME law: doc d's clip
+    has F = 4 + d % 5 frames, frame j a constant-grey 16x16 JPEG of value
+    (d*7 + j*31) % 200 — constants survive baseline quantization exactly
+    (DC-only blocks; error bound q0/16 < 0.5), so the sampled sums are
+    integer-predictable by the oracle."""
+    from upton_ray.mediadec import encode_avi_mjpeg, encode_jpeg
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for d in ids.tolist():
+        frames = [encode_jpeg(
+            np.full((16, 16), (d * 7 + j * 31) % 200, np.uint8),
+            quality=90) for j in range(4 + d % 5)]
+        payloads.append(encode_avi_mjpeg(frames, 16, 16))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "media_bytes": pa.array(payloads, pa.binary())})
+
+
+class AviFrameSampler:
+    """Actor-pool stage: real RIFF/AVI parse + every-k-th-frame JPEG
+    decode; emits (doc_id, frame_no, pixel_sum) rows.  Unparseable
+    payloads emit the single null row (frame_no -1), the M8 rule."""
+
+    def __init__(self, every: int = 3, decode_fn=None):
+        from upton_ray.mediadec import decode_avi_frames, decode_jpeg
+        self.parse = decode_avi_frames
+        self.decode = decode_fn or decode_jpeg
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fnos, sums = [], [], []
+        for d, data in zip(batch["doc_id"].to_pylist(),
+                           batch["media_bytes"].to_pylist()):
+            try:
+                frames = self.parse(data)
+                for j in range(0, len(frames), self.every):
+                    px = self.decode(frames[j])
+                    ids.append(d)
+                    fnos.append(j)
+                    sums.append(int(px.astype(np.int64).sum()))
+            except (ValueError, IndexError, struct_error):
+                ids.append(d)
+                fnos.append(-1)
+                sums.append(-1)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "frame_no": pa.array(fnos, pa.int64()),
+                         "pixel_sum": pa.array(sums, pa.int64())})
+
+
+def frame_sample_real(sf_dir: str, every: int = 3):
+    """Frame sampling over REAL video bytes end to end: genuine
+    MJPEG-AVI clips (RIFF chunk walking, word padding, nested LISTs)
+    parsed and every ``every``-th frame JPEG-decoded in the actor pool —
+    the video analog of :func:`media_decode_real`, upgrading
+    :func:`frame_sample` from the fake-decoder seam to a real container
+    (the fake seam remains for codecs this sandbox cannot implement).
+    The oracle predicts every sampled frame's pixel sum from the planted
+    law alone.  Output (doc_id, frame_no, pixel_sum)."""
+    return _docs(sf_dir, ["doc_id"]) \
+        .map_batches(_encode_mjpeg_avis, batch_format="pyarrow") \
+        .map_batches(AviFrameSampler, fn_constructor_kwargs={"every": every},
+                     batch_format="pyarrow", concurrency=2,
+                     batch_size=1024)

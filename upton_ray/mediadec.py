@@ -18,7 +18,10 @@ specs so genuine encoded bytes exercise the seam end to end:
   (4:4:4 / 4:2:2 / 4:2:0 / greyscale through one MCU loop), byte
   unstuffing and DRI/RSTn restart segments, plus an encoder (4:4:4 or
   4:2:0) for fixtures.  Progressive (SOF2) raises with a clear message
-  — a stated contract, not a silent wrong answer.
+  — a stated contract, not a silent wrong answer;
+* **MJPEG-AVI** (Microsoft RIFF spec): real chunk walking — sizes, word
+  padding, nested LISTs, fail-closed overrun checks — for the video
+  frame-sampling stage, with a writer for fixtures.
 
 The decoded representation is a ``numpy`` ``uint8`` array of shape
 ``(height, width, channels)``; :func:`decode_image` sniffs the container
@@ -885,3 +888,78 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
                    255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- MJPEG-AVI
+# Minimal RIFF/AVI container (public Microsoft RIFF spec): enough of the
+# real format for motion-JPEG round trips — RIFF('AVI ') with an 'hdrl'
+# LIST (avih + one video 'strl'), a 'movi' LIST of '00dc' frames, and an
+# 'idx1' index.  The parser walks real chunk structure (sizes, padding,
+# LIST nesting), so genuine MJPEG-AVI bytes exercise it; frames decode
+# through decode_jpeg.
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Encode JPEG frame payloads as a motion-JPEG AVI."""
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),       # microseconds per frame
+        0, 0, 0x10,                     # max bytes/s, padding, HASINDEX
+        n, 0, 1, 0,                     # total frames, initial, streams, buf
+        width, height, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh",
+                       b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n,
+                       0, 0xFFFFFFFF, 0, 0, 0, width, height)
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_body = b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    movi = _riff_list(b"movi", movi_body)
+    idx, off = [], 4
+    for f in frames:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(data: bytes) -> list[bytes]:
+    """Parse a (motion-JPEG) AVI: returns the '00dc'/'00db' frame
+    payloads in stream order.  Real chunk walking — sizes, word padding,
+    nested LISTs — with fail-closed errors on malformed structure."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI  header missing)")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    end = min(8 + riff_len, len(data))
+
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int):
+        while pos + 8 <= stop:
+            fourcc = data[pos:pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_end = pos + 8 + ln
+            if body_end > stop:
+                raise ValueError("AVI chunk overruns its parent")
+            if fourcc == b"LIST":
+                walk(pos + 12, body_end)
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(data[pos + 8:body_end])
+            pos = body_end + (ln % 2)          # word alignment
+
+    walk(12, end)
+    return frames
