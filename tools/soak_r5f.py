@@ -65,7 +65,7 @@ DOC_OPS = ["soft_dedup", "group_split", "source_overlap", "ks_drift",
            "recrawl_priority", "anchor_text", "dup_rate",
            "char_classes", "prefix_dup", "media_resize_real"]
 VEC_OPS = ["embedding_quantize"]
-JPEG_OPS = ["media_jpeg_real"]      # codec-bound: runs at --jpeg-docs
+JPEG_OPS = ["media_jpeg_real", "frame_sample_real"]  # codec-bound: --jpeg-docs
 
 
 def main():
