@@ -10240,9 +10240,16 @@ def frame_sample_real(sf_dir: str, every: int = 3):
     :func:`frame_sample` from the fake-decoder seam to a real container
     (the fake seam remains for codecs this sandbox cannot implement).
     The oracle predicts every sampled frame's pixel sum from the planted
-    law alone.  Output (doc_id, frame_no, pixel_sum)."""
+    law alone.  Output (doc_id, frame_no, pixel_sum).  Like
+    :func:`media_jpeg_real`, the pool sizes to the cluster — JPEG
+    entropy coding makes this stage codec-bound."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+    except Exception:
+        cpus = 4
     return _docs(sf_dir, ["doc_id"]) \
         .map_batches(_encode_mjpeg_avis, batch_format="pyarrow") \
         .map_batches(AviFrameSampler, fn_constructor_kwargs={"every": every},
-                     batch_format="pyarrow", concurrency=2,
-                     batch_size=1024)
+                     batch_format="pyarrow",
+                     concurrency=max(2, min(12, cpus // 3)),
+                     batch_size=512)
