@@ -10174,12 +10174,18 @@ def media_resize_real(sf_dir: str, n: int = 4):
     band law alone — 8 cells of a plus 8 cells of a+55 — so the gate
     passes iff the real decode AND the real resample grid are both
     correct (:func:`media_resize` keeps covering the fake-decoder seam
-    for formats this container cannot decode)."""
+    for formats this container cannot decode).  Pool sized to the
+    cluster — per-image PNG work is row-wise like every codec stage."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+    except Exception:
+        cpus = 4
     return _docs(sf_dir, ["doc_id"]) \
         .map_batches(_encode_band_images, batch_format="pyarrow") \
         .map_batches(MediaBytesResizer, fn_constructor_kwargs={"n": n},
-                     batch_format="pyarrow", concurrency=2,
-                     batch_size=2048)
+                     batch_format="pyarrow",
+                     concurrency=max(2, min(12, cpus // 3)),
+                     batch_size=1024)
 
 
 def _encode_mjpeg_avis(batch: pa.Table) -> pa.Table:
