@@ -364,3 +364,55 @@ def test_avi_sampler_error_row():
         "media_bytes": pa.array([b"garbage"], pa.binary())}))
     assert out.to_pylist() == [{"doc_id": 3, "frame_no": -1,
                                 "pixel_sum": -1}]
+
+
+def test_review2_fail_closed_paths(ray_session, tmp_path):
+    """Second review pass regressions: deep LIST nesting, SOS-before-SOF0,
+    unknown SOS component, trailing fill bytes — all ValueError; a clip
+    failing MID-decode emits only the single null row."""
+    import struct as _s
+
+    img = _grad(16, 16)
+    data = md.encode_jpeg(img)
+    # deep nesting -> ValueError, not RecursionError
+    deep = b""
+    for _ in range(3000):
+        deep = b"LIST" + _s.pack("<I", len(deep) + 4) + b"movi" + deep
+    avi = b"RIFF" + _s.pack("<I", len(deep) + 4) + b"AVI " + deep
+    with pytest.raises(ValueError, match="nesting too deep"):
+        md.decode_avi_frames(avi)
+    # SOS before SOF0
+    sof = data.find(b"\xFF\xC0")
+    (ln,) = _s.unpack(">H", data[sof + 2:sof + 4])
+    no_sof = data[:sof] + data[sof + 2 + ln:]
+    with pytest.raises(ValueError, match="SOS before SOF0|no SOF0"):
+        md.decode_jpeg(no_sof)
+    # unknown component id in SOS
+    sos = data.find(b"\xFF\xDA")
+    bad = bytearray(data)
+    bad[sos + 5] = 9            # first scan component id
+    with pytest.raises(ValueError, match="unknown"):
+        md.decode_jpeg(bytes(bad))
+    # trailing fill 0xFF truncation
+    with pytest.raises(ValueError, match="truncated"):
+        md.decode_jpeg(b"\xFF\xD8\xFF")
+    # mid-decode frame failure -> single null row, no partial rows
+    from upton_ray.datapipe import AviFrameSampler
+    import pyarrow as pa
+    f0 = md.encode_jpeg(np.full((16, 16), 7, np.uint8))
+    broken = md.encode_avi_mjpeg([f0, f0[:40]], 16, 16)
+    out = AviFrameSampler(every=1)(pa.table({
+        "doc_id": pa.array([5], pa.int64()),
+        "media_bytes": pa.array([broken], pa.binary())}))
+    assert out.to_pylist() == [{"doc_id": 5, "frame_no": -1,
+                                "pixel_sum": -1}]
+
+
+def test_incremental_profile_empty_dir(ray_session, tmp_path):
+    from upton_ray import datapipe
+
+    (tmp_path / "documents.parquet").mkdir()
+    out = datapipe.incremental_profile(
+        str(tmp_path), cache_dir=str(tmp_path / "c")).to_pylist()
+    assert [r["n"] for r in out] == [0, 0, 0]
+    assert all(r["min_s"] is None for r in out)

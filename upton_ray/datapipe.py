@@ -111,6 +111,18 @@ def _md5_hex(strings) -> list[str]:
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings]
 
 
+def _codec_pool_concurrency() -> int:
+    """Actor count for codec-bound media stages (per-payload entropy
+    coding can't vectorize, so concurrency comes from the pool): scale
+    with the cluster, capped so the pool never crowds out the rest of
+    the pipeline.  One owner — tune the knob here, not per gate."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+    except Exception:
+        cpus = 4
+    return max(2, min(12, cpus // 3))
+
+
 # ------------------------------------------------------- fingerprint / dedup
 
 
@@ -1621,12 +1633,8 @@ def media_jpeg_real(sf_dir: str):
     JPEG entropy coding costs ~ms/image (per-symbol, inherent to the
     format), so this gate sizes its pool wider than the lossless ones —
     decode concurrency IS the production knob for codec-bound stages."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
-    except Exception:
-        cpus = 4
     return _phash_groups(sf_dir, _encode_grouped_jpegs,
-                         concurrency=max(2, min(12, cpus // 3)),
+                         concurrency=_codec_pool_concurrency(),
                          batch_size=512)
 
 
@@ -10048,6 +10056,13 @@ def incremental_profile(sf_dir: str, cache_dir: str | None = None):
             hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12])
     os.makedirs(cache_dir, exist_ok=True)
     COLS = ("doc_id", "source", "n_chars")
+    if not files:              # empty partition dir: the zero profile,
+        return pa.table({      # not an arrow concat_tables([]) error
+            "col": pa.array(list(COLS), pa.string()),
+            "n": pa.array([0] * len(COLS), pa.int64()),
+            "nulls": pa.array([0] * len(COLS), pa.int64()),
+            "min_s": pa.array([None] * len(COLS), pa.string()),
+            "max_s": pa.array([None] * len(COLS), pa.string())})
 
     def key_of(f: str) -> str:
         st = os.stat(f)
@@ -10176,15 +10191,11 @@ def media_resize_real(sf_dir: str, n: int = 4):
     correct (:func:`media_resize` keeps covering the fake-decoder seam
     for formats this container cannot decode).  Pool sized to the
     cluster — per-image PNG work is row-wise like every codec stage."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
-    except Exception:
-        cpus = 4
     return _docs(sf_dir, ["doc_id"]) \
         .map_batches(_encode_band_images, batch_format="pyarrow") \
         .map_batches(MediaBytesResizer, fn_constructor_kwargs={"n": n},
                      batch_format="pyarrow",
-                     concurrency=max(2, min(12, cpus // 3)),
+                     concurrency=_codec_pool_concurrency(),
                      batch_size=1024)
 
 
@@ -10222,17 +10233,21 @@ class AviFrameSampler:
         ids, fnos, sums = [], [], []
         for d, data in zip(batch["doc_id"].to_pylist(),
                            batch["media_bytes"].to_pylist()):
+            # per-CLIP buffer: a failure mid-decode must discard the
+            # clip's partial rows so the contract holds — one null row
+            # per bad payload, never a valid/error mix for one doc
+            rows = []
             try:
                 frames = self.parse(data)
                 for j in range(0, len(frames), self.every):
                     px = self.decode(frames[j])
-                    ids.append(d)
-                    fnos.append(j)
-                    sums.append(int(px.astype(np.int64).sum()))
+                    rows.append((j, int(px.astype(np.int64).sum())))
             except (ValueError, IndexError, struct_error):
+                rows = [(-1, -1)]
+            for j, s in rows:
                 ids.append(d)
-                fnos.append(-1)
-                sums.append(-1)
+                fnos.append(j)
+                sums.append(s)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "frame_no": pa.array(fnos, pa.int64()),
                          "pixel_sum": pa.array(sums, pa.int64())})
@@ -10249,13 +10264,9 @@ def frame_sample_real(sf_dir: str, every: int = 3):
     law alone.  Output (doc_id, frame_no, pixel_sum).  Like
     :func:`media_jpeg_real`, the pool sizes to the cluster — JPEG
     entropy coding makes this stage codec-bound."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
-    except Exception:
-        cpus = 4
     return _docs(sf_dir, ["doc_id"]) \
         .map_batches(_encode_mjpeg_avis, batch_format="pyarrow") \
         .map_batches(AviFrameSampler, fn_constructor_kwargs={"every": every},
                      batch_format="pyarrow",
-                     concurrency=max(2, min(12, cpus // 3)),
+                     concurrency=_codec_pool_concurrency(),
                      batch_size=512)

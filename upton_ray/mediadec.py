@@ -717,6 +717,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # T.81 B.1.1.2: markers may be padded by any number of fill 0xFFs
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("JPEG truncated at marker fill bytes")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -759,11 +761,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:                    # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                    # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF0")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
+                comp = next((x for x in comps if x["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown "
+                                     f"component id {cid}")
                 comp["dc"] = tt >> 4
                 comp["ac"] = tt & 0xF
                 scan.append(comp)
@@ -947,8 +954,13 @@ def decode_avi_frames(data: bytes) -> list[bytes]:
     end = min(8 + riff_len, len(data))
 
     frames: list[bytes] = []
-
-    def walk(pos: int, stop: int):
+    # iterative LIST walk (explicit stack): crafted deep nesting must
+    # fail closed as ValueError, never RecursionError
+    stack = [(12, end)]
+    while stack:
+        pos, stop = stack.pop()
+        if len(stack) > 64:
+            raise ValueError("AVI LIST nesting too deep")
         while pos + 8 <= stop:
             fourcc = data[pos:pos + 4]
             (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -956,10 +968,12 @@ def decode_avi_frames(data: bytes) -> list[bytes]:
             if body_end > stop:
                 raise ValueError("AVI chunk overruns its parent")
             if fourcc == b"LIST":
-                walk(pos + 12, body_end)
-            elif fourcc in (b"00dc", b"00db"):
+                if len(stack) >= 64:
+                    raise ValueError("AVI LIST nesting too deep")
+                stack.append((body_end + (ln % 2), stop))
+                pos, stop = pos + 12, body_end
+                continue
+            if fourcc in (b"00dc", b"00db"):
                 frames.append(data[pos + 8:body_end])
             pos = body_end + (ln % 2)          # word alignment
-
-    walk(12, end)
     return frames
