@@ -4,7 +4,7 @@
 web at sf0.001).  ``queries()`` exposes one entry per implemented operator
 (SURVEY.md §2 crawl operators + the training-data pipeline extras), each with
 a DuckDB oracle in ``oracle_sql()`` where SQL can express the semantics
-(166 queries, 152 oracle-checked; the fourteen approximate/iterative ops are
+(167 queries, 153 oracle-checked; the fourteen approximate/iterative ops are
 rows-only by design — keep these counts in sync with the dicts below;
 ``tests/test_entry.py`` asserts them)
 (fixture-web conformance crawls use literal VALUES goldens — the same golden
@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_real": datapipe.media_jpeg_real,
         "media_resize_real": datapipe.media_resize_real,
         "frame_sample_real": datapipe.frame_sample_real,
+        "media_caption": datapipe.media_caption,
         "seeded_shuffle": datapipe.seeded_shuffle,
         "contamination_check": datapipe.contamination_check,
         "semi_join_events": datapipe.semi_join_events,
@@ -2401,6 +2402,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
                avg(err * err) AS mse
         FROM r GROUP BY vec_id ORDER BY vec_id
+    """
+    sql["media_caption"] = """
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN len(text) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(text, ' ') END AS toks
+          FROM documents),
+        m AS (SELECT doc_id, text, toks,
+                     CAST(ceil(len(toks) / 12.0) AS BIGINT) AS n_p
+              FROM t)
+        SELECT doc_id, 'assets/' || doc_id || '.img' AS media_ref,
+               CASE WHEN n_p > 0
+                    THEN array_to_string(list_slice(
+                        toks, (n_p - 1) * 12 + 1, n_p * 12), ' ')
+                    ELSE substr(text, 1, 48) END AS caption,
+               n_p AS caption_seq
+        FROM m ORDER BY doc_id
     """
     sql["incremental_profile"] = """
         SELECT 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n,

@@ -269,6 +269,8 @@ def main():
         timed(datapipe.media_resize_real, SF_DIR), 3)
     queries["frame_sample_real"] = round(
         timed(datapipe.frame_sample_real, SF_DIR), 3)
+    queries["media_caption"] = round(
+        timed(datapipe.media_caption, SF_DIR), 3)
     queries["frame_sample"] = round(timed(datapipe.frame_sample, SF_DIR), 3)
     queries["redact_pii"] = round(timed(datapipe.redact_pii, SF_DIR), 3)
     queries["dedup_keep_best"] = round(

@@ -20,8 +20,8 @@ def test_query_and_oracle_counts():
     sql = e.oracle_sql()
     # crawl goldens live in oracle_sql too; count only keys paired to a query
     paired = [k for k in q if k in sql]
-    assert len(q) == 166, len(q)
-    assert len(paired) == 152, len(paired)
+    assert len(q) == 167, len(q)
+    assert len(paired) == 153, len(paired)
     rows_only = sorted(set(q) - set(sql))
     assert len(rows_only) == 14, rows_only
     # the rows-only set is exactly the approximate/iterative family

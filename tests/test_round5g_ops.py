@@ -255,3 +255,24 @@ def test_incremental_profile_only_new_partitions(ray_session, tmp_path):
     out3 = datapipe.incremental_profile(str(tmp_path), cache_dir=cache)
     rows3 = {r["col"]: r for r in out3.to_pylist()}
     assert rows3["n_chars"]["max_s"] == "42"
+
+
+# -------------------------------------------------------------- media_caption
+
+
+def test_media_caption_law(ray_session, tmp_path):
+    """Caption = last 12-token window; empty body falls back to the
+    title slice; caption_seq = n_p."""
+    _write_docs_cc(tmp_path, [
+        " ".join(f"w{i}" for i in range(25)),   # 25 toks -> 3 windows
+        "short doc",                            # 1 window
+        "",                                     # empty -> title ("")
+    ])
+    import ray
+    rows = {r["doc_id"]: r for t in ray.get(
+        datapipe.media_caption(str(tmp_path)).to_arrow_refs())
+        for r in t.to_pylist()}
+    assert rows[0]["caption"] == "w24" and rows[0]["caption_seq"] == 3
+    assert rows[0]["media_ref"] == "assets/0.img"
+    assert rows[1]["caption"] == "short doc" and rows[1]["caption_seq"] == 1
+    assert rows[2]["caption"] == "" and rows[2]["caption_seq"] == 0

@@ -10270,3 +10270,45 @@ def frame_sample_real(sf_dir: str, every: int = 3):
                      batch_format="pyarrow",
                      concurrency=_codec_pool_concurrency(),
                      batch_size=512)
+
+
+def media_caption(sf_dir: str):
+    """Text-media ALIGNMENT over the interleaved span sequence: each
+    document's media span pairs with its nearest preceding TEXT span —
+    the last ``p`` window, or the title when the body is empty — the
+    image-caption extraction every multimodal training set starts from
+    (captions come from adjacent text, not the whole page).  Output
+    (doc_id, media_ref, caption, caption_seq) with caption_seq = the
+    paired span's sequence number (= n_p, the span_explode law).
+
+    Scale shape: pure vectorized map — reuses the
+    :func:`_token_window_lists` segmentation span_explode uses and picks
+    each doc's LAST window with one boundary mask; no shuffle, nothing
+    at the driver."""
+    from upton_ray.docweb import TITLE_LEN, TOKENS_PER_P
+
+    def cap(b: pa.Table) -> pa.Table:
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        _lens, n_p, seg_doc, _sid, seg_strings = \
+            _token_window_lists(texts, TOKENS_PER_P)
+        titles = pc.utf8_slice_codeunits(texts, 0, TITLE_LEN) \
+            .to_numpy(zero_copy_only=False)
+        caption = titles.astype(object).copy()
+        if len(seg_doc):
+            last = np.ones(len(seg_doc), bool)
+            last[:-1] = seg_doc[1:] != seg_doc[:-1]
+            segs = seg_strings.to_numpy(zero_copy_only=False)
+            caption[seg_doc[last]] = segs[last]
+        refs = pc.binary_join_element_wise(
+            "assets/", pc.cast(pa.array(ids), pa.string()), ".img", "")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "media_ref": refs,
+            "caption": pa.array(caption.tolist(), pa.string()),
+            "caption_seq": pa.array(n_p.astype(np.int64), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        cap, batch_format="pyarrow")
