@@ -63,7 +63,7 @@ def _strip_first_token(src_dir: str) -> str:
 
 DOC_OPS = ["soft_dedup", "group_split", "source_overlap", "ks_drift",
            "recrawl_priority", "anchor_text", "dup_rate",
-           "char_classes", "prefix_dup", "media_resize_real"]
+           "char_classes", "prefix_dup", "media_resize_real", "media_caption"]
 VEC_OPS = ["embedding_quantize"]
 JPEG_OPS = ["media_jpeg_real", "frame_sample_real"]  # codec-bound: --jpeg-docs
 
@@ -133,7 +133,13 @@ def main():
               f"out={len(got):8d} {status} rssΔ={d_rss:.1f}MB",
               flush=True)
         assert status == "OK", (name, status)
-        assert d_rss < 400, (name, d_rss)
+        # the comparison itself pandas-ifies the FULL result in the
+        # driver — legitimate for a verification harness, not an engine
+        # leak — so the leak budget sits on top of the result's own
+        # measured footprint (caption-sized string outputs at 1M rows
+        # are ~300 MB of pandas objects)
+        result_mb = float(got.memory_usage(deep=True).sum()) / 1e6
+        assert d_rss < 400 + result_mb, (name, d_rss, result_mb)
 
     doc_corpus = build_corpus(args.n_docs)
     small_corpus = (build_corpus(args.overlap_docs)
